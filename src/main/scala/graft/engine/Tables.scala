@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table loaders for the driver fixtures (TESTDATA.md).
+  *
+  * This is the batch form of the reference's topic sources
+  * (`builder.stream` / `builder.table`, BasicStreams.scala:52,
+  * KTableExample.scala:52-56). In this environment there is no Kafka
+  * connector jar (SURVEY.md §7.0), so sources are parquet directories for
+  * batch and file/MemoryStream for streaming; the record model is identical:
+  * keyed rows with an event-time column.
+  *
+  * Scale notes: `spark.read.parquet` gives Catalyst a relation it can push
+  * filters and column pruning into — every query in this repo is written so
+  * predicates/projections land in the scan (check `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
+    * legacy conf and truncate to microseconds — exactly what DuckDB does when
+    * it casts ns → its µs TIMESTAMP, so the oracle agrees bit-for-bit.
+    * Integer `div` (not `/`) — nanos ~1.7e18 exceed double's 2^53 mantissa.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

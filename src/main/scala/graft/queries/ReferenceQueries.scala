@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.api.{KStream, KTable}
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Reference-parity queries (SURVEY.md §2 inventory, P rows), each with a
+  * DuckDB oracle. Every query is deterministic: aggregates over doubles go
+  * through DECIMAL(18,2) so the sum is exact and partition-order-independent,
+  * then back to DOUBLE so output schemas match the oracle exactly; ties in
+  * latest-per-key / top-k are broken by a unique id.
+  */
+object ReferenceQueries {
+
+  /** Exact, order-insensitive money sum: double → decimal → sum → double.
+    * Both engines round the (data-gen rounded) doubles to the same decimal,
+    * so results are bit-identical regardless of partitioning.
+    */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ---------------------------------------------------------------- events
+  private def eventsStream(spark: SparkSession, dir: String): KStream =
+    KStream(Tables.events(spark, dir), keyCol = "user_id", tsCol = "ts")
+
+  /** BasicStreams parity (BasicStreams.scala:51-60): peek → filter(value
+    * contains marker) → mapValues(substring after separator → cast long) →
+    * filter(> threshold) → peek. The "value" is the raw `props` payload; the
+    * extracted number is the `k` field, located by index arithmetic exactly
+    * like `v.substring(v.indexOf("-") + 1)` + `toLong`.
+    */
+  def basicFilterExtract(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .peek("pre")
+      .filter(col("props").contains("\"k\""))
+      .withValue("k",
+        expr("substring(props, instr(props, ':') + 1)")
+          .pipe(c => trim(c, " }"))
+          .cast(LongType))
+      .filter(col("k") > 50)
+      .peek("post")
+      .df.select("event_id", "user_id", "k")
+
+  private implicit class Piper[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  val basicFilterExtractSql: String =
+    """SELECT event_id, user_id,
+      |       CAST(trim(substr(props, position(':' IN props) + 1), ' }') AS BIGINT) AS k
+      |FROM events
+      |WHERE position('"k"' IN props) > 0
+      |  AND CAST(trim(substr(props, position(':' IN props) + 1), ' }') AS BIGINT) > 50""".stripMargin
+
+  /** KTable parity (KTableExample.scala:52-56): read the orders changelog as
+    * a latest-per-key view — latest order per customer, ties broken by
+    * o_orderkey. One shuffle, map-side-combined `max_by`.
+    */
+  def ktableLatest(spark: SparkSession, dir: String): DataFrame =
+    KStream(Tables.orders(spark, dir), keyCol = "o_custkey", tsCol = "o_orderdate")
+      .toTable(orderBy = Seq("o_orderdate", "o_orderkey"))
+      .df.select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+  val ktableLatestSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
+  /** KTable filter+mapValues on the VIEW (KTableExample.scala:58-62): reduce
+    * to latest-per-key FIRST, then filter/project — the order-sensitive
+    * changelog semantics (SURVEY.md §7.5).
+    */
+  def ktableFilterView(spark: SparkSession, dir: String): DataFrame =
+    KStream(Tables.orders(spark, dir), keyCol = "o_custkey", tsCol = "o_orderdate")
+      .toTable(orderBy = Seq("o_orderdate", "o_orderkey"))
+      .filter(col("o_orderpriority").contains("URGENT"))
+      .mapValues(
+        "o_orderkey" -> col("o_orderkey"),
+        "priority_tag" -> expr("substring(o_orderpriority, instr(o_orderpriority, '-') + 1)"))
+      .df.select("o_custkey", "o_orderkey", "priority_tag")
+
+  val ktableFilterViewSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       substr(o_orderpriority, position('-' IN o_orderpriority) + 1) AS priority_tag
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 AND position('URGENT' IN o_orderpriority) > 0""".stripMargin
+
+  /** Aggregations parity (AggregationsExample.scala:35-41): groupByKey →
+    * aggregate(0.0)(_ + price) → mapValues(OrderTotal(key, total)). The
+    * converged running sum is the grouped sum; partial aggregation gives the
+    * map-side combine the reference's single node never needed.
+    */
+  def runningSum(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .groupByKey
+      .aggregate(moneySum(col("value")).as("total"))
+      .mapValues("total" -> col("total"))
+      .df.select("user_id", "total")
+
+  val runningSumSql: String =
+    """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** count / min / max / sum per group (gap ops A4; free built-ins). */
+  def aggCountReduce(spark: SparkSession, dir: String): DataFrame =
+    KStream(Tables.events(spark, dir), "event_type", "ts")
+      .groupByKey
+      .aggregate(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        moneySum(col("value")).as("total"))
+      .df.select("event_type", "n", "min_v", "max_v", "total")
+
+  val aggCountReduceSql: String =
+    """SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Stream–table join (JoinsExample.scala:41-45 + UserCombinedOrder,
+    * SURVEY.md J2): enrich the orders stream with the customer table. The
+    * dimension side is broadcast — no shuffle of the fact stream.
+    */
+  def streamTableJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ordersS = KStream(Tables.orders(spark, dir), "o_custkey", "o_orderdate")
+    val custT = KTable(Tables.customer(spark, dir), "c_custkey")
+    ordersS.df
+      .join(broadcast(custT.df), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+  }
+
+  val streamTableJoinSql: String =
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** Stream–stream interval join (JoinsExample.scala:47-56): click and
+    * purchase events of the same user within ±10 minutes of each other
+    * (inner, zero grace — parity with JoinWindows.ofTimeDifferenceWithNoGrace).
+    * The reference stamps output with Instant.now() (JoinsExample.scala:270);
+    * that column is non-deterministic and excluded from the oracle-checked
+    * projection (SURVEY.md §5.2).
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val Seq(clicks, purchases) =
+      ev.branch(col("event_type") === "click", col("event_type") === "purchase")
+    clicks
+      .joinInterval(purchases, tolerance = "10 MINUTES")
+      .select(
+        col("l_user_id").as("user_id"),
+        col("l_event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"),
+        col("l_ts").as("click_ts"),
+        col("r_ts").as("purchase_ts"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts - INTERVAL '10 minutes'
+      | AND p.ts <= c.ts + INTERVAL '10 minutes'""".stripMargin
+
+  /** Branch + transform + merge (Kafka Streams split/merge, gap ops T9/T10):
+    * route big purchases and any error event into one audit stream.
+    */
+  def branchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val Seq(big, errors) = ev.branch(
+      col("event_type") === "purchase" && col("value") > 100.0,
+      col("event_type") === "error")
+    big.mapValues("reason" -> lit("big_purchase"), "event_id" -> col("event_id"))
+      .merge(errors.mapValues("reason" -> lit("error_event"), "event_id" -> col("event_id")))
+      .df.select("event_id", "user_id", "reason")
+  }
+
+  val branchMergeSql: String =
+    """SELECT event_id, user_id, 'big_purchase' AS reason FROM events
+      |WHERE event_type = 'purchase' AND value > 100.0
+      |UNION ALL
+      |SELECT event_id, user_id, 'error_event' AS reason FROM events
+      |WHERE event_type = 'error'""".stripMargin
+
+  /** Tumbling-window aggregation (gap A5/W6): 1-hour event-time windows per
+    * event_type. Streaming twin adds a watermark (graft.streaming).
+    */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    KStream(Tables.events(spark, dir), "event_type", "ts")
+      .groupByKey
+      .windowedAggregate("ts", "1 hour",
+        count(lit(1)).as("n"),
+        moneySum(col("value")).as("total"))
+      .select("window_start", "event_type", "n", "total")
+
+  val windowedAggSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Permissive JSON parse + summarize (serdes/circe.scala:15-23 semantics
+    * over the `props` JSON column): malformed rows become null and are
+    * dropped, valid rows contribute. The threshold-fail handler variant is
+    * exercised in ErrorsSpec (no corrupt rows exist in the fixture).
+    */
+  def errorTolerantParse(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .withColumn("parsed", graft.engine.Serde.parseJson(col("props"), schema))
+      .filter(col("parsed").isNotNull && col("parsed.k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_parsed"), sum(col("parsed.k")).as("sum_k"))
+      .select("event_type", "n_parsed", "sum_k")
+  }
+
+  val errorTolerantParseSql: String =
+    """SELECT event_type, count(*) AS n_parsed,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events
+      |WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
+  /** flatMapValues (gap T8): explode whitespace tokens of document text,
+    * count global token frequencies. explode stays in codegen; the count is
+    * one partial+final hash agg.
+    */
+  def flatmapTokens(spark: SparkSession, dir: String): DataFrame =
+    KStream(Tables.documents(spark, dir), "doc_id", "doc_id")
+      .flatMapValues("token", split(col("text"), " "))
+      .df.filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .select("token", "n")
+
+  val flatmapTokensSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE length(token) > 0 GROUP BY token""".stripMargin
+}
