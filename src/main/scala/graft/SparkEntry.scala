@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.ReferenceQueries
+import graft.queries.{AnalyticsQueries, LlmQueries, ReferenceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,27 @@ object SparkEntry {
     "windowed_agg"         -> (ReferenceQueries.windowedAgg _),
     "error_tolerant_parse" -> (ReferenceQueries.errorTolerantParse _),
     "flatmap_tokens"       -> (ReferenceQueries.flatmapTokens _),
+    // LLM data-pipeline operators (SURVEY.md §2.9)
+    "dedup_exact"          -> (LlmQueries.dedupExact _),
+    "dedup_exact_keyed"    -> (AnalyticsQueries.dedupExactKeyed _),
+    "ngram_jaccard"        -> (LlmQueries.ngramJaccard _),
+    "minhash_lsh"          -> (LlmQueries.minhashLsh _),
+    "simhash_neardup"      -> (LlmQueries.simhashNeardup _),
+    "ann_topk"             -> (LlmQueries.annTopk _),
+    "embed_neardup"        -> (LlmQueries.embedNeardup _),
+    "ann_lsh"              -> (LlmQueries.annLsh _),
+    "lang_id"              -> (LlmQueries.langId _),
+    "quality_score"        -> (LlmQueries.qualityScore _),
+    "token_count"          -> (LlmQueries.tokenCount _),
+    "doc_fingerprint"      -> (LlmQueries.docFingerprint _),
+    "multimodal_meta"      -> (LlmQueries.multimodalMeta _),
+    // analytic coverage (sorts/top-k, set ops, rollup, distinct)
+    "q1_pricing"           -> (AnalyticsQueries.q1Pricing _),
+    "topk_orders_per_cust" -> (AnalyticsQueries.topkOrdersPerCust _),
+    "revenue_by_segment"   -> (AnalyticsQueries.revenueBySegment _),
+    "set_ops"              -> (AnalyticsQueries.setOps _),
+    "rollup_revenue"       -> (AnalyticsQueries.rollupRevenue _),
+    "distinct_users"       -> (AnalyticsQueries.distinctUsers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +68,24 @@ object SparkEntry {
     "windowed_agg"         -> ReferenceQueries.windowedAggSql,
     "error_tolerant_parse" -> ReferenceQueries.errorTolerantParseSql,
     "flatmap_tokens"       -> ReferenceQueries.flatmapTokensSql,
+    "dedup_exact"          -> LlmQueries.dedupExactSql,
+    "dedup_exact_keyed"    -> AnalyticsQueries.dedupExactKeyedSql,
+    "ngram_jaccard"        -> LlmQueries.ngramJaccardSql,
+    "minhash_lsh"          -> LlmQueries.minhashLshSql,
+    "simhash_neardup"      -> LlmQueries.simhashNeardupSql,
+    "ann_topk"             -> LlmQueries.annTopkSql,
+    "embed_neardup"        -> LlmQueries.embedNeardupSql,
+    "ann_lsh"              -> LlmQueries.annLshSql,
+    "lang_id"              -> LlmQueries.langIdSql,
+    "quality_score"        -> LlmQueries.qualityScoreSql,
+    "token_count"          -> LlmQueries.tokenCountSql,
+    "doc_fingerprint"      -> LlmQueries.docFingerprintSql,
+    "multimodal_meta"      -> LlmQueries.multimodalMetaSql,
+    "q1_pricing"           -> AnalyticsQueries.q1PricingSql,
+    "topk_orders_per_cust" -> AnalyticsQueries.topkOrdersPerCustSql,
+    "revenue_by_segment"   -> AnalyticsQueries.revenueBySegmentSql,
+    "set_ops"              -> AnalyticsQueries.setOpsSql,
+    "rollup_revenue"       -> AnalyticsQueries.rollupRevenueSql,
+    "distinct_users"       -> AnalyticsQueries.distinctUsersSql,
   )
 }

@@ -1,0 +1,99 @@
+package graft.llm
+
+import graft.engine.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the correctness
+  * baseline) and sign-plane LSH bucketing (the scale path).
+  *
+  * The dot product is a sequential left fold over the zipped arrays with a
+  * double accumulator — the same evaluation order DuckDB's list_sum over a
+  * list comprehension uses, so the oracle's floating-point result is
+  * bit-identical; oracle-compared similarity columns are additionally
+  * rounded to 6 dp and ties in top-k rank break on the neighbor id.
+  *
+  * Scale design: brute-force is O(Q×N) with the query side broadcast — right
+  * for small Q or as a re-rank stage. The LSH variant buckets vectors by a
+  * 16-bit Rademacher-hyperplane signature: the shuffle is one hash exchange
+  * on bucket ids, candidate verification touches only same-bucket pairs, and
+  * recall/cost trades off via the plane count. An IVF refinement (coarse
+  * k-means centroids instead of hyperplanes) drops in by replacing
+  * `bucketExpr` — the join topology is identical.
+  */
+object Similarity {
+
+  /** Element-wise product folded left with a double accumulator. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Vectors with their precomputed norms (norm is reused across all pairs
+    * involving the vector — compute once, not per pair).
+    */
+  private def withNorm(embeddings: DataFrame, prefix: String): DataFrame =
+    embeddings.select(
+      col("vec_id").as(s"${prefix}_id"),
+      col("embedding").as(s"${prefix}_emb"),
+      norm(col("embedding")).as(s"${prefix}_norm"))
+
+  private def cosine(p: String, q: String): Column =
+    dot(col(s"${p}_emb"), col(s"${q}_emb")) / (col(s"${p}_norm") * col(s"${q}_norm"))
+
+  /** Brute-force cosine top-k: for each query vector (by predicate), the k
+    * nearest other vectors. The query side is broadcast — the big side
+    * streams through one codegen stage, then a per-query top-k (window over
+    * q_id) needs only a partial sort of k elements per partition under AQE.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val queries = withNorm(embeddings.filter(queryPred), "q")
+    val all = withNorm(embeddings, "n")
+    val scored = broadcast(queries).join(all, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), round(cosine("q", "n"), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** 16-bit sign-plane signature (bucket id) for one embedding column. */
+  def bucketExpr(emb: Column, planes: Array[Array[Int]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val proj = aggregate(
+        zip_with(emb, typedlit(plane.toSeq), (x, s) => x.cast("double") * s.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH near-duplicate pairs: bucket by sign-plane signature, verify exact
+    * cosine ≥ minCos within buckets. Output is deterministic (the bucketing
+    * is a pure function of the vector), so the oracle replays it exactly.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, planes: Array[Array[Int]], minCos: Double): DataFrame = {
+    val withBucket = withNorm(embeddings, "v")
+      .withColumn("bucket", bucketExpr(col("v_emb"), planes))
+    val a = withBucket.select(col("v_id").as("a_id"), col("v_emb").as("a_emb"),
+      col("v_norm").as("a_norm"), col("bucket"))
+    val b = withBucket.select(col("v_id").as("b_id"), col("v_emb").as("b_emb"),
+      col("v_norm").as("b_norm"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine("a", "b"), 6).as("sim"))
+      .filter(col("sim") >= minCos)
+  }
+
+  /** Exact all-pairs near-duplicates (correctness baseline for LSH): every
+    * pair with cosine ≥ minCos. O(N²) — only for modest N or as the
+    * per-bucket verifier.
+    */
+  def exactNearDupPairs(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val a = withNorm(embeddings, "a")
+    val b = withNorm(embeddings, "b")
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine("a", "b"), 6).as("sim"))
+      .filter(col("sim") >= minCos)
+  }
+
+  /** Deterministic plane matrix shared with the oracle SQL. */
+  def defaultPlanes: Array[Array[Int]] = PortableHash.signPlanes(16, 64)
+}

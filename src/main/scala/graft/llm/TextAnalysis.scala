@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM training-data pipelines: tokenization,
+  * shingling, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure Catalyst expression (higher-order array
+  * functions + regex built-ins) — no UDFs, so the whole pipeline stays inside
+  * WholeStageCodegen and scales linearly with no shuffle until the first
+  * aggregation. All arithmetic that reaches an oracle-compared column is
+  * integer or md5-derived (see [[graft.engine.PortableHash]]) so DuckDB
+  * reproduces it exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped (split-on-space parity with
+    * DuckDB's string_split + filter).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles joined by single spaces; empty array when
+    * the document is shorter than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopword-hit count for a language marker list (word-boundary regex). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Language markers used by the n-gram/stopword language-ID heuristic.
+    * Order is the deterministic tie-break priority.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "que", "de", "los"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "und", "ist", "das"))
+
+  /** Counting regexes shared with the oracle. */
+  val wordRe = "[A-Za-z0-9]+"
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single punctuation. */
+  val bpeIshRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  val punctRe = "[.,;:!?]"
+
+  def regexCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+}

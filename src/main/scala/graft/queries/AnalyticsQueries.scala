@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational/analytic coverage beyond the reference's surface (SURVEY.md
+  * §2.10 honest non-goals, supplied by Spark built-ins): ordered top-k per
+  * group, set operations, rollup/grouping sets, distinct aggregation, and
+  * TPC-H-style join/aggregate headline queries used by the benchmark.
+  *
+  * Scale notes per query are on each member; the common themes: broadcast
+  * the dimension side of every fact join, let partial aggregation run
+  * map-side, and keep money math in DECIMAL(18,2) for bit-exact parity.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Exact discounted price: both factors go to decimal BEFORE multiplying,
+    * so the product is exact decimal arithmetic — rounding a double product
+    * to decimal differs between engines (HALF_UP vs half-even).
+    */
+  private def discPrice =
+    dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(9, 4)) - col("l_discount").cast(DecimalType(9, 4)))
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))"
+
+  /** TPC-H Q1-style pricing summary over lineitem: one shuffle (partial +
+    * final hash agg), all expressions codegen'd. The fact scan prunes to the
+    * 6 referenced columns (check ReadSchema).
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-3 orders per customer by value — window ranking with deterministic
+    * tie-break. At scale: single hash exchange on o_custkey; AQE handles
+    * skewed customers; rank ≤ k lets Spark run a partial top-k sort.
+    */
+  def topkOrdersPerCust(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  val topkOrdersPerCustSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Revenue by market segment: lineitem ⋈ orders ⋈ broadcast(customer).
+    * The two fact tables shuffle on orderkey once; the 150-row customer dim
+    * is broadcast so no extra exchange. Distinct order count is exact.
+    */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), discPrice.as("rev"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  val revenueBySegmentSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Set operations (INTERSECT / EXCEPT): users who both clicked and
+    * purchased, and users who clicked but never purchased, tagged and
+    * unioned. Spark plans these as aggregates + semi/anti joins.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
+    val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    clickers.intersect(buyers).withColumn("tag", lit("click_and_buy"))
+      .unionByName(clickers.except(buyers).withColumn("tag", lit("click_only")))
+  }
+
+  val setOpsSql: String =
+    """SELECT user_id, 'click_and_buy' AS tag FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT user_id, 'click_only' AS tag FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""".stripMargin
+
+  /** ROLLUP with grouping id — subtotal lattice in one pass (Spark expands
+    * to a single Expand + aggregation, not N scans).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  val rollupRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact distinct-count per group (dropDuplicates/approx_count_distinct
+    * family; the HLL variant is benchmarked but not oracled — sketches are
+    * engine-specific).
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Latest-per-composite-key dedup on events (exact keyed dedup — the
+    * dropDuplicates-with-ordering idiom, same single-shuffle max_by engine
+    * as the KTable view).
+    */
+  def dedupExactKeyed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.KStream
+    KStream(Tables.events(spark, dir), "user_id", "ts")
+      .groupBy("user_id", "event_type")
+      .reduceLatest(orderBy = Seq("ts", "event_id"))
+      .df.select("user_id", "event_type", "event_id", "value")
+  }
+
+  val dedupExactKeyedSql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+}

@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.engine.{PortableHash, Tables}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline queries (SURVEY.md §2.9 / north-star gap-fill)
+  * with DuckDB oracles. Because all sketch hashing is md5-derived
+  * ([[graft.engine.PortableHash]]), even the approximate operators (MinHash
+  * LSH, SimHash bands, sign-plane LSH) are replayed bit-for-bit by the
+  * oracle — the SQL computes the identical signatures, candidates, and
+  * verified outputs.
+  */
+object LlmQueries {
+
+  // ------------------------------------------------------------ shared SQL
+  /** DuckDB CTEs for whitespace tokens and word n-gram shingle sets —
+    * mirrors [[graft.llm.TextAnalysis.shingles]] exactly (same split, same
+    * n-gram construction, same distinct).
+    */
+  private def shingleCtes(n: Int): String =
+    s"""toks AS (SELECT doc_id, text,
+       |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens FROM documents),
+       |shs AS (SELECT doc_id, text,
+       |        CASE WHEN len(tokens) >= $n
+       |             THEN list_distinct([array_to_string(tokens[i:i+${n - 1}], ' ')
+       |                                 for i in range(1, len(tokens) - ${n - 2})])
+       |             ELSE [] END AS sh FROM toks)""".stripMargin
+
+  private val jaccardNum = 4
+  private val jaccardDen = 5 // threshold 0.8
+
+  private def jaccardFilterSql(c: String, sa: String, sb: String) =
+    s"$c * $jaccardDen >= ($sa + $sb - $c) * $jaccardNum"
+
+  // ------------------------------------------------------------ dedup: exact
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+      .select("fingerprint", "keeper_id", "n_copies")
+
+  val dedupExactSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- dedup: exact n-gram Jaccard
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, jaccardNum, jaccardDen)
+
+  val ngramJaccardSql: String =
+    s"""WITH ${shingleCtes(3)},
+       |post AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b
+       |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE ${jaccardFilterSql("n_common", "sa.n_sh", "sb.n_sh")}""".stripMargin
+
+  // ------------------------------------------------- dedup: MinHash + LSH
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), n = 3, perms = 64, bands = 16,
+      num = jaccardNum, den = jaccardDen)
+
+  val minhashLshSql: String = {
+    val p = PortableHash.P
+    s"""WITH ${shingleCtes(3)},
+       |hs AS (SELECT doc_id, [(('0x' || substr(md5(s), 1, 15))::BIGINT % $p) for s in sh] AS hs
+       |       FROM shs WHERE len(sh) > 0),
+       |params AS (SELECT i,
+       |    ((('0x' || substr(md5('a' || i), 1, 15))::BIGINT) % ${p - 1}) + 1 AS a,
+       |    (('0x' || substr(md5('b' || i), 1, 15))::BIGINT) % $p AS b
+       |  FROM range(64) t(i)),
+       |sigs AS (SELECT doc_id, i, list_min([(a * h + b) % $p for h in hs]) AS m
+       |         FROM hs, params),
+       |bandkeys AS (SELECT doc_id, i // 4 AS band,
+       |             string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+       |             FROM sigs GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bandkeys a JOIN bandkeys b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) AS n_common,
+       |       len(sa.sh) AS size_a, len(sb.sh) AS size_b
+       |FROM cand JOIN shs sa ON doc_a = sa.doc_id JOIN shs sb ON doc_b = sb.doc_id
+       |WHERE ${jaccardFilterSql("len(list_intersect(sa.sh, sb.sh))", "len(sa.sh)", "len(sb.sh)")}""".stripMargin
+  }
+
+  // ----------------------------------------------------- dedup: SimHash
+  private val simhashMaxDist = 4
+
+  def simhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), simhashMaxDist)
+
+  val simhashNeardupSql: String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+       |              FROM documents),
+       |tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |bitsums AS (SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS s
+       |            FROM th, range(60) r(j) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+       |         FROM bitsums GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxDist""".stripMargin
+
+  // ------------------------------------------------ similarity: brute top-k
+  def annTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), col("vec_id") < 10, k = 5)
+      .select("q_id", "n_id", "sim", "rank")
+
+  private val dotSql =
+    "list_reduce([%s.embedding[i]::DOUBLE * %s.embedding[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+
+  private def dot(a: String, b: String) = dotSql.format(a, b)
+
+  val annTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+       |           FROM embeddings e0),
+       |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |           round(${dot("q", "n")} / (q.nrm * n.nrm), 6) AS sim
+       |           FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id != q.vec_id)
+       |SELECT q_id, n_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------- similarity: exact near-dup pairs
+  private val minCos = 0.45
+
+  def embedNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.exactNearDupPairs(Tables.embeddings(spark, dir), minCos)
+      .select("a_id", "b_id", "sim")
+
+  val embedNeardupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+       |           FROM embeddings e0)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |       round(${dot("a", "b")} / (a.nrm * b.nrm), 6) AS sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE round(${dot("a", "b")} / (a.nrm * b.nrm), 6) >= $minCos""".stripMargin
+
+  // --------------------------------------------- similarity: sign-plane LSH
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), Similarity.defaultPlanes, minCos)
+      .select("a_id", "b_id", "sim")
+
+  val annLshSql: String = {
+    val planeRows = Similarity.defaultPlanes.zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(", ")}])" }
+      .mkString(",\n    ")
+    val projDot =
+      "list_reduce([e.embedding[i]::DOUBLE * pl.v[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+       |           FROM embeddings e0),
+       |pl(p, v) AS (VALUES
+       |    $planeRows),
+       |proj AS (SELECT e.vec_id, pl.p, $projDot AS s FROM e, pl),
+       |buckets AS (SELECT vec_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       |            FROM proj GROUP BY 1)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |       round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) AS sim
+       |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |WHERE round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
+  }
+
+  // ---------------------------------------------------------- text: lang id
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scores = TextAnalysis.langMarkers.map { case (l, words) =>
+      l -> TextAnalysis.stopwordHits(col("text"), words)
+    }
+    val Seq(en, es, fr, de) = scores.map(_._2)
+    d.select(col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("s_en"), es.as("s_es"), fr.as("s_fr"), de.as("s_de"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de"))
+  }
+
+  val langIdSql: String = {
+    def re(words: Seq[String]) = s"'\\b(${words.mkString("|")})\\b'"
+    val m = TextAnalysis.langMarkers.toMap
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  len(regexp_extract_all(text, ${re(m("en"))})) AS s_en,
+       |  len(regexp_extract_all(text, ${re(m("es"))})) AS s_es,
+       |  len(regexp_extract_all(text, ${re(m("fr"))})) AS s_fr,
+       |  len(regexp_extract_all(text, ${re(m("de"))})) AS s_de,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |       WHEN s_fr >= s_de THEN 'fr'
+       |       ELSE 'de' END AS pred_lang
+       |FROM documents""".stripMargin
+  }
+
+  // ----------------------------------------------------- text: quality score
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nWs = size(TextAnalysis.tokens(t))
+    val enWords = TextAnalysis.langMarkers.toMap.apply("en")
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        col("n_chars"),
+        nWs.as("n_ws"),
+        TextAnalysis.regexCount(t, TextAnalysis.wordRe).as("n_word"),
+        TextAnalysis.regexCount(t, TextAnalysis.punctRe).as("n_punct"),
+        TextAnalysis.stopwordHits(t, enWords).as("stop_hits"))
+      .withColumn("score_bp",
+        least(col("n_chars"), lit(1000L)) * 2
+          + expr("(1000 * stop_hits) div greatest(n_ws, 1)")
+          + expr("(1000 * n_word) div greatest(n_ws, 1)")
+          - col("n_punct") * 50)
+  }
+
+  val qualityScoreSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").mkString("|")
+    s"""SELECT doc_id, n_chars,
+       |  len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_ws,
+       |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |  len(regexp_extract_all(text, '\\b($en)\\b')) AS stop_hits,
+       |  least(n_chars, 1000) * 2
+       |    + (1000 * stop_hits) // greatest(n_ws, 1)
+       |    + (1000 * n_word) // greatest(n_ws, 1)
+       |    - n_punct * 50 AS score_bp
+       |FROM documents""".stripMargin
+  }
+
+  // ----------------------------------------------------- text: token counts
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(t)).as("n_ws_tokens"),
+      TextAnalysis.regexCount(t, TextAnalysis.wordRe).as("n_word_tokens"),
+      TextAnalysis.regexCount(t, TextAnalysis.bpeIshRe).as("n_bpeish_tokens"))
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------- text: fingerprinting
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextAnalysis.shingles(col("text"), 5)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(size(sh) > 0, array_min(transform(sh, s => PortableHash.md5Long(s))))
+        .otherwise(PortableHash.md5Long(col("text"))).as("fp"))
+  }
+
+  val docFingerprintSql: String =
+    s"""WITH ${shingleCtes(5)}
+       |SELECT doc_id,
+       |  CASE WHEN len(sh) > 0
+       |       THEN list_min([${PortableHash.md5LongSql("s")} for s in sh])
+       |       ELSE ${PortableHash.md5LongSql("text")} END AS fp
+       |FROM shs""".stripMargin
+
+  // -------------------------------------------------------- multimodal stub
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(spark, Multimodal.withBlob(Tables.documents(spark, dir)))
+      .toDF()
+      .select("doc_id", "n_bytes", "width", "height", "format")
+
+  val multimodalMetaSql: String =
+    s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |  160 + h % 1760 AS width,
+       |  90 + (h // 7) % 990 AS height,
+       |  ['jpeg', 'png', 'webp'][(h % 3)::INT + 1] AS format
+       |FROM (SELECT doc_id, text, ${PortableHash.md5LongSql("text")} AS h FROM documents)""".stripMargin
+}
