@@ -27,32 +27,43 @@ object Serde {
     */
   def toJson(cols: Column*): Column = to_json(struct(cols: _*))
 
+  /** Corrupt-record predicate for a parsed struct column. Spark's
+    * `from_json` never returns a null struct in permissive mode — malformed
+    * input yields a struct whose fields are ALL null — so "decode failed" is
+    * detected circe-style (serdes/circe.scala:15-23: a strict decoder fails
+    * on malformed payloads and on documents carrying none of the expected
+    * fields): every declared field null ⇒ corrupt.
+    */
+  def isCorrupt(parsed: Column, schema: StructType): Column =
+    schema.fields.map(f => parsed.getField(f.name).isNull).reduce(_ && _)
+
   /** Split a DataFrame into (parsed, corrupt) on a JSON column. The corrupt
     * side retains the raw payload for a dead-letter sink. Both sides are
-    * filters over one parsed plan — Catalyst collapses the double parse via
-    * common subexpression reuse within a stage; at scale this stays a single
-    * scan when both sides are consumed in one action.
+    * filters over one parsed plan — at scale this stays a single scan when
+    * both sides are consumed in one action.
     */
   def parseOrDeadLetter(df: DataFrame, jsonCol: String, schema: StructType,
                         parsedAs: String = "parsed"): (DataFrame, DataFrame) = {
     val withParsed = df.withColumn(parsedAs, from_json(col(jsonCol), schema))
-    (withParsed.filter(col(parsedAs).isNotNull),
-     withParsed.filter(col(parsedAs).isNull).drop(parsedAs))
+    val bad = isCorrupt(col(parsedAs), schema)
+    (withParsed.filter(!bad), withParsed.filter(bad).drop(parsedAs))
   }
 
   /** Count corrupt rows into an accumulator while passing good rows through —
     * used by the deserialization-error-handler parity path
     * (ErrorHandlingExample.scala:41-43). The accumulator is the distributed
-    * analogue of the handler's per-instance counter.
+    * analogue of the handler's per-instance counter. The row-level closure
+    * runs only on the narrow post-parse filter; the parse itself stays in
+    * codegen.
     */
   def countingParse(df: DataFrame, jsonCol: String, schema: StructType,
                     corrupt: LongAccumulator, parsedAs: String = "parsed"): DataFrame = {
     val parsed = df.withColumn(parsedAs, from_json(col(jsonCol), schema))
-    val counted = parsed.filter { r =>
-      val bad = r.isNullAt(r.fieldIndex(parsedAs))
+      .withColumn("__corrupt", isCorrupt(col(parsedAs), schema))
+    parsed.filter { r =>
+      val bad = r.getBoolean(r.fieldIndex("__corrupt"))
       if (bad) corrupt.add(1L)
       !bad
-    }
-    counted
+    }.drop("__corrupt")
   }
 }

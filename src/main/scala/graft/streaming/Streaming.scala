@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Structured-Streaming twins of the reference's stateful topologies
+  * (SURVEY.md §2.5): the same declarative plans as the batch queries, run
+  * incrementally with watermarks and state stores. Batch and streaming share
+  * one definition wherever Spark allows it — the KTable/aggregate duality
+  * the reference builds by hand is Catalyst's `IncrementalExecution` here.
+  *
+  * Tested via MemoryStream in StreamingParitySpec: final streaming state
+  * must equal the batch recompute on the same rows (SURVEY.md §5.2).
+  */
+object Streaming {
+
+  /** Typed event row mirroring events.parquet (FIXTURES.md). */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  /** A2 (AggregationsExample.scala:36-38) as a streaming update query:
+    * per-key running sum, one update row per micro-batch per changed key —
+    * the micro-batch granularity of the reference's per-record changelog
+    * (documented divergence, SURVEY.md §4.2).
+    */
+  def runningSumUpdates(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(sum(col("value")).as("total"))
+
+  /** S2 (KTableExample.scala:52-56) streaming form: latest-record-per-key
+    * changelog view maintained incrementally. `max_by(struct(...), struct(ts,
+    * event_id))` works unchanged in update mode — same single-shuffle plan
+    * as the batch KTable.
+    */
+  def latestPerKeyUpdates(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("latest.event_id"), col("latest.ts"),
+        col("latest.event_type"), col("latest.value"))
+
+  /** J1 (JoinsExample.scala:47-56) streaming form: stream–stream interval
+    * equi-join with watermarks. `grace` is the watermark delay — "0 seconds"
+    * reproduces JoinWindows.ofTimeDifferenceWithNoGrace (late records
+    * dropped once the watermark passes). State on both sides is bounded by
+    * watermark + tolerance — the symmetric-hash-join state Kafka Streams
+    * keeps in its window store, managed by Spark.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         tolerance: String, grace: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", grace).alias("l")
+    val r = right.withWatermark("ts", grace).alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $tolerance") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $tolerance"),
+      "inner")
+  }
+
+  /** A3/W1 (ProcessorApiExample.scala:60-67): per-record read-modify-write
+    * of a persistent per-key store, via the Spark 4 `transformWithState`
+    * API. Emits the updated (key, total) after every input record — the
+    * reference's per-record changelog granularity, exactly.
+    */
+  final class RunningTotalProcessor
+      extends StatefulProcessor[Long, Event, (Long, Double)] {
+    @transient private var total: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double](
+        "total-price-store", Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[(Long, Double)] =
+      rows.map { e =>
+        val t = (if (total.exists()) total.get() else 0.0) + e.value
+        total.update(t)
+        (key, t)
+      }
+  }
+
+  /** W2 (ProcessorApiExample.scala:44-58): stream-time punctuation. The
+    * reference scans the whole store every 10 s of stream time and forwards
+    * every (key, total); Spark timers are per-key, so each key registers an
+    * event-time timer and re-arms it on expiry — the union over keys is the
+    * same emission. Nothing is emitted on input (`process` returns unit in
+    * the reference); only timers emit.
+    */
+  final class PunctuationProcessor(intervalMs: Long)
+      extends StatefulProcessor[Long, Event, (Long, Double)] {
+    @transient private var total: ValueState[Double] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Double]("total-price-store",
+        Encoders.scalaDouble, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed-at",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[(Long, Double)] = {
+      rows.foreach(e => total.update((if (total.exists()) total.get() else 0.0) + e.value))
+      if (!armed.exists()) {
+        val at = timers.getCurrentWatermarkInMs() + intervalMs
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Double)] = {
+      val at = expired.getExpiryTimeInMs() + intervalMs
+      getHandle.registerTimer(at)
+      armed.update(at)
+      Iterator.single((key, if (total.exists()) total.get() else 0.0))
+    }
+  }
+
+  /** Wire a processor over a typed event stream (shared by both processors
+    * above). Requires the RocksDB state-store provider (set in
+    * [[sessionForStreaming]]) — the Spark analogue of the reference's
+    * RocksDB-backed `Stores.persistentKeyValueStore`.
+    */
+  def withProcessor(events: Dataset[Event],
+                    processor: StatefulProcessor[Long, Event, (Long, Double)],
+                    timeMode: TimeMode = TimeMode.None(),
+                    outputMode: OutputMode = OutputMode.Update()): Dataset[(Long, Double)] = {
+    implicit val tupleEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(processor, timeMode, outputMode)
+  }
+
+  /** Session configs streaming stateful ops need: RocksDB state store
+    * (transformWithState requires it; also W1 parity) and a low
+    * shuffle-partition count for local runs.
+    */
+  def sessionForStreaming(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.engine.{Errors, Serde}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Error-handling parity (SURVEY.md §2.6): permissive serde, skip-N-then-
+  * fail deserialization budget, allowlisted sink guard, transient restarts.
+  */
+class ErrorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  private def mixed(nGood: Int, nBad: Int) = {
+    val good = (1 to nGood).map(i => (i.toLong, s"""{"k": $i}"""))
+    val bad = (1 to nBad).map(i => (1000L + i, "not-json-" + i))
+    (good ++ bad).toDF("id", "props")
+  }
+
+  test("permissive parse drops malformed rows and counts them (E1/E2)") {
+    val acc = spark.sparkContext.longAccumulator("corrupt")
+    val parsed = Errors.permissiveParse(mixed(8, 3), "props", schema, acc)
+    assert(parsed.count() == 8)
+    assert(acc.value == 3)
+    Errors.checkBudget(acc, maxErrors = 25) // under budget: no throw
+  }
+
+  test("skip-25-then-fail threshold (ErrorHandlingExample.scala:41-43)") {
+    val acc = spark.sparkContext.longAccumulator("corrupt")
+    val parsed = Errors.permissiveParse(mixed(5, 26), "props", schema, acc)
+    assert(parsed.count() == 5) // all bad rows skipped, pipeline continued
+    intercept[Errors.TooManyCorruptRecords] {
+      Errors.checkBudget(acc, maxErrors = 25)
+    }
+  }
+
+  test("sink guard: CONTINUE on allowlisted failure, FAIL otherwise (E3)") {
+    val df = mixed(2, 0)
+    class TooLarge extends RuntimeException("record too large")
+    val continued = Errors.guardedSink(df, _ => throw new TooLarge,
+      continueOn = _.isInstanceOf[TooLarge])
+    assert(!continued)
+    intercept[IllegalStateException] {
+      Errors.guardedSink(df, _ => throw new IllegalStateException("broker down"),
+        continueOn = _.isInstanceOf[TooLarge])
+    }
+  }
+
+  test("transient errors are retried, fatal ones propagate (E4)") {
+    var attempts = 0
+    val out = Errors.runWithRestarts(_.getMessage == "transient", maxRestarts = 3) {
+      attempts += 1
+      if (attempts < 3) throw new RuntimeException("transient") else "ok"
+    }
+    assert(out == "ok" && attempts == 3)
+    intercept[RuntimeException] {
+      Errors.runWithRestarts(_.getMessage == "transient", maxRestarts = 3) {
+        throw new RuntimeException("fatal")
+      }
+    }
+  }
+
+  test("dead-letter split preserves raw payloads (E2)") {
+    val (good, bad) = Serde.parseOrDeadLetter(mixed(4, 2), "props", schema)
+    assert(good.count() == 4)
+    assert(bad.select("props").as[String].collect().forall(_.startsWith("not-json")))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Unit checks of the LLM-pipeline operators on adversarially tiny data
+  * (the oracle covers the fixtures; these cover constructed edge cases).
+  */
+class LlmOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup of 1
+    (3L, "one two three four five six seven eight"),
+    (4L, "Alpha  beta   GAMMA delta epsilon zeta eta theta"), // exact dup of 1 after normalization
+    (5L, "short doc")                                        // fewer tokens than shingle width
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses normalization-equal documents") {
+    val out = Dedup.exact(docs).collect()
+    val grouped = out.find(_.getLong(2) == 2) // n_copies == 2
+    assert(grouped.nonEmpty && grouped.get.getLong(1) == 1L, "keeper is the lowest doc_id")
+    assert(out.length == 4, "5 docs -> 4 distinct normalized texts")
+  }
+
+  test("ngram jaccard finds the near-dup pair and nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, num = 1, den = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 shares no shingle")
+  }
+
+  test("minhash LSH agrees with exact jaccard at high threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 64, 16, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash hamming distance is small for near-dups, large across topics") {
+    val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) < ham(1L, 3L), "near-dup pair closer than unrelated pair")
+    assert(ham(1L, 4L) <= ham(1L, 3L))
+  }
+
+  test("short documents fall back to whole-text fingerprint without error") {
+    val out = graft.llm.TextAnalysis.shingles(col("text"), 5)
+    val sizes = docs.select(size(out)).as[Int].collect()
+    assert(sizes.last == 0, "2-token doc has no 5-gram shingles")
+  }
+
+  test("brute-force top-k returns k neighbors ranked by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, k = 2)
+      .select("n_id", "rank").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 1), (2L, 2)), "nearest is the aligned vector, then orthogonal")
+  }
+
+  test("LSH buckets are consistent with exact near-dup verification") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.45f)),                       // same direction -> same bucket
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(vecs, Similarity.defaultPlanes, 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), "parallel vectors bucket together and verify; orthogonal doesn't")
+  }
+
+  test("multimodal decode is deterministic and batched per partition") {
+    val media = Multimodal.withBlob(docs)
+    val a = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeFeatures(spark, media.repartition(3)).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq, "features independent of partitioning")
+    assert(a.forall(f => f.width >= 160 && f.width < 1920 && f.height >= 90 && f.height < 1080))
+    assert(a.forall(f => Set("jpeg", "png", "webp").contains(f.format)))
+  }
+}

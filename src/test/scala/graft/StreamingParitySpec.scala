@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming twins must converge to the batch recompute on the same rows
+  * (SURVEY.md §5.2 #3): the KTable/aggregate duality, and the zero-grace
+  * interval join incl. late-record exclusion (JoinsExample.scala:150,176-178).
+  */
+class StreamingParitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val rows = Seq(
+    Event(1, ts(10), 1, "click", 10.0, "{}"),
+    Event(2, ts(12), 1, "purchase", 5.0, "{}"),
+    Event(3, ts(40), 1, "click", 2.5, "{}"),
+    Event(4, ts(41), 2, "purchase", 7.0, "{}"),
+    Event(5, ts(43), 2, "click", 1.0, "{}"),
+    Event(6, ts(100), 2, "purchase", 4.0, "{}"))
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ck-$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming running sum converges to batch groupBy.sum") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(rows.take(3)); ms.addData(rows.drop(3))
+    runToMemory(Streaming.runningSumUpdates(ms.toDF), "rsum", "update")
+    val got = spark.table("rsum").groupBy("user_id").agg(max("total").as("total"))
+      .as[(Long, Double)].collect().toMap
+    val want = rows.groupBy(_.user_id).view.mapValues(_.map(_.value).sum).toMap
+    assert(got == want)
+  }
+
+  test("streaming latest-per-key converges to batch KTable view") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(rows.reverse) // shuffled arrival: batch source preserves order; reverse = worst case
+    runToMemory(Streaming.latestPerKeyUpdates(ms.toDF), "lpk", "update")
+    val got = spark.table("lpk").as[(Long, Long, Timestamp, String, Double)]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(got == Map(1L -> 3L, 2L -> 6L))
+  }
+
+  test("zero-grace interval join matches batch and drops out-of-window pairs") {
+    val clicks = rows.filter(_.event_type == "click")
+    val purchases = rows.filter(_.event_type == "purchase")
+    val mc = MemoryStream[Event](spark)
+    val mp = MemoryStream[Event](spark)
+    mc.addData(clicks); mp.addData(purchases)
+    runToMemory(
+      Streaming.intervalJoinStream(mc.toDF, mp.toDF, "5 SECONDS")
+        .select(col("l.event_id").as("click_id"), col("r.event_id").as("purchase_id")),
+      "ij", "append")
+    val got = spark.table("ij").as[(Long, Long)].collect().toSet
+    // within ±5s: (1,2) at 10/12 and (5,4) at 43/41; event 6 at t=100 is far
+    // outside every click window — excluded, like the delayed electronic
+    // orders in the reference demo.
+    assert(got == Set((1L, 2L), (5L, 4L)))
+    // batch twin over the same rows agrees:
+    val bc = graft.api.KStream(clicks.toDF, "user_id", "ts")
+    val bp = graft.api.KStream(purchases.toDF, "user_id", "ts")
+    val batch = bc.joinInterval(bp, "5 SECONDS")
+      .select(col("l_event_id"), col("r_event_id")).as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+}

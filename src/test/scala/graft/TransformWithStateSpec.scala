@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+/** Processor-API parity (SURVEY.md A3/W1/W2): per-record state-store fold
+  * via transformWithState, and stream-time punctuation via event-time
+  * timers.
+  */
+class TransformWithStateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val rows = Seq(
+    Event(1, ts(5), 1, "p", 10.0, "{}"),
+    Event(2, ts(6), 1, "p", 2.0, "{}"),
+    Event(3, ts(7), 2, "p", 7.5, "{}"))
+
+  test("RunningTotalProcessor emits per-record running totals (A3)") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(rows)
+    val out = Streaming.withProcessor(ms.toDS(), new Streaming.RunningTotalProcessor)
+    val q = out.toDF("user_id", "total").writeStream.format("memory")
+      .queryName("tws_total").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-tws").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val emissions = spark.table("tws_total").as[(Long, Double)].collect().toSeq
+    // per-record emission: user 1 produced 10.0 then 12.0; user 2 produced 7.5
+    assert(emissions.toSet == Set((1L, 10.0), (1L, 12.0), (2L, 7.5)))
+    // final totals equal batch sum
+    val finalTotals = emissions.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(finalTotals == Map(1L -> 12.0, 2L -> 7.5))
+  }
+
+  test("PunctuationProcessor forwards state on stream-time timers (W2)") {
+    val ms = MemoryStream[Event](spark)
+    val out = Streaming.withProcessor(
+      ms.toDS().withWatermark("ts", "0 seconds").as[Event],
+      new Streaming.PunctuationProcessor(intervalMs = 10000),
+      TimeMode.EventTime(), OutputMode.Append())
+    val q = out.toDF("user_id", "total").writeStream.format("memory")
+      .queryName("tws_punct").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-punct").toString)
+      .start()
+    // batch 1 arms timers; batch 2 advances the watermark far past them so
+    // they fire — stream-time, not wall-clock (no sleeps).
+    ms.addData(rows); q.processAllAvailable()
+    ms.addData(Seq(Event(9, ts(1000), 1, "p", 0.5, "{}"))); q.processAllAvailable()
+    ms.addData(Seq(Event(10, ts(2000), 2, "p", 1.0, "{}"))); q.processAllAvailable()
+    q.stop()
+    val emissions = spark.table("tws_punct").as[(Long, Double)].collect().toSeq
+    assert(emissions.nonEmpty, "timers must have fired on stream-time advance")
+    // every emission is a snapshot of the running total at punctuation time
+    val byUser = emissions.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byUser(1L).contains(12.0) || byUser(1L).contains(12.5))
+    assert(byUser.get(2L).forall(_.subsetOf(Set(7.5, 8.5))))
+  }
+}
