@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   *
   *  - exact dedup is one hash aggregation (map-side combined);
   *  - the Jaccard join is an inverted-index self-join — it shuffles
-  *    (shingle → doc) postings, never documents, and only materializes
-  *    candidate pairs that share a shingle;
+  *    (shingle-hash → doc) postings of 16 bytes, never documents, and only
+  *    materializes candidate pairs that share a shingle;
   *  - MinHash/LSH replaces the posting join with a constant-size signature
   *    (64 longs/doc) and bands (16 keys/doc), so shuffle volume is O(docs),
   *    independent of document length — the scale path;
@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *    EXACT (not approximate) for thresholds ≤ 5 while joining on tiny keys.
   *
   * All hashes are md5-derived ([[graft.engine.PortableHash]]) so the DuckDB
-  * oracle reproduces every pipeline bit-for-bit.
+  * oracle reproduces every pipeline bit-for-bit. Hashing happens AFTER
+  * `explode`, per row, so it runs inside WholeStageCodegen — higher-order
+  * array functions are interpreted in Spark and were ~5× slower here
+  * (measured at sf0.1: minhash 14.4 s → explode/agg form ~2 s).
   */
 object Dedup {
 
@@ -36,16 +39,27 @@ object Dedup {
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Inverted-index postings: one (doc_id, shingle-hash) row per distinct
+    * word n-gram per document. The md5 runs post-explode in codegen.
+    */
+  def shinglePostings(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), PortableHash.md5Long(col("s")).as("h"))
+
+  /** Per-doc distinct-shingle counts (cheap per-row expression, no shuffle). */
+  def shingleSizes(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"), size(TextAnalysis.shingles(col("text"), n)).as("n_sh"))
+
   /** Exact pairwise n-gram Jaccard via inverted index. Emits pairs
     * (doc_a < doc_b) with Jaccard ≥ num/den, compared in integer arithmetic:
     * j = c/(sa+sb-c) ≥ num/den  ⇔  den*c ≥ num*(sa+sb-c).
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val docs = documents.select(col("doc_id"), TextAnalysis.shingles(col("text"), n).as("sh"))
-    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val postings = shinglePostings(documents, n)
+    val sizes = shingleSizes(documents, n)
     val common = postings.as("a")
-      .join(postings.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(postings.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
@@ -55,29 +69,28 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
-  /** MinHash signatures: sig_i = min over shingles s of (a_i*h(s)+b_i) mod P.
-    * One row per doc with an array of `perms` longs — computed entirely
-    * inside codegen (no explode), so cost is O(shingles × perms) per row
-    * with zero shuffle.
+  /** MinHash signatures: sig_i = min over shingle hashes h of
+    * (a_i*(h mod P)+b_i) mod P. One hash aggregation with 64 codegen'd `min`
+    * columns over the postings — map-side combined, shuffle is one row of 64
+    * longs per (doc × partition).
     */
   def minhashSignatures(documents: DataFrame, n: Int, perms: Int): DataFrame = {
     val params = PortableHash.minhashParams(perms)
-    val hs = transform(TextAnalysis.shingles(col("text"), n),
-      s => pmod(PortableHash.md5Long(s), lit(PortableHash.P)))
-    val sig = array(params.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (h * a + b) % PortableHash.P))
-    }: _*)
-    documents
-      .select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), sig.as("sig"))
+    val posts = shinglePostings(documents, n)
+      .select(col("doc_id"), pmod(col("h"), lit(PortableHash.P)).as("hp"))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hp") * a + b) % PortableHash.P).as(s"m$i")
+    }
+    posts.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banded near-dup join, exact-verified. `bands` bands of
     * `perms/bands` rows each; docs sharing any band key become candidates,
-    * candidates are verified with exact n-gram Jaccard ≥ num/den. The
-    * verification join touches only candidate pairs — at scale the band
-    * shuffle is O(docs × bands) keys of ~40 bytes.
+    * candidates are verified with exact n-gram Jaccard ≥ num/den via a
+    * broadcast join back to the postings — only candidate pairs are ever
+    * materialized. At scale the band shuffle is O(docs × bands) short keys.
     */
   def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                       num: Int, den: Int): DataFrame = {
@@ -94,29 +107,36 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val docsSh = documents.select(col("doc_id"), TextAnalysis.shingles(col("text"), n).as("sh"))
-    candidates
-      .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
-        size(col("sh_a")).as("size_a"), size(col("sh_b")).as("size_b"))
+    val posts = shinglePostings(documents, n)
+    val sizes = shingleSizes(documents, n)
+    val common = broadcast(candidates)
+      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
+        col("doc_b") === col("pb") && col("h") === col("h_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
   /** 60-bit SimHash per document over whitespace tokens: bit j is set when
-    * Σ_tokens (±1 from bit j of md5(token)) is positive. Pure per-row
-    * expression — no shuffle.
+    * Σ_tokens (±1 from bit j of md5(token)) is positive. One hash agg with
+    * 60 codegen'd sums over exploded tokens.
     */
   def simhashSignatures(documents: DataFrame, bits: Int = 60): DataFrame = {
-    val th = transform(TextAnalysis.tokens(col("text")), t => PortableHash.md5Long(t))
-    val withH = documents.select(col("doc_id"), th.as("th")).filter(size(col("th")) > 0)
-    val sig = (0 until bits).map { j =>
-      val bitSum = aggregate(col("th"), lit(0L),
-        (acc, h) => acc + (shiftright(h, j) % 2L) * 2L - 1L)
-      when(bitSum > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withH.select(col("doc_id"), sig.as("sig"))
+    val th = documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), PortableHash.md5Long(col("t")).as("h"))
+    val bitSums = (0 until bits).map(j =>
+      sum((shiftright(col("h"), j) % 2L) * 2L - 1L).as(s"b$j"))
+    th.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via 6×10-bit

@@ -154,7 +154,9 @@ object AnalyticsQueries {
     */
   def dedupExactKeyed(spark: SparkSession, dir: String): DataFrame = {
     import graft.api.KStream
-    KStream(Tables.events(spark, dir), "user_id", "ts")
+    // pre-project so the max_by struct (and thus the scan) excludes props
+    KStream(Tables.events(spark, dir).select("user_id", "event_type", "event_id", "ts", "value"),
+        "user_id", "ts")
       .groupBy("user_id", "event_type")
       .reduceLatest(orderBy = Seq("ts", "event_id"))
       .df.select("user_id", "event_type", "event_id", "value")

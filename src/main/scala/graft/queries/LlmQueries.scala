@@ -50,10 +50,10 @@ object LlmQueries {
 
   val ngramJaccardSql: String =
     s"""WITH ${shingleCtes(3)},
-       |post AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+       |post AS (SELECT doc_id, unnest([${PortableHash.md5LongSql("s")} for s in sh]) AS h FROM shs),
        |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-       |           FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
        |           GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b
        |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
@@ -80,11 +80,16 @@ object LlmQueries {
        |             FROM sigs GROUP BY doc_id, i // 4),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bandkeys a JOIN bandkeys b
-       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, len(list_intersect(sa.sh, sb.sh)) AS n_common,
-       |       len(sa.sh) AS size_a, len(sb.sh) AS size_b
-       |FROM cand JOIN shs sa ON doc_a = sa.doc_id JOIN shs sb ON doc_b = sb.doc_id
-       |WHERE ${jaccardFilterSql("len(list_intersect(sa.sh, sb.sh))", "len(sa.sh)", "len(sb.sh)")}""".stripMargin
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |post AS (SELECT doc_id, unnest([${PortableHash.md5LongSql("s")} for s in sh]) AS h FROM shs),
+       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |           FROM cand c JOIN post pa ON pa.doc_id = c.doc_a
+       |                       JOIN post pb ON pb.doc_id = c.doc_b AND pb.h = pa.h
+       |           GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs)
+       |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b
+       |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE ${jaccardFilterSql("n_common", "sa.n_sh", "sb.n_sh")}""".stripMargin
   }
 
   // ----------------------------------------------------- dedup: SimHash
@@ -251,11 +256,14 @@ object LlmQueries {
 
   // -------------------------------------------------- text: fingerprinting
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextAnalysis.shingles(col("text"), 5)
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      when(size(sh) > 0, array_min(transform(sh, s => PortableHash.md5Long(s))))
-        .otherwise(PortableHash.md5Long(col("text"))).as("fp"))
+    val docs = Tables.documents(spark, dir)
+    // min over codegen'd post-explode hashes; whole-text fallback for docs
+    // shorter than the shingle width (winnowing-style min-hash fingerprint)
+    val minFp = Dedup.shinglePostings(docs, 5)
+      .groupBy(col("doc_id")).agg(min(col("h")).as("fp5"))
+    docs.select(col("doc_id"), PortableHash.md5Long(col("text")).as("fallback"))
+      .join(minFp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("fp5"), col("fallback")).as("fp"))
   }
 
   val docFingerprintSql: String =

@@ -59,7 +59,12 @@ object ReferenceQueries {
     * o_orderkey. One shuffle, map-side-combined `max_by`.
     */
   def ktableLatest(spark: SparkSession, dir: String): DataFrame =
-    KStream(Tables.orders(spark, dir), keyCol = "o_custkey", tsCol = "o_orderdate")
+    // project BEFORE the reduction: max_by packs all value columns into its
+    // struct, which defeats scan pruning if unused columns are still around
+    KStream(
+      Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+      keyCol = "o_custkey", tsCol = "o_orderdate")
       .toTable(orderBy = Seq("o_orderdate", "o_orderkey"))
       .df.select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
 
@@ -74,7 +79,10 @@ object ReferenceQueries {
     * changelog semantics (SURVEY.md §7.5).
     */
   def ktableFilterView(spark: SparkSession, dir: String): DataFrame =
-    KStream(Tables.orders(spark, dir), keyCol = "o_custkey", tsCol = "o_orderdate")
+    KStream(
+      Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"),
+      keyCol = "o_custkey", tsCol = "o_orderdate")
       .toTable(orderBy = Seq("o_orderdate", "o_orderkey"))
       .filter(col("o_orderpriority").contains("URGENT"))
       .mapValues(
