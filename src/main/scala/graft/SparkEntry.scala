@@ -31,6 +31,10 @@ object SparkEntry {
     "windowed_agg"         -> (ReferenceQueries.windowedAgg _),
     "error_tolerant_parse" -> (ReferenceQueries.errorTolerantParse _),
     "flatmap_tokens"       -> (ReferenceQueries.flatmapTokens _),
+    "session_agg"          -> (ReferenceQueries.sessionAgg _),
+    "asof_join"            -> (ReferenceQueries.asofJoin _),
+    "interval_join_left"   -> (ReferenceQueries.intervalJoinLeft _),
+    "processor_total"      -> (ReferenceQueries.processorTotal _),
     // LLM data-pipeline operators (SURVEY.md §2.9)
     "dedup_exact"          -> (LlmQueries.dedupExact _),
     "dedup_exact_keyed"    -> (AnalyticsQueries.dedupExactKeyed _),
@@ -51,7 +55,10 @@ object SparkEntry {
     "revenue_by_segment"   -> (AnalyticsQueries.revenueBySegment _),
     "set_ops"              -> (AnalyticsQueries.setOps _),
     "rollup_revenue"       -> (AnalyticsQueries.rollupRevenue _),
+    "cube_revenue"         -> (AnalyticsQueries.cubeRevenue _),
     "distinct_users"       -> (AnalyticsQueries.distinctUsers _),
+    // approximate sketch — engine-specific values, rows-only check (no oracle)
+    "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,6 +75,10 @@ object SparkEntry {
     "windowed_agg"         -> ReferenceQueries.windowedAggSql,
     "error_tolerant_parse" -> ReferenceQueries.errorTolerantParseSql,
     "flatmap_tokens"       -> ReferenceQueries.flatmapTokensSql,
+    "session_agg"          -> ReferenceQueries.sessionAggSql,
+    "asof_join"            -> ReferenceQueries.asofJoinSql,
+    "interval_join_left"   -> ReferenceQueries.intervalJoinLeftSql,
+    "processor_total"      -> ReferenceQueries.processorTotalSql,
     "dedup_exact"          -> LlmQueries.dedupExactSql,
     "dedup_exact_keyed"    -> AnalyticsQueries.dedupExactKeyedSql,
     "ngram_jaccard"        -> LlmQueries.ngramJaccardSql,
@@ -86,6 +97,7 @@ object SparkEntry {
     "revenue_by_segment"   -> AnalyticsQueries.revenueBySegmentSql,
     "set_ops"              -> AnalyticsQueries.setOpsSql,
     "rollup_revenue"       -> AnalyticsQueries.rollupRevenueSql,
+    "cube_revenue"         -> AnalyticsQueries.cubeRevenueSql,
     "distinct_users"       -> AnalyticsQueries.distinctUsersSql,
   )
 }

@@ -134,6 +134,29 @@ final case class KStream(df: DataFrame, keyCol: String, tsCol: String) {
     )
   }
 
+  /** As-of join (SURVEY.md J3): for each left record, the single most
+    * recent right record with the same key whose event time is at or before
+    * the left's, within `lookback`. Composed from built-ins (preference
+    * order (a)): a key-equi range join + the same single-shuffle `max_by`
+    * reduction the KTable view uses — no custom physical operator needed.
+    * Inner semantics: left records with no match are dropped.
+    */
+  def asOfJoin(other: KStream, lookback: String, rightId: String,
+               leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+    val l = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, leftPrefix + c))
+    val r = other.df.columns.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
+    val lt = col(leftPrefix + tsCol); val rt = col(rightPrefix + other.tsCol)
+    val joined = l.join(r,
+      col(leftPrefix + keyCol) === col(rightPrefix + other.keyCol) &&
+        rt <= lt && rt >= lt - expr(s"INTERVAL $lookback"))
+    val lCols = df.columns.map(leftPrefix + _).toSeq
+    val rCols = other.df.columns.map(rightPrefix + _).toSeq
+    joined.groupBy(lCols.map(col): _*)
+      .agg(max_by(struct(rCols.map(col): _*),
+        struct(rt, col(rightPrefix + rightId))).as("__r"))
+      .select(lCols.map(col) ++ rCols.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
   /** Stream–table enrichment join (JoinsExample.scala:41-45 + the declared
     * `UserCombinedOrder` step, completed per SURVEY.md §2.3 J2). The table is
     * a latest-per-key view; small tables should be broadcast by the caller

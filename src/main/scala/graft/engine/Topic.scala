@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Source/sink abstraction — the reference's topic layer (SURVEY.md S1-S5).
+  *
+  * A [[Topic]] is a named, keyed record source with an event-time column.
+  * In this environment the physical transport is parquet directories (batch)
+  * and file streams (streaming) because no Kafka connector jar ships with
+  * the image (SURVEY.md §7.0); the `kafka` backend is a configuration
+  * switch: the record model (key, value columns, event time) and every
+  * downstream operator are transport-agnostic, exactly like swapping
+  * `builder.stream(topic)` bootstrap servers.
+  */
+final case class Topic(name: String, keyCol: String, tsCol: String,
+                       backend: Topic.Backend = Topic.Files) {
+
+  /** Batch view of the topic (the oracle path). */
+  def read(spark: SparkSession, dir: String): DataFrame = backend match {
+    case Topic.Files => Tables.table(spark, dir, name)
+    case Topic.Kafka(servers) =>
+      // Identical record model over format("kafka"); requires the
+      // spark-sql-kafka connector on the classpath (absent in this image).
+      spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", name).load()
+  }
+
+  /** Streaming view; `schema` is required for file streams. */
+  def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    backend match {
+      case Topic.Files =>
+        spark.readStream.schema(schema).parquet(s"$dir/$name.parquet")
+      case Topic.Kafka(servers) =>
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", name).load()
+    }
+
+  def asStream(spark: SparkSession, dir: String): graft.api.KStream =
+    graft.api.KStream(read(spark, dir), keyCol, tsCol)
+
+  /** Batch sink (S4/S5): partition by a column when downstream reads filter
+    * on it (partition pruning at 100 TB).
+    */
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Streaming sink with checkpointing (exactly-once to files). */
+  def writeStream(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+}
+
+object Topic {
+  sealed trait Backend
+  case object Files extends Backend
+  final case class Kafka(bootstrapServers: String) extends Backend
+
+  /** JSON-wire encode/decode helpers live in [[Serde]]; a Kafka topic's
+    * value bytes map to a string column fed through `Serde.parseJson`.
+    */
+  val events: Topic = Topic("events", "user_id", "ts")
+  val orders: Topic = Topic("orders", "o_custkey", "o_orderdate")
+}

@@ -60,25 +60,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** 16-bit sign-plane signature (bucket id) for one embedding column. */
-  def bucketExpr(emb: Column, planes: Array[Array[Int]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      val proj = dot(emb, typedlit(plane.toSeq))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+  /** Sign-plane bucket id for one LSH table: planes `t*width .. t*width+width-1`
+    * contribute bits 0..width-1.
+    */
+  def bucketExpr(emb: Column, planes: Array[Array[Int]], table: Int, width: Int): Column =
+    (0 until width).map { j =>
+      val proj = dot(emb, typedlit(planes(table * width + j).toSeq))
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH near-duplicate pairs: bucket by sign-plane signature, verify exact
-    * cosine ≥ minCos within buckets. Output is deterministic (the bucketing
-    * is a pure function of the vector), so the oracle replays it exactly.
+  /** Multi-table sign-plane LSH near-duplicate pairs: `nTables` independent
+    * `width`-bit signatures; a pair becomes a candidate when ANY table
+    * buckets it together (OR-of-tables boosts recall: at cos 0.45 one
+    * 16-bit table has ≈0 recall, 8×4-bit tables ≈80%), then candidates are
+    * verified with exact cosine ≥ minCos. Fully deterministic — the oracle
+    * replays planes, buckets, and verification bit-for-bit.
+    *
+    * Scale: the bucket shuffle is O(N × nTables) short keys; verification
+    * touches only same-bucket pairs. Swapping the bucket expression for a
+    * centroid id gives IVF with the same join topology.
     */
-  def lshNearDupPairs(embeddings: DataFrame, planes: Array[Array[Int]], minCos: Double): DataFrame = {
-    val withBucket = withNorm(embeddings, "v")
-      .withColumn("bucket", bucketExpr(col("v_emb"), planes))
-    val a = withBucket.select(col("v_id").as("a_id"), col("v_emb").as("a_emb"),
-      col("v_norm").as("a_norm"), col("bucket"))
-    val b = withBucket.select(col("v_id").as("b_id"), col("v_emb").as("b_emb"),
-      col("v_norm").as("b_norm"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+  def lshNearDupPairs(embeddings: DataFrame, planes: Array[Array[Int]], minCos: Double,
+                      nTables: Int = 8, width: Int = 4): DataFrame = {
+    val base = withNorm(embeddings, "v")
+    val buckets = base.select(col("v_id"),
+      posexplode(array((0 until nTables).map(t => bucketExpr(col("v_emb"), planes, t, width)): _*)))
+      .toDF("v_id", "t", "bucket")
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.v_id") < col("b.v_id"))
+      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("v_id").as("a_id"), col("v_emb").as("a_emb"), col("v_norm").as("a_norm")), "a_id")
+      .join(base.select(col("v_id").as("b_id"), col("v_emb").as("b_emb"), col("v_norm").as("b_norm")), "b_id")
       .select(col("a_id"), col("b_id"), round(cosine("a", "b"), 6).as("sim"))
       .filter(col("sim") >= minCos)
   }
@@ -95,6 +111,8 @@ object Similarity {
       .filter(col("sim") >= minCos)
   }
 
-  /** Deterministic plane matrix shared with the oracle SQL. */
-  def defaultPlanes: Array[Array[Int]] = PortableHash.signPlanes(16, 64)
+  /** Deterministic plane matrix shared with the oracle SQL: 8 tables × 4
+    * planes over 64 dims.
+    */
+  def defaultPlanes: Array[Array[Int]] = PortableHash.signPlanes(32, 64)
 }

@@ -135,6 +135,33 @@ object AnalyticsQueries {
       |  GROUPING(l_returnflag, l_linestatus) AS gid
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE over both grouping dimensions (A7) — full subtotal lattice in one
+    * Expand + aggregation pass.
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+
+  val cubeRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Approximate distinct (A6): HyperLogLog++ sketch. No oracle — sketch
+    * values are engine-specific by construction; the driver records the
+    * weaker rows-only check, and `distinct_users` carries the exact twin.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   /** Exact distinct-count per group (dropDuplicates/approx_count_distinct
     * family; the HLL variant is benchmarked but not oracled — sketches are
     * engine-specific).

@@ -164,12 +164,14 @@ object LlmQueries {
        |pl(p, v) AS (VALUES
        |    $planeRows),
        |proj AS (SELECT e.vec_id, pl.p, $projDot AS s FROM e, pl),
-       |buckets AS (SELECT vec_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-       |            FROM proj GROUP BY 1)
-       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |       round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) AS sim
-       |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |buckets AS (SELECT vec_id, p // 4 AS t,
+       |            SUM(CASE WHEN s > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS bucket
+       |            FROM proj GROUP BY vec_id, p // 4),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM buckets a JOIN buckets b
+       |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) AS sim
+       |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
        |WHERE round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 

@@ -236,6 +236,97 @@ object ReferenceQueries {
       |WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
       |GROUP BY event_type""".stripMargin
 
+  /** Session-window aggregation (gap W6): per-user sessions closed by a
+    * 30-minute inactivity gap. `session_window` is Spark-native; the oracle
+    * reconstructs identical sessions with the gaps-and-islands idiom. A
+    * session starts at its first event (window.start).
+    */
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n"), col("total"))
+
+  val sessionAggSql: String =
+    """WITH o AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+      |       THEN 1 ELSE 0 END AS brk FROM events),
+      |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** As-of join (gap J3): each purchase matched to the user's most recent
+    * click at-or-before it, looking back at most 1 hour. Range join +
+    * max_by reduction — see KStream.asOfJoin.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val Seq(clicks, purchases) =
+      ev.branch(col("event_type") === "click", col("event_type") === "purchase")
+    purchases
+      .mapValues("event_id" -> col("event_id"))
+      .asOfJoin(clicks.mapValues("event_id" -> col("event_id")), "1 HOUR", rightId = "event_id")
+      .select(col("l_event_id").as("purchase_id"), col("l_user_id").as("user_id"),
+        col("r_event_id").as("click_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT purchase_id, user_id, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM events p JOIN events c
+      |    ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |   AND c.user_id = p.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour')
+      |WHERE rn = 1""".stripMargin
+
+  /** Left-outer interval join (gap J3): clicks with their matching purchase
+    * if any — unmatched clicks survive with null purchase columns.
+    */
+  def intervalJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val Seq(clicks, purchases) =
+      ev.branch(col("event_type") === "click", col("event_type") === "purchase")
+    clicks
+      .joinInterval(purchases, tolerance = "10 MINUTES", joinType = "left_outer")
+      .select(
+        col("l_user_id").as("user_id"),
+        col("l_event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"))
+  }
+
+  val intervalJoinLeftSql: String =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts - INTERVAL '10 minutes'
+      | AND p.ts <= c.ts + INTERVAL '10 minutes'""".stripMargin
+
+  /** Processor-API batch parity (A3) through the typed UDAF surface
+    * (SURVEY.md §2.9): an Aggregator with an exact integer-cents buffer
+    * reproduces the state store's read-modify-write fold; the converged
+    * result equals the grouped sum. Streaming twin: RunningTotalProcessor.
+    */
+  def processorTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.CentsSum.fromTuple.name("total"))
+      .toDF("user_id", "total")
+  }
+
+  val processorTotalSql: String =
+    """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** flatMapValues (gap T8): explode whitespace tokens of document text,
     * count global token frequencies. explode stays in codegen; the count is
     * one partial+final hash agg.
