@@ -17,10 +17,20 @@ import org.apache.spark.sql.Row
   * `builder.stream(topic)` bootstrap servers.
   */
 final case class Topic(name: String, keyCol: String, tsCol: String,
-                       backend: Topic.Backend = Topic.Files) {
+                       backend: Topic.Backend = Topic.Files,
+                       nanosTs: Boolean = false) {
 
-  /** Batch view of the topic (the oracle path). */
+  /** Batch view of the topic (the oracle path). `nanosTs` topics carry a
+    * parquet TIMESTAMP(NANOS) event time, which Spark 4 only reads via the
+    * nanosAsLong legacy conf — truncated here to µs (DuckDB-equivalent).
+    */
   def read(spark: SparkSession, dir: String): DataFrame = backend match {
+    case Topic.Files if nanosTs =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = Tables.table(spark, dir, name)
+      if (raw.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      else raw
     case Topic.Files => Tables.table(spark, dir, name)
     case Topic.Kafka(servers) =>
       // Identical record model over format("kafka"); requires the
@@ -67,6 +77,6 @@ object Topic {
   /** JSON-wire encode/decode helpers live in [[Serde]]; a Kafka topic's
     * value bytes map to a string column fed through `Serde.parseJson`.
     */
-  val events: Topic = Topic("events", "user_id", "ts")
+  val events: Topic = Topic("events", "user_id", "ts", nanosTs = true)
   val orders: Topic = Topic("orders", "o_custkey", "o_orderdate")
 }

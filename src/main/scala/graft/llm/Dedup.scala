@@ -56,7 +56,9 @@ object Dedup {
     * j = c/(sa+sb-c) ≥ num/den  ⇔  den*c ≥ num*(sa+sb-c).
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val postings = shinglePostings(documents, n)
+    // the postings subplan feeds both sides of the self-join — persist so
+    // the (interpreted) shingle construction runs once, not twice
+    val postings = shinglePostings(documents, n).persist()
     val sizes = shingleSizes(documents, n)
     val common = postings.as("a")
       .join(postings.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -74,14 +76,19 @@ object Dedup {
     * columns over the postings — map-side combined, shuffle is one row of 64
     * longs per (doc × partition).
     */
-  def minhashSignatures(documents: DataFrame, n: Int, perms: Int): DataFrame = {
+  def minhashSignatures(documents: DataFrame, n: Int, perms: Int): DataFrame =
+    minhashSignaturesFromPosts(shinglePostings(documents, n), perms)
+
+  /** Signature aggregation over an existing postings frame (lets callers
+    * share one persisted postings scan across signature + verification).
+    */
+  def minhashSignaturesFromPosts(posts: DataFrame, perms: Int): DataFrame = {
     val params = PortableHash.minhashParams(perms)
-    val posts = shinglePostings(documents, n)
-      .select(col("doc_id"), pmod(col("h"), lit(PortableHash.P)).as("hp"))
+    val hp = posts.select(col("doc_id"), pmod(col("h"), lit(PortableHash.P)).as("hp"))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min((col("hp") * a + b) % PortableHash.P).as(s"m$i")
     }
-    posts.groupBy(col("doc_id"))
+    hp.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -95,7 +102,8 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                       num: Int, den: Int): DataFrame = {
     val rows = perms / bands
-    val sigs = minhashSignatures(documents, n, perms)
+    val posts = shinglePostings(documents, n).persist()
+    val sigs = minhashSignaturesFromPosts(posts, perms)
     val bandKeys = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))
@@ -107,7 +115,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val posts = shinglePostings(documents, n)
     val sizes = shingleSizes(documents, n)
     val common = broadcast(candidates)
       .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")

@@ -1,0 +1,81 @@
+package graft
+
+import graft.engine.Topic
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1 streaming over the file transport (Topic.readStream) and W5
+  * emit-final (append mode after watermark close — Kafka Streams
+  * `suppress` semantics).
+  */
+class StreamingSourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("file-stream source: windowed agg over the events table converges to batch") {
+    // stage the single-file fixture as a directory (file streams watch dirs);
+    // rewrite through Tables.events so the staged copy has µs timestamps
+    val staged = java.nio.file.Files.createTempDirectory("events-stream").toString
+    graft.engine.Tables.events(spark, sf1).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema(eventsSchema).parquet(staged)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("file_win").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-filewin").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("file_win")
+      .groupBy("ws", "event_type").agg(max("n").as("n")) // latest update per window
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = graft.engine.Tables.events(spark, sf1)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("emit-final (suppress, W5): append mode emits a window only after the watermark closes it") {
+    import graft.streaming.Streaming.Event
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val agg = ms.toDF
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("user_id"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("suppress").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-sup").toString)
+      .start()
+    ms.addData(Seq(Event(1, ts(1), 1, "a", 1.0, "{}"), Event(2, ts(2), 1, "a", 1.0, "{}")))
+    q.processAllAvailable()
+    val early = spark.table("suppress").count()
+    assert(early == 0, "open window must be suppressed in append mode")
+    // advance stream time past the window end -> the [0,10) window closes
+    ms.addData(Seq(Event(3, ts(25), 1, "a", 1.0, "{}")))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(4, ts(40), 1, "a", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("suppress").as[(java.sql.Timestamp, Long, Long)].collect()
+    assert(rows.exists(r => r._1 == ts(0) && r._3 == 2L),
+      s"closed [0,10) window should emit its final count once; got ${rows.toSeq}")
+  }
+
+  test("Topic round-trips a keyed stream through the file transport") {
+    val t = Topic.events
+    val out = java.nio.file.Files.createTempDirectory("topic-out").toString
+    val df = t.asStream(spark, sf1).filter(col("event_type") === "click").df
+    t.write(df, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count() && back.columns.sorted.sameElements(df.columns.sorted))
+  }
+}
