@@ -1,0 +1,79 @@
+package graft
+
+import graft.api.KStream
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5.2 #4): ∀ random record sets —
+  *  - latest-per-key(view) == argmax-by-(ts, id);
+  *  - running-sum final state == groupBy.sum;
+  *  - windowed-join output ⊆ unwindowed-join output ∧ time predicate holds.
+  * Generators are scalacheck with fixed seeds (deterministic CI).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val recordsGen: Gen[List[(Long, Long, Long, Double)]] =
+    Gen.listOfN(60, for {
+      key <- Gen.choose(0L, 5L)
+      seq <- Gen.choose(0L, 1000L)
+      value <- Gen.choose(-100, 100).map(_ / 4.0)
+    } yield (key, seq, value)).map(_.zipWithIndex.map { case ((k, s, v), id) =>
+      (id.toLong, k, s, v)
+    })
+
+  private def forAll(f: List[(Long, Long, Long, Double)] => Unit): Unit =
+    (1 to 10).foreach { i =>
+      f(recordsGen(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail(s"generator exhausted at seed $i")))
+    }
+
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  test("latest-per-key view == argmax by (seq, id) for arbitrary upsert streams") {
+    forAll { recs =>
+      whenever(recs.nonEmpty) {
+        val df = recs.toDF("id", "key", "seq", "value")
+        val got = KStream(df, "key", "seq").toTable(Seq("seq", "id")).df
+          .select("key", "id").as[(Long, Long)].collect().toMap
+        val want = recs.groupBy(_._2).view
+          .mapValues(_.maxBy(r => (r._3, r._1))._1).toMap
+        assert(got == want)
+      }
+    }
+  }
+
+  test("running-sum converged state == groupBy.sum for arbitrary streams") {
+    forAll { recs =>
+      whenever(recs.nonEmpty) {
+        val df = recs.toDF("id", "key", "seq", "value")
+        val got = KStream(df, "key", "seq").groupByKey
+          .aggregate(sum(col("value")).as("total")).df
+          .select("key", "total").as[(Long, Double)].collect().toMap
+        val want = recs.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+        got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9) }
+        assert(got.keySet == want.keySet)
+      }
+    }
+  }
+
+  test("interval join ⊆ unwindowed join, and every pair satisfies the predicate") {
+    forAll { recs =>
+      whenever(recs.size > 1) {
+        val (l, r) = recs.splitAt(recs.size / 2)
+        def toStream(rs: List[(Long, Long, Long, Double)]) =
+          KStream(rs.toDF("id", "key", "seq", "value")
+            .withColumn("ts", timestamp_seconds(col("seq"))), "key", "ts")
+        val windowed = toStream(l).joinInterval(toStream(r), "100 SECONDS")
+          .select("l_id", "r_id", "l_seq", "r_seq")
+          .as[(Long, Long, Long, Long)].collect()
+        val unwindowed = toStream(l).df.as("a")
+          .join(toStream(r).df.as("b"), col("a.key") === col("b.key"))
+          .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+        assert(windowed.map(p => (p._1, p._2)).toSet.subsetOf(unwindowed))
+        windowed.foreach(p => assert(math.abs(p._3 - p._4) <= 100))
+      }
+    }
+  }
+}
