@@ -71,6 +71,53 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
+  /** Exact n-gram Jaccard with prefix filtering (PPJoin-style): provably
+    * the same output as [[ngramJaccardPairs]], with far fewer candidate
+    * pairs generated.
+    *
+    * Theory: order each doc's shingles canonically (ascending global
+    * document frequency, then hash). For J(A,B) ≥ t we have
+    * |A∩B| ≥ t·max(|A|,|B|) (since J ≤ min/max forces min ≥ t·max), and any
+    * two sets with overlap ≥ c must collide within their (|·|−c+1)-prefixes.
+    * So indexing only the first ⌊(1−t)|S|⌋+1 shingles per doc loses no pair;
+    * candidates are then verified with the full postings.
+    *
+    * Scale: the full inverted-index join costs Σ df² over shingles —
+    * quadratic in hot shingles; the prefix index drops the hottest shingles
+    * from candidate generation (rarest-first order), cutting the join to
+    * ~(1−t)² of that while staying exact. Costs two extra small shuffles
+    * (df count + per-doc rank).
+    */
+  def ngramJaccardPairsPrefix(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val posts = shinglePostings(documents, n).persist()
+    val sizes = shingleSizes(documents, n)
+    val dfCounts = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val ranked = posts.join(dfCounts, "h")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    // prefix length = cnt - ceil(t*cnt) + 1 with t = num/den (integer ceil)
+    val prefix = ranked.filter(
+      col("rank") <= col("cnt") - expr(s"(($num * cnt) + $den - 1) div $den") + 1)
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = broadcast(candidates)
+      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
+        col("doc_b") === col("pb") && col("h") === col("h_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
+      .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+  }
+
   /** MinHash signatures: sig_i = min over shingle hashes h of
     * (a_i*(h mod P)+b_i) mod P. One hash aggregation with 64 codegen'd `min`
     * columns over the postings — map-side combined, shuffle is one row of 64

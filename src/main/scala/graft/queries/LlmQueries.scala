@@ -45,8 +45,12 @@ object LlmQueries {
       |FROM documents GROUP BY 1""".stripMargin
 
   // ------------------------------------------- dedup: exact n-gram Jaccard
+  /** The prefix-filtered form — provably output-equal to the naive
+    * inverted-index join the oracle runs (see ngramJaccardPairsPrefix docs),
+    * so the DuckDB compare doubles as the losslessness proof witness.
+    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, jaccardNum, jaccardDen)
+    Dedup.ngramJaccardPairsPrefix(Tables.documents(spark, dir), 3, jaccardNum, jaccardDen)
 
   val ngramJaccardSql: String =
     s"""WITH ${shingleCtes(3)},

@@ -31,6 +31,17 @@ class LlmOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 shares no shingle")
   }
 
+  test("prefix-filtered jaccard join is output-equal to the naive join") {
+    val docsFx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_common").as[(Long, Long, Long)].collect().toSet
+    assert(canon(Dedup.ngramJaccardPairsPrefix(docsFx, 3, 4, 5)) ==
+      canon(Dedup.ngramJaccardPairs(docsFx, 3, 4, 5)))
+    // and at a lower threshold where prefixes are longer
+    assert(canon(Dedup.ngramJaccardPairsPrefix(docsFx, 3, 1, 2)) ==
+      canon(Dedup.ngramJaccardPairs(docsFx, 3, 1, 2)))
+  }
+
   test("minhash LSH agrees with exact jaccard at high threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 1, 2)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
