@@ -32,6 +32,8 @@ object SparkEntry {
     "error_tolerant_parse" -> (ReferenceQueries.errorTolerantParse _),
     "flatmap_tokens"       -> (ReferenceQueries.flatmapTokens _),
     "session_agg"          -> (ReferenceQueries.sessionAgg _),
+    "sliding_agg"          -> (ReferenceQueries.slidingAgg _),
+    "json_roundtrip"       -> (ReferenceQueries.jsonRoundtrip _),
     "asof_join"            -> (ReferenceQueries.asofJoin _),
     "interval_join_left"   -> (ReferenceQueries.intervalJoinLeft _),
     "processor_total"      -> (ReferenceQueries.processorTotal _),
@@ -76,6 +78,8 @@ object SparkEntry {
     "error_tolerant_parse" -> ReferenceQueries.errorTolerantParseSql,
     "flatmap_tokens"       -> ReferenceQueries.flatmapTokensSql,
     "session_agg"          -> ReferenceQueries.sessionAggSql,
+    "sliding_agg"          -> ReferenceQueries.slidingAggSql,
+    "json_roundtrip"       -> ReferenceQueries.jsonRoundtripSql,
     "asof_join"            -> ReferenceQueries.asofJoinSql,
     "interval_join_left"   -> ReferenceQueries.intervalJoinLeftSql,
     "processor_total"      -> ReferenceQueries.processorTotalSql,

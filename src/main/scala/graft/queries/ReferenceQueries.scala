@@ -213,6 +213,45 @@ object ReferenceQueries {
       |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sliding-window aggregation (gap W6, second half): 1-hour windows
+    * sliding every 30 minutes — each event lands in 2 windows. The oracle
+    * expands each event into its candidate window starts and filters.
+    */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  val slidingAggSql: String =
+    """SELECT ws AS window_start, event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (SELECT event_type, value, ts,
+      |        unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      |      FROM events)
+      |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+      |GROUP BY ws, event_type""".stripMargin
+
+  /** JSON wire round-trip (S5 serializer ∘ S3 deserializer = identity,
+    * serdes/circe.scala:14-23): encode value columns with to_json, decode
+    * with the permissive parser, project the fields back. The oracle is the
+    * identity projection — any serde asymmetry breaks the hash.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    Tables.events(spark, dir)
+      .withColumn("wire", graft.engine.Serde.toJson(col("event_type"), col("value")))
+      .withColumn("decoded", graft.engine.Serde.parseJson(col("wire"), schema))
+      .select(col("event_id"), col("decoded.event_type").as("event_type"),
+        col("decoded.value").as("value"))
+  }
+
+  val jsonRoundtripSql: String =
+    "SELECT event_id, event_type, value FROM events"
+
   /** Permissive JSON parse + summarize (serdes/circe.scala:15-23 semantics
     * over the `props` JSON column): malformed rows become null and are
     * dropped, valid rows contribute. The threshold-fail handler variant is
