@@ -50,6 +50,9 @@ object SparkEntry {
     "quality_score"        -> (LlmQueries.qualityScore _),
     "token_count"          -> (LlmQueries.tokenCount _),
     "doc_fingerprint"      -> (LlmQueries.docFingerprint _),
+    "tfidf"                -> (LlmQueries.tfidf _),
+    "top_tokens_per_lang"  -> (LlmQueries.topTokensPerLang _),
+    "embed_centroids"      -> (LlmQueries.embedCentroids _),
     "multimodal_meta"      -> (LlmQueries.multimodalMeta _),
     // analytic coverage (sorts/top-k, set ops, rollup, distinct)
     "q1_pricing"           -> (AnalyticsQueries.q1Pricing _),
@@ -95,6 +98,9 @@ object SparkEntry {
     "quality_score"        -> LlmQueries.qualityScoreSql,
     "token_count"          -> LlmQueries.tokenCountSql,
     "doc_fingerprint"      -> LlmQueries.docFingerprintSql,
+    "tfidf"                -> LlmQueries.tfidfSql,
+    "top_tokens_per_lang"  -> LlmQueries.topTokensPerLangSql,
+    "embed_centroids"      -> LlmQueries.embedCentroidsSql,
     "multimodal_meta"      -> LlmQueries.multimodalMetaSql,
     "q1_pricing"           -> AnalyticsQueries.q1PricingSql,
     "topk_orders_per_cust" -> AnalyticsQueries.topkOrdersPerCustSql,

@@ -280,6 +280,73 @@ object LlmQueries {
        |       ELSE ${PortableHash.md5LongSql("text")} END AS fp
        |FROM shs""".stripMargin
 
+  // ------------------------------------------------------------ text: tf-idf
+  /** TF-IDF term weights per (doc, token). The weight expression is a pure
+    * per-row double computation (tf · ln(N/df)) — no accumulation order, so
+    * IEEE determinism holds; rounded to 6 dp for the oracle regardless.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val tok = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n) * lit(1.0) / col("df")), 6).as("tfidf"))
+  }
+
+  val tfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+      |             FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, token, tf, df, round(tf * ln(n.n * 1.0 / df), 6) AS tfidf
+      |FROM tf JOIN dfreq USING (token), n""".stripMargin
+
+  /** Top-5 most frequent tokens per language — explode + count + window
+    * ranking with a deterministic tie-break.
+    */
+  def topTokensPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val counts = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("token").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+  }
+
+  val topTokensPerLangSql: String =
+    """SELECT lang, token, cnt, rn FROM (
+      |  SELECT lang, token, cnt,
+      |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rn
+      |  FROM (SELECT lang, token, count(*) AS cnt
+      |        FROM (SELECT lang, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+      |              FROM documents)
+      |        GROUP BY lang, token))
+      |WHERE rn <= 5""".stripMargin
+
+  /** Per-label embedding centroids in fixed-point: values are quantized
+    * (floor(v·1e6)) so the sum is exact integer arithmetic — the
+    * partition-order-independent form of a float centroid at 100 TB scale.
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos0", "v")
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        floor(col("v").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"))
+
+  val embedCentroidsSql: String =
+    """SELECT label, pos, count(*) AS n,
+      |       CAST(SUM(CAST(floor(v::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS qsum
+      |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+      |      FROM embeddings)
+      |GROUP BY label, pos""".stripMargin
+
   // -------------------------------------------------------- multimodal stub
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(spark, Multimodal.withBlob(Tables.documents(spark, dir)))

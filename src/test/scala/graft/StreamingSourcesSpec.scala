@@ -70,6 +70,25 @@ class StreamingSourcesSpec extends SparkSuite {
       s"closed [0,10) window should emit its final count once; got ${rows.toSeq}")
   }
 
+  test("stream–static join (J2 streaming form): streaming facts enrich against a batch dim") {
+    import graft.streaming.Streaming.Event
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_key", "tier")
+    val joined = ms.toDF.join(org.apache.spark.sql.functions.broadcast(dim),
+      org.apache.spark.sql.functions.col("user_id") === org.apache.spark.sql.functions.col("user_key"))
+      .select("event_id", "user_id", "tier")
+    val q = joined.writeStream.format("memory").queryName("ss_join").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-ssj").toString)
+      .start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    ms.addData(Seq(Event(1, ts(1), 1, "a", 1.0, "{}"), Event(2, ts(2), 3, "a", 1.0, "{}"),
+      Event(3, ts(3), 2, "a", 1.0, "{}")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, "gold"), (3L, 2L, "silver")), "unmatched user 3 dropped")
+  }
+
   test("Topic round-trips a keyed stream through the file transport") {
     val t = Topic.events
     val out = java.nio.file.Files.createTempDirectory("topic-out").toString
