@@ -66,4 +66,53 @@ object Multimodal {
         rows.map(StubDecoder.decode)
       }
   }
+
+  /** One sampled "frame" of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Long, frame_hash: Long)
+
+  /** Frame sampling (video path): treat the blob as fixed-size chunks and
+    * emit every `everyN`-th chunk's metadata — the one-to-many explode shape
+    * (rows out ≫ rows in) a real frame extractor has, with deterministic
+    * stub content. Narrow transformation; output size is bounded by
+    * blob-bytes / chunk, not by row count.
+    */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  chunkBytes: Int = 1024, everyN: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("blob")).as[MediaRecord]
+      .flatMap { r =>
+        r.blob.grouped(chunkBytes).zipWithIndex.collect {
+          case (chunk, i) if i % everyN == 0 =>
+            val d = MessageDigest.getInstance("MD5").digest(chunk)
+            val h = java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
+            Frame(r.doc_id, i, chunk.length.toLong, h)
+        }
+      }
+  }
+
+  /** Resize (image path): stub produces a deterministic payload of the
+    * target size seeded by the source bytes — the shape (bounded output
+    * size per record, CPU-heavy per row, no shuffle) is what matters for
+    * pipeline planning; swap the body for a real scaler.
+    */
+  def resize(spark: SparkSession, media: DataFrame, outBytes: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("blob")).as[MediaRecord]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          // deterministic pseudo-content: repeated md5 stream of the source
+          val out = new Array[Byte](outBytes)
+          var seed = r.blob
+          var off = 0
+          while (off < outBytes) {
+            seed = md.digest(seed)
+            val n = math.min(seed.length, outBytes - off)
+            System.arraycopy(seed, 0, out, off, n)
+            off += n
+          }
+          MediaRecord(r.doc_id, out)
+        }
+      }
+  }
 }

@@ -85,6 +85,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)), "parallel vectors bucket together and verify; orthogonal doesn't")
   }
 
+  test("multimodal frame sampling and resize are deterministic and partition-independent") {
+    val media = Multimodal.withBlob(docs)
+    val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val f2 = Multimodal.frameSample(spark, media.repartition(4), chunkBytes = 16, everyN = 2)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(_.frame_idx % 2 == 0), "only every 2nd frame sampled")
+    val r = Multimodal.resize(spark, media, outBytes = 64).collect()
+    assert(r.forall(_.blob.length == 64))
+    val r2 = Multimodal.resize(spark, media.repartition(3), outBytes = 64)
+      .collect().sortBy(_.doc_id).map(_.blob.toSeq)
+    assert(r.sortBy(_.doc_id).map(_.blob.toSeq).toSeq == r2.toSeq)
+  }
+
   test("multimodal decode is deterministic and batched per partition") {
     val media = Multimodal.withBlob(docs)
     val a = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
