@@ -39,17 +39,29 @@ object Dedup {
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Fan the (compact) documents input across all cores before the
+    * CPU-heavy shingle construction: a small parquet file arrives as ONE
+    * split, and without this shuffle the per-doc interpreted shingle
+    * expression runs serially — measured 41× (not 16×) runtime growth on a
+    * 16× corpus until the input was spread. The shuffled payload is just
+    * the raw documents (tiny next to the shingle expansion).
+    */
+  private def spread(documents: DataFrame): DataFrame =
+    documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
+
   /** Inverted-index postings: one (doc_id, shingle-hash) row per distinct
     * word n-gram per document. The md5 runs post-explode in codegen.
     */
   def shinglePostings(documents: DataFrame, n: Int): DataFrame =
-    documents
+    spread(documents)
       .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), PortableHash.md5Long(col("s")).as("h"))
 
-  /** Per-doc distinct-shingle counts (cheap per-row expression, no shuffle). */
+  /** Per-doc distinct-shingle counts (cheap per-row expression; spread for
+    * the same single-split reason as the postings).
+    */
   def shingleSizes(documents: DataFrame, n: Int): DataFrame =
-    documents.select(col("doc_id"), size(TextAnalysis.shingles(col("text"), n)).as("n_sh"))
+    spread(documents).select(col("doc_id"), size(TextAnalysis.shingles(col("text"), n)).as("n_sh"))
 
   /** Exact pairwise n-gram Jaccard via inverted index. Emits pairs
     * (doc_a < doc_b) with Jaccard ≥ num/den, compared in integer arithmetic:
@@ -181,7 +193,7 @@ object Dedup {
     * 60 codegen'd sums over exploded tokens.
     */
   def simhashSignatures(documents: DataFrame, bits: Int = 60): DataFrame = {
-    val th = documents
+    val th = spread(documents)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
       .select(col("doc_id"), PortableHash.md5Long(col("t")).as("h"))
     val bitSums = (0 until bits).map(j =>

@@ -52,7 +52,10 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val queries = withNorm(embeddings.filter(queryPred), "q")
-    val all = withNorm(embeddings, "n")
+    // single-file parquet = one input split; the corpus side must be spread
+    // across cores or the broadcast join runs on one task (found at 16x
+    // scale: load average 1.0 on a 32-core box)
+    val all = withNorm(spreadSmallInput(embeddings), "n")
     val scored = broadcast(queries).join(all, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), round(cosine("q", "n"), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -104,7 +107,7 @@ object Similarity {
     * per-bucket verifier.
     */
   def exactNearDupPairs(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val a = withNorm(embeddings, "a")
+    val a = withNorm(spreadSmallInput(embeddings), "a")
     val b = withNorm(embeddings, "b")
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), round(cosine("a", "b"), 6).as("sim"))
@@ -115,4 +118,12 @@ object Similarity {
     * planes over 64 dims.
     */
   def defaultPlanes: Array[Array[Int]] = PortableHash.signPlanes(32, 64)
+
+  /** Fan a small-but-compute-heavy input out across the cluster. A compact
+    * parquet file arrives as ONE split, which serializes any downstream
+    * O(N²) stage — one round-robin shuffle of the (tiny) input buys full
+    * parallelism for the expensive part. No effect on results.
+    */
+  private def spreadSmallInput(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
