@@ -46,6 +46,7 @@ object SparkEntry {
     "ann_topk"             -> (LlmQueries.annTopk _),
     "embed_neardup"        -> (LlmQueries.embedNeardup _),
     "ann_lsh"              -> (LlmQueries.annLsh _),
+    "ivf_neardup"          -> (LlmQueries.ivfNeardup _),
     "lang_id"              -> (LlmQueries.langId _),
     "quality_score"        -> (LlmQueries.qualityScore _),
     "token_count"          -> (LlmQueries.tokenCount _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "topk_orders_per_cust" -> (AnalyticsQueries.topkOrdersPerCust _),
     "revenue_by_segment"   -> (AnalyticsQueries.revenueBySegment _),
     "set_ops"              -> (AnalyticsQueries.setOps _),
+    "sql_surface"          -> (AnalyticsQueries.sqlSurface _),
     "rollup_revenue"       -> (AnalyticsQueries.rollupRevenue _),
     "cube_revenue"         -> (AnalyticsQueries.cubeRevenue _),
     "distinct_users"       -> (AnalyticsQueries.distinctUsers _),
@@ -94,6 +96,7 @@ object SparkEntry {
     "ann_topk"             -> LlmQueries.annTopkSql,
     "embed_neardup"        -> LlmQueries.embedNeardupSql,
     "ann_lsh"              -> LlmQueries.annLshSql,
+    "ivf_neardup"          -> LlmQueries.ivfNeardupSql,
     "lang_id"              -> LlmQueries.langIdSql,
     "quality_score"        -> LlmQueries.qualityScoreSql,
     "token_count"          -> LlmQueries.tokenCountSql,
@@ -106,6 +109,7 @@ object SparkEntry {
     "topk_orders_per_cust" -> AnalyticsQueries.topkOrdersPerCustSql,
     "revenue_by_segment"   -> AnalyticsQueries.revenueBySegmentSql,
     "set_ops"              -> AnalyticsQueries.setOpsSql,
+    "sql_surface"          -> AnalyticsQueries.sqlSurfaceSql,
     "rollup_revenue"       -> AnalyticsQueries.rollupRevenueSql,
     "cube_revenue"         -> AnalyticsQueries.cubeRevenueSql,
     "distinct_users"       -> AnalyticsQueries.distinctUsersSql,

@@ -102,6 +102,30 @@ object Similarity {
       .filter(col("sim") >= minCos)
   }
 
+  /** IVF-style near-dup join with coarse quantization: assign every vector
+    * to its nearest "centroid" (here: a deterministic codebook — the K
+    * lowest-id vectors — so the oracle can replay the assignment; swap in
+    * k-means centroids in production, the join topology is identical), then
+    * verify exact cosine within cells. nprobe=1: recall trades against the
+    * per-cell pair count, same knob as a real IVF index.
+    */
+  def ivfNearDupPairs(embeddings: DataFrame, k: Int, minCos: Double): DataFrame = {
+    val base = withNorm(spreadSmallInput(embeddings), "v")
+    val codebook = withNorm(embeddings.filter(col("vec_id") < k), "c")
+    val scored = base.crossJoin(broadcast(codebook))
+      .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id"),
+        round(dot(col("v_emb"), col("c_emb")) / (col("v_norm") * col("c_norm")), 6).as("sim_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id")).orderBy(col("sim_c").desc, col("c_id").asc)
+    val assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id").as("cell"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.v_id") < col("b.v_id"))
+      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
+        round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"))
+      .filter(col("sim") >= minCos)
+  }
+
   /** Exact all-pairs near-duplicates (correctness baseline for LSH): every
     * pair with cosine ≥ minCos. O(N²) — only for modest N or as the
     * per-bucket verifier.

@@ -175,6 +175,25 @@ object AnalyticsQueries {
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** SQL-text surface (the reference has none — SURVEY.md §2.10): the same
+    * engine accepts ANSI SQL over registered views; Catalyst plans it
+    * identically to the DataFrame form. Oracle: the very same SQL.
+    */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem_v GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val sqlSurfaceSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   /** Latest-per-composite-key dedup on events (exact keyed dedup — the
     * dropDuplicates-with-ordering idiom, same single-shuffle max_by engine
     * as the KTable view).

@@ -182,6 +182,32 @@ object LlmQueries {
        |WHERE round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 
+  // --------------------------------------------- similarity: IVF cells
+  private val ivfK = 16
+
+  def ivfNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), ivfK, minCos)
+      .select("a_id", "b_id", "sim")
+
+  val ivfNeardupSql: String = {
+    def ldot(a: String, b: String) =
+      s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ldot("e0.embedding", "e0.embedding")}) AS nrm
+       |           FROM embeddings e0),
+       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
+       |scored AS (SELECT e.vec_id, cb.c_id,
+       |           round(${ldot("e.embedding", "cb.c_emb")} / (e.nrm * cb.c_nrm), 6) AS sim_c
+       |           FROM e, cb),
+       |assigned AS (SELECT vec_id, c_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_c DESC, c_id ASC) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |       round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) AS sim
+       |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |WHERE round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
+  }
+
   // ---------------------------------------------------------- text: lang id
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)

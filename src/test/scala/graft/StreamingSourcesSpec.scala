@@ -70,6 +70,27 @@ class StreamingSourcesSpec extends SparkSuite {
       s"closed [0,10) window should emit its final count once; got ${rows.toSeq}")
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark drops replays") {
+    import graft.streaming.Streaming.Event
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val deduped = ms.toDF
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-sdedup").toString)
+      .start()
+    ms.addData(Seq(Event(1, ts(1), 1, "a", 1.0, "{}"), Event(2, ts(2), 1, "a", 1.0, "{}")))
+    q.processAllAvailable()
+    // replay event 1 (at-least-once duplicate) plus a new event
+    ms.addData(Seq(Event(1, ts(1), 1, "a", 1.0, "{}"), Event(3, ts(3), 1, "a", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), "replayed event_id=1 deduplicated exactly once")
+  }
+
   test("stream–static join (J2 streaming form): streaming facts enrich against a batch dim") {
     import graft.streaming.Streaming.Event
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
