@@ -15,13 +15,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed table clustered by `keys`. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+  /** Persist `df` as a bucketed table clustered by `keys`. Idempotent: a
+    * stale warehouse directory from a previous session (the embedded
+    * metastore is per-JVM, the directory isn't) is cleared first.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(warehouse, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
