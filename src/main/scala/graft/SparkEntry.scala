@@ -47,6 +47,7 @@ object SparkEntry {
     "embed_neardup"        -> (LlmQueries.embedNeardup _),
     "ann_lsh"              -> (LlmQueries.annLsh _),
     "ivf_neardup"          -> (LlmQueries.ivfNeardup _),
+    "ivf_kmeans_neardup"   -> (LlmQueries.ivfKmeansNeardup _),
     "lang_id"              -> (LlmQueries.langId _),
     "quality_score"        -> (LlmQueries.qualityScore _),
     "token_count"          -> (LlmQueries.tokenCount _),
@@ -97,6 +98,7 @@ object SparkEntry {
     "embed_neardup"        -> LlmQueries.embedNeardupSql,
     "ann_lsh"              -> LlmQueries.annLshSql,
     "ivf_neardup"          -> LlmQueries.ivfNeardupSql,
+    "ivf_kmeans_neardup"   -> LlmQueries.ivfKmeansNeardupSql,
     "lang_id"              -> LlmQueries.langIdSql,
     "quality_score"        -> LlmQueries.qualityScoreSql,
     "token_count"          -> LlmQueries.tokenCountSql,

@@ -126,6 +126,65 @@ object Similarity {
       .filter(col("sim") >= minCos)
   }
 
+  /** Deterministic k-means IVF: seed the codebook with the K lowest-id
+    * vectors, run `iters` Lloyd updates, then the same cell-join + exact
+    * verification as [[ivfNearDupPairs]]. Every step is engine-portable:
+    * assignments use 6-dp-rounded cosine with an id tie-break, and centroid
+    * updates sum QUANTIZED components (floor(v·1e6) as integers) so the
+    * mean is exact integer arithmetic divided once — partition-order
+    * independent, and the DuckDB oracle replays the whole optimization
+    * bit-for-bit. Centroids (K×dim doubles) are collected to the driver
+    * each iteration — the standard k-means topology; the data-sized work
+    * (assignment, update sums) stays distributed.
+    */
+  def kmeansIvfPairs(embeddings: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    val base = withNorm(spreadSmallInput(embeddings), "v")
+
+    def assign(centroids: Seq[(Int, Array[Double])]): DataFrame = {
+      val scoredCells = centroids.map { case (cid, c) =>
+        val cn = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+        struct(
+          round(dot(col("v_emb"), typedlit(c.toSeq)) / (col("v_norm") * lit(cn)), 6).as("sim"),
+          lit(-cid).as("negcid"))
+      }
+      // lexicographic array_max = highest sim, then lowest cell id
+      base.withColumn("best", array_max(array(scoredCells: _*)))
+        .select(col("v_id"), col("v_emb"), col("v_norm"),
+          (col("best.negcid") * -1).as("cell"))
+    }
+
+    var centroids: Seq[(Int, Array[Double])] =
+      embeddings.filter(col("vec_id") < k).select(col("vec_id"), col("embedding"))
+        .collect().toSeq
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+
+    for (_ <- 0 until iters) {
+      val assigned = assign(centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("v_emb"))).toDF("cell", "pos", "v")
+        .groupBy("cell", "pos")
+        .agg(sum(floor(col("v").cast("double") * 1000000).cast("long")).as("qsum"),
+          count(lit(1)).as("n"))
+        .collect().toSeq
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val comps = rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / (r.getLong(3) * 1000000.0)).toArray
+          (cell, comps)
+        }
+        .toSeq.sortBy(_._1)
+    }
+
+    val finalAssign = assign(centroids)
+    finalAssign.as("a").join(finalAssign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.v_id") < col("b.v_id"))
+      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
+        round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"))
+      .filter(col("sim") >= minCos)
+  }
+
   /** Exact all-pairs near-duplicates (correctness baseline for LSH): every
     * pair with cosine ≥ minCos. O(N²) — only for modest N or as the
     * per-bucket verifier.

@@ -208,6 +208,48 @@ object LlmQueries {
        |WHERE round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 
+  // ------------------------------------------ similarity: k-means IVF
+  def ivfKmeansNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansIvfPairs(Tables.embeddings(spark, dir), k = ivfK, iters = 1, minCos)
+      .select("a_id", "b_id", "sim")
+
+  val ivfKmeansNeardupSql: String = {
+    def ldot(a: String, b: String) =
+      s"list_reduce([$a[i] * $b[i] for i in range(1, 65)], (acc, x) -> acc + x)"
+    def edot(a: String, b: String) =
+      s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${edot("e0.embedding", "e0.embedding")}) AS nrm
+       |           FROM embeddings e0),
+       |cb0 AS (SELECT vec_id::INT AS cell, [x::DOUBLE for x in embedding] AS c
+       |        FROM embeddings WHERE vec_id < $ivfK),
+       |cb0n AS (SELECT cell, c, sqrt(${ldot("c", "c")}) AS cn FROM cb0),
+       |s0 AS (SELECT e.vec_id, cb.cell,
+       |       round(${edot("e.embedding", "cb.c")} / (e.nrm * cb.cn), 6) AS sim
+       |       FROM e, cb0n cb),
+       |a0 AS (SELECT vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM s0) WHERE rn = 1),
+       |comp AS (SELECT a0.cell, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS v
+       |         FROM a0 JOIN e ON e.vec_id = a0.vec_id),
+       |cb1 AS (SELECT cell, list(comp_val ORDER BY pos) AS c FROM (
+       |    SELECT cell, pos,
+       |           CAST(SUM(CAST(floor(v::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
+       |             / (count(*) * 1000000.0) AS comp_val
+       |    FROM comp GROUP BY cell, pos) GROUP BY cell),
+       |cb1n AS (SELECT cell, c, sqrt(${ldot("c", "c")}) AS cn FROM cb1),
+       |s1 AS (SELECT e.vec_id, cb.cell,
+       |       round(${edot("e.embedding", "cb.c")} / (e.nrm * cb.cn), 6) AS sim
+       |       FROM e, cb1n cb),
+       |a1 AS (SELECT vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM s1) WHERE rn = 1)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |       round(${edot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) AS sim
+       |FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |WHERE round(${edot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
+  }
+
   // ---------------------------------------------------------- text: lang id
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
