@@ -74,7 +74,10 @@ final case class KStream(df: DataFrame, keyCol: String, tsCol: String) {
     * a bounded sample to the driver log — never a full collect.
     */
   def peek(tag: String, log: Boolean = false): KStream = {
-    if (log) df.limit(20).collect().foreach(r => println(s"[peek:$tag] $r"))
+    // eager debug sample — batch only (a streaming plan cannot be collected
+    // at topology-definition time; use the console sink to observe streams)
+    if (log && !df.isStreaming)
+      df.limit(20).collect().foreach(r => println(s"[peek:$tag] $r"))
     this
   }
 
@@ -100,7 +103,7 @@ final case class KStream(df: DataFrame, keyCol: String, tsCol: String) {
       .groupBy(col(keyCol))
       .agg(max_by(struct(values.map(col): _*), struct(orderBy.map(col): _*)).as("__latest"))
     val out = packed.select(col(keyCol) +: values.map(c => col(s"__latest.`$c`").as(c)): _*)
-    KTable(out, keyCol)
+    KTable(out, Seq(keyCol))
   }
 
   /** Stream–stream interval equi-join (JoinsExample.scala:47-56): match
@@ -140,9 +143,15 @@ final case class KStream(df: DataFrame, keyCol: String, tsCol: String) {
     * order (a)): a key-equi range join + the same single-shuffle `max_by`
     * reduction the KTable view uses — no custom physical operator needed.
     * Inner semantics: left records with no match are dropped.
+    *
+    * `leftId` must name a UNIQUE left column: the reduction groups on the
+    * left row (all its columns), and the unique id guarantees two otherwise
+    * identical left records cannot collapse into one output row. Left value
+    * columns must be groupable types (no MapType).
     */
-  def asOfJoin(other: KStream, lookback: String, rightId: String,
+  def asOfJoin(other: KStream, lookback: String, leftId: String, rightId: String,
                leftPrefix: String = "l_", rightPrefix: String = "r_"): DataFrame = {
+    require(df.columns.contains(leftId), s"leftId '$leftId' not in ${df.columns.toSeq}")
     val l = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, leftPrefix + c))
     val r = other.df.columns.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
     val lt = col(leftPrefix + tsCol); val rt = col(rightPrefix + other.tsCol)
@@ -176,10 +185,10 @@ final case class KGroupedStream(df: DataFrame, keys: Seq[String]) {
     * state-store fold.
     */
   def aggregate(aggs: Column*): KTable =
-    KTable(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*), keys.head)
+    KTable(df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*), keys)
 
   def count(as: String = "n"): KTable =
-    KTable(df.groupBy(keys.map(col): _*).agg(org.apache.spark.sql.functions.count(lit(1)).as(as)), keys.head)
+    KTable(df.groupBy(keys.map(col): _*).agg(org.apache.spark.sql.functions.count(lit(1)).as(as)), keys)
 
   /** Keep the extreme record per group (Kafka Streams `reduce` with a
     * pick-one combiner) — same single-shuffle `max_by` machinery as
@@ -190,7 +199,7 @@ final case class KGroupedStream(df: DataFrame, keys: Seq[String]) {
     val packed = df
       .groupBy(keys.map(col): _*)
       .agg(max_by(struct(values.map(col): _*), struct(orderBy.map(col): _*)).as("__latest"))
-    KTable(packed.select(keys.map(col) ++ values.map(c => col(s"__latest.`$c`").as(c)): _*), keys.head)
+    KTable(packed.select(keys.map(col) ++ values.map(c => col(s"__latest.`$c`").as(c)): _*), keys)
   }
 
   /** Tumbling event-time window aggregation (gap capability, SURVEY.md §2.5

@@ -29,16 +29,36 @@ object Errors {
   final class TooManyCorruptRecords(count: Long, max: Long)
     extends RuntimeException(s"corrupt records $count exceeded budget $max")
 
+  /** Null-safe message predicate for handler allowlists — `getMessage` may
+    * be null (classic bare NPE), and a predicate that itself throws would
+    * mask the original failure.
+    */
+  def messageContains(marker: String): Throwable => Boolean =
+    t => Option(t.getMessage).exists(_.contains(marker))
+
   /** E1: parse a JSON column permissively, counting corrupt rows into `acc`
-    * and dropping them. Call [[checkBudget]] after each materialization (or
-    * from foreachBatch in streaming) to apply skip-N-then-fail.
+    * and dropping them. Accumulator caveat: updates happen inside a
+    * transformation, so re-evaluating the result (second action, task
+    * retry) re-counts — suitable for the streaming foreachBatch pattern
+    * (one action per micro-batch) but NOT for multi-action batch flows; use
+    * [[corruptCount]] + [[checkBudget]] there for an exact count.
     */
   def permissiveParse(df: DataFrame, jsonCol: String, schema: StructType,
                       acc: LongAccumulator): DataFrame =
     Serde.countingParse(df, jsonCol, schema, acc)
 
+  /** Exact corrupt-row count via a dedicated action — re-evaluation safe. */
+  def corruptCount(df: DataFrame, jsonCol: String, schema: StructType): Long = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    df.withColumn("__p", from_json(col(jsonCol), schema))
+      .filter(Serde.isCorrupt(col("__p"), schema)).count()
+  }
+
   def checkBudget(acc: LongAccumulator, maxErrors: Long): Unit =
-    if (acc.value > maxErrors) throw new TooManyCorruptRecords(acc.value, maxErrors)
+    checkBudget(acc.value, maxErrors)
+
+  def checkBudget(count: Long, maxErrors: Long): Unit =
+    if (count > maxErrors) throw new TooManyCorruptRecords(count, maxErrors)
 
   /** E3: sink-side guard — CONTINUE iff the failure is allowlisted
     * (RecordTooLargeException parity), otherwise rethrow (FAIL).

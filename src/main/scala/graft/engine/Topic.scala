@@ -40,11 +40,19 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
         .option("subscribe", name).load()
   }
 
-  /** Streaming view; `schema` is required for file streams. */
+  /** Streaming view; `schema` is required for file streams (which watch a
+    * DIRECTORY — stage single-file fixtures into one, see
+    * StreamingSourcesSpec). For `nanosTs` topics declare the event-time
+    * column as LongType in `schema`; it is converted to a µs timestamp here
+    * so streaming and batch reads agree.
+    */
   def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     backend match {
       case Topic.Files =>
-        spark.readStream.schema(schema).parquet(s"$dir/$name.parquet")
+        val raw = spark.readStream.schema(schema).parquet(s"$dir/$name.parquet")
+        if (nanosTs && raw.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+        else raw
       case Topic.Kafka(servers) =>
         spark.readStream.format("kafka")
           .option("kafka.bootstrap.servers", servers)
@@ -55,11 +63,18 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
     graft.api.KStream(read(spark, dir), keyCol, tsCol)
 
   /** Batch sink (S4/S5): partition by a column when downstream reads filter
-    * on it (partition pruning at 100 TB).
+    * on it (partition pruning at 100 TB). Kafka-backed topics produce to
+    * the broker (requires the connector jar) — the backend is honored, not
+    * silently ignored.
     */
-  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = backend match {
+    case Topic.Kafka(servers) =>
+      df.write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", name).save()
+    case Topic.Files =>
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
   /** Streaming sink with checkpointing (exactly-once to files). */

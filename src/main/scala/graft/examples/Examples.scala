@@ -158,12 +158,14 @@ object ProcessorApiApp {
 object ErrorHandlingApp {
   val schema: StructType = StructType(Seq(StructField("k", LongType)))
   def run(spark: SparkSession, payloads: DataFrame, maxErrors: Long): DataFrame = {
-    val corrupt = spark.sparkContext.longAccumulator("corrupt-records")
-    val parsed = Errors.permissiveParse(payloads, "props", schema, corrupt)
+    // exact corrupt count via a dedicated action — the accumulator variant
+    // re-counts under multiple actions (see Errors.permissiveParse docs)
+    val corrupt = Errors.corruptCount(payloads, "props", schema)
+    val (parsed, _) = Serde.parseOrDeadLetter(payloads, "props", schema)
     val out = parsed.select(col("id"), col("parsed.k").as("k"))
-    Errors.runWithRestarts(_.getMessage.contains("transient"), maxRestarts = 2) {
+    Errors.runWithRestarts(Errors.messageContains("transient"), maxRestarts = 2) {
       Errors.guardedSink(out, _.count(),
-        continueOn = _.getMessage.contains("RecordTooLarge"))
+        continueOn = Errors.messageContains("RecordTooLarge"))
     }
     Errors.checkBudget(corrupt, maxErrors)
     out

@@ -38,6 +38,10 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
 
   private def elemType(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType
 
+  /** A null element nullifies the whole product — matching
+    * `aggregate(zip_with(...))` (null product → null accumulator) and
+    * DuckDB's list_reduce, instead of crashing or silently reading zeros.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val (lt, rt) = (elemType(left), elemType(right))
@@ -45,6 +49,7 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += get(x, i, lt) * get(y, i, rt)
       i += 1
     }
@@ -70,6 +75,7 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (${getterJava(elemType(left), a, i)}) * (${getterJava(elemType(right), b, i)});
          |}
          |${ev.value} = $acc;

@@ -69,7 +69,9 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
     // the postings subplan feeds both sides of the self-join — persist so
-    // the (interpreted) shingle construction runs once, not twice
+    // the (interpreted) shingle construction runs once, not twice. The
+    // cache is released by Spark's ContextCleaner once the plan becomes
+    // unreachable (callers materialize then drop the DataFrame).
     val postings = shinglePostings(documents, n).persist()
     val sizes = shingleSizes(documents, n)
     val common = postings.as("a")

@@ -308,7 +308,8 @@ object ReferenceQueries {
       ev.branch(col("event_type") === "click", col("event_type") === "purchase")
     purchases
       .mapValues("event_id" -> col("event_id"))
-      .asOfJoin(clicks.mapValues("event_id" -> col("event_id")), "1 HOUR", rightId = "event_id")
+      .asOfJoin(clicks.mapValues("event_id" -> col("event_id")), "1 HOUR",
+        leftId = "event_id", rightId = "event_id")
       .select(col("l_event_id").as("purchase_id"), col("l_user_id").as("user_id"),
         col("r_event_id").as("click_id"))
   }

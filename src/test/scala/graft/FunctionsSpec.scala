@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{CentsSum, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Regression tests for the native function edge cases found in review. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("CentsSum matches the DECIMAL(18,2) HALF_UP cast on half-way doubles") {
+    // 8.115 as a double is 8.1149999…; the shortest-representation HALF_UP
+    // path (Spark's cast) yields 8.12 — Math.round on the binary product
+    // would give 8.11
+    val values = Seq(8.115, -2.005, 0.005, 1.0, 9.64, 185.22, 0.0)
+    val viaCast = values.toDF("v")
+      .select(sum(col("v").cast("decimal(18,2)")).cast("double")).as[Double].first()
+    val viaAgg = values.map(CentsSum.reduce(0L, _)).sum / 100.0
+    assert(viaAgg == viaCast)
+    assert(CentsSum.reduce(0L, 8.115) == 812L)
+  }
+
+  test("graft_dot returns null when an element is null (zip_with parity)") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        VectorFunctions.graftDot(col("a"), col("b")).as("dot"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(11.0))
+    assert(out(2L).isEmpty, "null element must nullify the dot product")
+    // and matches the HOF composition it replaces
+    val hof = df.select(col("id"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("dot"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == hof)
+  }
+}
