@@ -14,9 +14,12 @@ import graft.queries.{AnalyticsQueries, LlmQueries, ReferenceQueries}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end corpus-curation pipeline: MinHash near-dup removal +
+    * quality filter + language filter, composed from the library operators.
+    */
   def entry(spark: SparkSession): DataFrame =
-    ReferenceQueries.basicFilterExtract(spark, "/root/testdata/sf0.001")
+    LlmQueries.curationPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,6 +59,7 @@ object SparkEntry {
     "top_tokens_per_lang"  -> (LlmQueries.topTokensPerLang _),
     "embed_centroids"      -> (LlmQueries.embedCentroids _),
     "multimodal_meta"      -> (LlmQueries.multimodalMeta _),
+    "curation_pipeline"    -> (LlmQueries.curationPipeline _),
     // analytic coverage (sorts/top-k, set ops, rollup, distinct)
     "q1_pricing"           -> (AnalyticsQueries.q1Pricing _),
     "topk_orders_per_cust" -> (AnalyticsQueries.topkOrdersPerCust _),
@@ -107,6 +111,7 @@ object SparkEntry {
     "top_tokens_per_lang"  -> LlmQueries.topTokensPerLangSql,
     "embed_centroids"      -> LlmQueries.embedCentroidsSql,
     "multimodal_meta"      -> LlmQueries.multimodalMetaSql,
+    "curation_pipeline"    -> LlmQueries.curationPipelineSql,
     "q1_pricing"           -> AnalyticsQueries.q1PricingSql,
     "topk_orders_per_cust" -> AnalyticsQueries.topkOrdersPerCustSql,
     "revenue_by_segment"   -> AnalyticsQueries.revenueBySegmentSql,

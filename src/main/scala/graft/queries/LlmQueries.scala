@@ -71,9 +71,10 @@ object LlmQueries {
     Dedup.minhashLshPairs(Tables.documents(spark, dir), n = 3, perms = 64, bands = 16,
       num = jaccardNum, den = jaccardDen)
 
-  val minhashLshSql: String = {
+  /** MinHash CTE chain (shared by minhash_lsh and the curation pipeline). */
+  private val minhashCtes: String = {
     val p = PortableHash.P
-    s"""WITH ${shingleCtes(3)},
+    s"""${shingleCtes(3)},
        |hs AS (SELECT doc_id, [(('0x' || substr(md5(s), 1, 15))::BIGINT % $p) for s in sh] AS hs
        |       FROM shs WHERE len(sh) > 0),
        |params AS (SELECT i,
@@ -93,11 +94,15 @@ object LlmQueries {
        |           FROM cand c JOIN post pa ON pa.doc_id = c.doc_a
        |                       JOIN post pb ON pb.doc_id = c.doc_b AND pb.h = pa.h
        |           GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs)
-       |SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs)""".stripMargin
+  }
+
+  private val minhashFinalSelect: String =
+    s"""SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b
        |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE ${jaccardFilterSql("n_common", "sa.n_sh", "sb.n_sh")}""".stripMargin
-  }
+
+  val minhashLshSql: String = s"WITH $minhashCtes\n$minhashFinalSelect"
 
   // ----------------------------------------------------- dedup: SimHash
   private val simhashMaxDist = 4
@@ -417,6 +422,59 @@ object LlmQueries {
       |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
       |      FROM embeddings)
       |GROUP BY label, pos""".stripMargin
+
+  // -------------------------------------------- end-to-end corpus curation
+  /** The whole point of the engine in one query — a training-data curation
+    * pipeline composing the library operators:
+    *   1. MinHash+LSH near-dup removal (drop the higher id of each verified
+    *      pair — keeps the minimal element of every duplicate chain);
+    *   2. quality filter (integer score ≥ 1400);
+    *   3. language filter (heuristic language-ID = 'en').
+    * Every stage is the same machinery as its standalone query, so the
+    * composed oracle is a CTE stitching of those oracles.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dupes = Dedup.minhashLshPairs(docs, n = 3, perms = 64, bands = 16,
+        num = jaccardNum, den = jaccardDen)
+      .select(col("doc_b").as("dup_id")).distinct()
+    val quality = qualityScore(spark, dir).select("doc_id", "score_bp")
+    val lang = langId(spark, dir).select("doc_id", "pred_lang")
+    quality.join(lang, "doc_id")
+      .join(dupes, col("doc_id") === col("dup_id"), "left_anti")
+      .filter(col("score_bp") >= 1400 && col("pred_lang") === "en")
+      .select("doc_id", "pred_lang", "score_bp")
+  }
+
+  val curationPipelineSql: String = {
+    val en = TextAnalysis.langMarkers.toMap.apply("en").mkString("|")
+    def re(words: Seq[String]) = s"'\\b(${words.mkString("|")})\\b'"
+    val m = TextAnalysis.langMarkers.toMap
+    s"""WITH $minhashCtes,
+       |dupes AS (SELECT DISTINCT doc_b AS dup_id FROM ($minhashFinalSelect)),
+       |quality AS (SELECT doc_id,
+       |  least(n_chars, 1000) * 2
+       |    + (1000 * len(regexp_extract_all(text, '\\b($en)\\b')))
+       |        // greatest(len(list_filter(string_split(text, ' '), t -> len(t) > 0)), 1)
+       |    + (1000 * len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+       |        // greatest(len(list_filter(string_split(text, ' '), t -> len(t) > 0)), 1)
+       |    - len(regexp_extract_all(text, '[.,;:!?]')) * 50 AS score_bp
+       |  FROM documents),
+       |langp AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, ${re(m("en"))})) AS s_en,
+       |  len(regexp_extract_all(text, ${re(m("es"))})) AS s_es,
+       |  len(regexp_extract_all(text, ${re(m("fr"))})) AS s_fr,
+       |  len(regexp_extract_all(text, ${re(m("de"))})) AS s_de,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |       WHEN s_fr >= s_de THEN 'fr'
+       |       ELSE 'de' END AS pred_lang
+       |  FROM documents)
+       |SELECT q.doc_id, l.pred_lang, q.score_bp
+       |FROM quality q JOIN langp l ON q.doc_id = l.doc_id
+       |WHERE q.score_bp >= 1400 AND l.pred_lang = 'en'
+       |  AND NOT EXISTS (SELECT 1 FROM dupes d WHERE d.dup_id = q.doc_id)""".stripMargin
+  }
 
   // -------------------------------------------------------- multimodal stub
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
