@@ -191,8 +191,10 @@ object Dedup {
   }
 
   /** 60-bit SimHash per document over whitespace tokens: bit j is set when
-    * Σ_tokens (±1 from bit j of md5(token)) is positive. One hash agg with
-    * 60 codegen'd sums over exploded tokens.
+    * Σ_tokens (±1 from bit j of md5(token)) is positive. The sum runs over
+    * token OCCURRENCES (explode keeps duplicates), so this is the
+    * frequency-weighted SimHash — a token appearing k times contributes
+    * weight k. One hash agg with 60 codegen'd sums over exploded tokens.
     */
   def simhashSignatures(documents: DataFrame, bits: Int = 60): DataFrame = {
     val th = spread(documents)
