@@ -110,6 +110,45 @@ class StreamingSourcesSpec extends SparkSuite {
     assert(got == Set((1L, 1L, "gold"), (3L, 2L, "silver")), "unmatched user 3 dropped")
   }
 
+  test("streaming session windows converge to the batch sessionization (W6 streaming form)") {
+    import graft.streaming.Streaming.Event
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: events at 0s,5s (one session, 10s gap), then 60s (new session)
+    val rows = Seq(Event(1, ts(0), 1, "a", 1.0, "{}"), Event(2, ts(5), 1, "a", 2.0, "{}"),
+      Event(3, ts(60), 1, "a", 4.0, "{}"), Event(4, ts(200), 2, "a", 8.0, "{}"))
+    val agg = ms.toDF
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("ssw").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-ssw").toString)
+      .start()
+    ms.addData(rows); q.processAllAvailable()
+    ms.addData(Seq(Event(9, ts(500), 2, "a", 1.0, "{}"))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssw").as[(java.sql.Timestamp, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2, r._3)).toSet
+    assert(got.contains((ts(0), 1L, 2L)), "0s+5s merge into one session")
+    assert(got.contains((ts(60), 1L, 1L)), "60s starts a fresh session")
+  }
+
+  test("csv and json sources round-trip the record model (S8)") {
+    val ev = graft.engine.Tables.events(spark, sf1)
+      .select("event_id", "user_id", "event_type", "value").limit(100)
+    val csvDir = java.nio.file.Files.createTempDirectory("s8-csv").toString + "/out"
+    val jsonDir = java.nio.file.Files.createTempDirectory("s8-json").toString + "/out"
+    ev.write.option("header", "true").csv(csvDir)
+    ev.write.json(jsonDir)
+    val backCsv = spark.read.option("header", "true").option("inferSchema", "true").csv(csvDir)
+    val backJson = spark.read.json(jsonDir)
+    assert(backCsv.count() == 100 && backJson.count() == 100)
+    val sumOrig = ev.agg(sum("value")).as[Double].first()
+    assert(backJson.agg(sum("value")).as[Double].first() == sumOrig)
+  }
+
   test("Topic round-trips a keyed stream through the file transport") {
     val t = Topic.events
     val out = java.nio.file.Files.createTempDirectory("topic-out").toString
