@@ -25,6 +25,14 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
 
   override def dataType: DataType = DoubleType
 
+  /** Always nullable: a null ELEMENT nullifies the product even when both
+    * array columns are non-nullable. Without this override the inherited
+    * `left.nullable || right.nullable` can be false, and the generated
+    * `ev.isNull = true;` assigns to the constant `false` — an uncompilable
+    * stage that silently drops the whole pipeline to interpreted mode.
+    */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType | DoubleType | IntegerType, _) => true

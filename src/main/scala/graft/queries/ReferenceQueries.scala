@@ -270,7 +270,7 @@ object ReferenceQueries {
 
   val errorTolerantParseSql: String =
     """SELECT event_type, count(*) AS n_parsed,
-      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
       |WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
       |GROUP BY event_type""".stripMargin
