@@ -27,7 +27,10 @@ object Tables {
     * Integer `div` (not `/`) — nanos ~1.7e18 exceed double's 2^53 mantissa.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-once: repeated conf.set is a global side effect, racy if the
+    // session is shared — only touch the conf when the value must change
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -26,7 +26,8 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
     */
   def read(spark: SparkSession, dir: String): DataFrame = backend match {
     case Topic.Files if nanosTs =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = Tables.table(spark, dir, name)
       if (raw.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))

@@ -69,10 +69,12 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
     // the postings subplan feeds both sides of the self-join — persist so
-    // the (interpreted) shingle construction runs once, not twice. The
-    // cache is released by Spark's ContextCleaner once the plan becomes
-    // unreachable (callers materialize then drop the DataFrame).
-    val postings = shinglePostings(documents, n).persist()
+    // the shingle construction runs once, not twice. MEMORY_AND_DISK: a
+    // spilled block beats recomputing the explode. Long-lived sessions
+    // (Verify) call spark.catalog.clearCache() between queries; otherwise
+    // the block is freed by the ContextCleaner when the plan is dropped.
+    val postings = shinglePostings(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingleSizes(documents, n)
     val common = postings.as("a")
       .join(postings.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -103,7 +105,8 @@ object Dedup {
     * (df count + per-doc rank).
     */
   def ngramJaccardPairsPrefix(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val posts = shinglePostings(documents, n).persist()
+    val posts = shinglePostings(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shingleSizes(documents, n)
     val dfCounts = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -163,7 +166,8 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                       num: Int, den: Int): DataFrame = {
     val rows = perms / bands
-    val posts = shinglePostings(documents, n).persist()
+    val posts = shinglePostings(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignaturesFromPosts(posts, perms)
     val bandKeys = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>

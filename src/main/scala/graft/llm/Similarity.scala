@@ -186,14 +186,44 @@ object Similarity {
   }
 
   /** Exact all-pairs near-duplicates (correctness baseline for LSH): every
-    * pair with cosine ≥ minCos. O(N²) — only for modest N or as the
-    * per-bucket verifier.
+    * pair with cosine ≥ minCos.
+    *
+    * Exact all-pairs is inherently O(N²) COMPUTE — no plan removes that; at
+    * corpus scale the answer is the LSH/IVF paths above. What a plan CAN fix
+    * is the O(N²) *topology*: a naive `a.join(b, a_id < b_id)` is a
+    * broadcast-nested-loop with one side replicated everywhere and no
+    * even work split. Instead this is the classic triangle block join:
+    * rows hash into G blocks, the G(G+1)/2 block PAIRS become the join key,
+    * so the quadratic work spreads evenly over reducers while each row is
+    * shuffled only G+1 times (G ≈ √(2·parallelism) keeps replication ~2√P).
+    * Every unordered pair lands in exactly one block-pair: (i,j) i<j holds
+    * cross pairs once by construction, the diagonal dedupes by id order.
+    * Output is independent of G; `least/greatest` restores a_id < b_id and
+    * the dot product is commutative term-by-term, so the similarity is
+    * bit-identical to the oracle's ordered evaluation.
     */
   def exactNearDupPairs(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val a = withNorm(spreadSmallInput(embeddings), "a")
-    val b = withNorm(embeddings, "b")
-    a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine("a", "b"), 6).as("sim"))
+    val spark = embeddings.sparkSession
+    val g = math.max(2,
+      math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt)
+    import spark.implicits._
+    val blockPairs = broadcast(
+      (for (i <- 0 until g; j <- i until g) yield (i, j)).toDF("g1", "g2"))
+    val base = withNorm(embeddings, "v")
+      .withColumn("blk", pmod(col("v_id"), lit(g)).cast("int"))
+    val lhs = base.join(blockPairs, col("blk") === col("g1"))
+      .select(col("g1"), col("g2"),
+        col("v_id").as("l_id"), col("v_emb").as("l_emb"), col("v_norm").as("l_norm"))
+    val rhs = base.join(blockPairs, col("blk") === col("g2"))
+      .select(col("g1").as("h1"), col("g2").as("h2"),
+        col("v_id").as("r_id"), col("v_emb").as("r_emb"), col("v_norm").as("r_norm"))
+    lhs.join(rhs,
+        col("g1") === col("h1") && col("g2") === col("h2") &&
+          (col("g1") =!= col("g2") || col("l_id") < col("r_id")))
+      .select(
+        least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        round(dot(col("l_emb"), col("r_emb")) / (col("l_norm") * col("r_norm")), 6).as("sim"))
       .filter(col("sim") >= minCos)
   }
 
