@@ -33,6 +33,7 @@ object SparkEntry {
     "branch_merge"         -> (ReferenceQueries.branchMerge _),
     "windowed_agg"         -> (ReferenceQueries.windowedAgg _),
     "error_tolerant_parse" -> (ReferenceQueries.errorTolerantParse _),
+    "error_deadletter_split" -> (ReferenceQueries.errorDeadletterSplit _),
     "flatmap_tokens"       -> (ReferenceQueries.flatmapTokens _),
     "session_agg"          -> (ReferenceQueries.sessionAgg _),
     "sliding_agg"          -> (ReferenceQueries.slidingAgg _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "branch_merge"         -> ReferenceQueries.branchMergeSql,
     "windowed_agg"         -> ReferenceQueries.windowedAggSql,
     "error_tolerant_parse" -> ReferenceQueries.errorTolerantParseSql,
+    "error_deadletter_split" -> ReferenceQueries.errorDeadletterSplitSql,
     "flatmap_tokens"       -> ReferenceQueries.flatmapTokensSql,
     "session_agg"          -> ReferenceQueries.sessionAggSql,
     "sliding_agg"          -> ReferenceQueries.slidingAggSql,

@@ -33,6 +33,13 @@ object Serde {
     * detected circe-style (serdes/circe.scala:15-23: a strict decoder fails
     * on malformed payloads and on documents carrying none of the expected
     * fields): every declared field null ⇒ corrupt.
+    *
+    * Deliberate trade-off (circe-strict parity, NOT pure "malformed JSON"
+    * semantics): a well-formed payload whose declared fields are all
+    * legitimately null/absent (e.g. `{"k": null}`) also classifies as
+    * corrupt and counts against [[graft.engine.Errors.checkBudget]]'s
+    * budget. Callers whose schemas allow fully-null records should add a
+    * sentinel non-null field to the schema or pre-filter such payloads.
     */
   def isCorrupt(parsed: Column, schema: StructType): Column =
     schema.fields.map(f => parsed.getField(f.name).isNull).reduce(_ && _)

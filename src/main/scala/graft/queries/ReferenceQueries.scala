@@ -275,6 +275,59 @@ object ReferenceQueries {
       |WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
       |GROUP BY event_type""".stripMargin
 
+  /** Dead-letter split with an error budget — the E1/E2 threshold path
+    * (ErrorHandlingExample.scala:32-47) under the oracle. The fixture has no
+    * corrupt rows and testdata is read-only, so corruption is injected
+    * deterministically at read time: every 20th event's props is mangled
+    * into invalid JSON (a 5% corruption rate at every SF). The pipeline then
+    *  1. routes rows through [[graft.engine.Serde.parseOrDeadLetter]],
+    *  2. enforces the skip-N-then-fail budget
+    *     ([[graft.engine.Errors.checkBudget]]) at total/12 ≈ 8.3% — above
+    *     the injected 5%, so the run proceeds; the exceeded-budget FAIL is
+    *     ErrorsSpec's job — and
+    *  3. aggregates BOTH routes so the oracle verifies the split itself.
+    * The corrupt predicate is replayed by DuckDB as `k IS NULL` under a
+    * json_valid guard — identical to isCorrupt's all-declared-fields-null
+    * rule for this single-field schema.
+    */
+  def errorDeadletterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k", LongType)))
+    val injected = Tables.events(spark, dir).withColumn("props",
+      when(pmod(col("event_id"), lit(20)) === 0, concat(lit("{broken"), col("props")))
+        .otherwise(col("props")))
+    val (good, dead) = graft.engine.Serde.parseOrDeadLetter(injected, "props", schema)
+    // one counting action gates the pipeline — the reference's FAIL-after-
+    // maxErrors policy, enforced before any downstream work is scheduled
+    val counts = injected.agg(
+      count(lit(1)).as("total"),
+      count_if(graft.engine.Serde.isCorrupt(
+        graft.engine.Serde.parseJson(col("props"), schema), schema)).as("bad")).head()
+    graft.engine.Errors.checkBudget(counts.getLong(1), math.max(1L, counts.getLong(0) / 12))
+    val g = good.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("parsed.k")).as("sum_k"))
+      .select(lit("good").as("side"), col("event_type"), col("n"), col("sum_k"))
+    val d = dead.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("dead").as("side"), col("event_type"), col("n"),
+        lit(null).cast(LongType).as("sum_k"))
+    g.unionByName(d)
+  }
+
+  val errorDeadletterSplitSql: String =
+    """WITH inj AS (SELECT event_type,
+      |    CASE WHEN event_id % 20 = 0 THEN '{broken' || props ELSE props END AS props
+      |  FROM events),
+      |parsed AS (SELECT event_type,
+      |    CASE WHEN json_valid(props)
+      |         THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM inj)
+      |SELECT 'good' AS side, event_type, count(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM parsed WHERE k IS NOT NULL GROUP BY event_type
+      |UNION ALL
+      |SELECT 'dead' AS side, event_type, count(*) AS n, NULL::BIGINT AS sum_k
+      |FROM parsed WHERE k IS NULL GROUP BY event_type""".stripMargin
+
   /** Session-window aggregation (gap W6): per-user sessions closed by a
     * 30-minute inactivity gap. `session_window` is Spark-native; the oracle
     * reconstructs identical sessions with the gaps-and-islands idiom. A

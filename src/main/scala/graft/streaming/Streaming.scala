@@ -121,6 +121,71 @@ object Streaming {
     }
   }
 
+  /** One update of a filtered changelog view: an upsert carries
+    * `Some(value)`, a tombstone carries `None` — the Spark rendering of
+    * Kafka Streams' `(key, null)` delete record.
+    */
+  final case class TableUpdate(user_id: Long, value: Option[Double])
+
+  /** KTable.filter as an UPDATE STREAM with retraction semantics
+    * (KTableExample.scala:59-62). The batch [[graft.api.KTable.filter]]
+    * computes the converged filtered view; this processor emits what the
+    * changelog must carry between those views:
+    *
+    *  - a key whose latest value matches the predicate emits an upsert
+    *    `TableUpdate(key, Some(v))`;
+    *  - a key that WAS visible and whose new latest value stops matching
+    *    emits a tombstone `TableUpdate(key, None)` — the `(key, null)`
+    *    delete record Kafka Streams forwards downstream;
+    *  - a key that never matched emits nothing (no spurious deletes).
+    *
+    * Latest-per-key is tracked across micro-batches in a ValueState keyed by
+    * (ts, event_id) — the same tie-break as the batch KTable reduction — so
+    * out-of-order upserts within the watermark cannot regress the view.
+    * Granularity is per micro-batch (documented divergence, SURVEY.md §4.2).
+    */
+  final class FilteredTableProcessor(pred: Double => Boolean)
+      extends StatefulProcessor[Long, Event, TableUpdate] {
+    @transient private var latest: ValueState[(Long, Long, Double)] = _
+    @transient private var visible: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      latest = getHandle.getValueState[(Long, Long, Double)]("latest-upsert",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+      visible = getHandle.getValueState[Boolean]("visible",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[TableUpdate] = {
+      val newest = rows.maxBy(e => (e.ts.getTime, e.event_id))
+      val cur = if (latest.exists()) Some(latest.get()) else None
+      val advanced = cur.forall { case (t, id, _) =>
+        newest.ts.getTime > t || (newest.ts.getTime == t && newest.event_id > id)
+      }
+      if (!advanced) Iterator.empty
+      else {
+        latest.update((newest.ts.getTime, newest.event_id, newest.value))
+        val wasVisible = visible.exists() && visible.get()
+        if (pred(newest.value)) {
+          visible.update(true)
+          Iterator.single(TableUpdate(key, Some(newest.value)))
+        } else if (wasVisible) {
+          visible.update(false)
+          Iterator.single(TableUpdate(key, None))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Wire the filtered-table processor over a typed event stream. */
+  def filteredTableUpdates(events: Dataset[Event],
+                           pred: Double => Boolean): Dataset[TableUpdate] =
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new FilteredTableProcessor(pred),
+        TimeMode.None(), OutputMode.Update())(Encoders.product[TableUpdate])
+
   /** Wire a processor over a typed event stream (shared by both processors
     * above). Requires the RocksDB state-store provider (set in
     * [[sessionForStreaming]]) — the Spark analogue of the reference's

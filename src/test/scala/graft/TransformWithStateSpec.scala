@@ -39,6 +39,53 @@ class TransformWithStateSpec extends SparkSuite {
     assert(finalTotals == Map(1L -> 12.0, 2L -> 7.5))
   }
 
+  test("KTable.filter update stream emits tombstones on retraction (changelog parity)") {
+    val ms = MemoryStream[Event](spark)
+    val out = Streaming.filteredTableUpdates(ms.toDS(), _ >= 5.0)
+    val q = out.writeStream.format("memory")
+      .queryName("tws_tomb").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-tomb").toString)
+      .start()
+    def table() = spark.table("tws_tomb")
+      .as[(Long, Option[Double])].collect().toSeq
+
+    // batch 1: user 1 latest=10.0 (matches) -> upsert; user 2 latest=3.0
+    // (never matched) -> silence, NOT a tombstone
+    ms.addData(Seq(Event(1, ts(10), 1, "p", 10.0, "{}"),
+      Event(2, ts(10), 2, "p", 3.0, "{}")))
+    q.processAllAvailable()
+    assert(table() == Seq((1L, Some(10.0))))
+
+    // batch 2: user 1's newest upsert stops matching -> tombstone (key, null);
+    // user 2 rises above the threshold -> first upsert
+    ms.addData(Seq(Event(3, ts(20), 1, "p", 2.0, "{}"),
+      Event(4, ts(20), 2, "p", 7.0, "{}")))
+    q.processAllAvailable()
+    assert(table().drop(1).toSet == Set((1L, None), (2L, Some(7.0))))
+
+    // batch 3: an OUT-OF-ORDER older upsert for user 1 must not regress the
+    // view (latest is still the failing value) -> no emission
+    ms.addData(Seq(Event(0, ts(5), 1, "p", 99.0, "{}")))
+    q.processAllAvailable()
+    assert(table().size == 3)
+    q.stop()
+
+    // convergence: replaying the changelog (last update per key, dropping
+    // tombstoned keys) equals the batch KTable filtered view on the same rows
+    val allRows = Seq(
+      Event(1, ts(10), 1, "p", 10.0, "{}"), Event(2, ts(10), 2, "p", 3.0, "{}"),
+      Event(3, ts(20), 1, "p", 2.0, "{}"), Event(4, ts(20), 2, "p", 7.0, "{}"),
+      Event(0, ts(5), 1, "p", 99.0, "{}"))
+    val batchView = graft.api.KStream(allRows.toDF, "user_id", "ts")
+      .toTable(Seq("ts", "event_id"))
+      .filter(org.apache.spark.sql.functions.col("value") >= 5.0)
+      .df.select("user_id", "value").as[(Long, Double)].collect().toMap
+    val replayed = table().groupBy(_._1).view
+      .mapValues(_.last._2).toMap.collect { case (k, Some(v)) => k -> v }
+    assert(replayed == batchView)
+  }
+
   test("PunctuationProcessor forwards state on stream-time timers (W2)") {
     val ms = MemoryStream[Event](spark)
     val out = Streaming.withProcessor(
