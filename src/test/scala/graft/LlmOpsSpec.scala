@@ -85,6 +85,42 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)), "parallel vectors bucket together and verify; orthogonal doesn't")
   }
 
+  test("LSH/IVF recall vs exact baselines is quantified and floored (SCALE.md table)") {
+    // ground truth = the exact operators on the sf0.001 fixtures; every
+    // approximate operator verifies candidates with the exact measure, so
+    // precision is 1.0 by construction and recall = |approx| / |exact|.
+    def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(a, b).as[(Long, Long)].collect().toSet
+    def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double = {
+      assert((approx -- exact).isEmpty, "verified candidates must be a subset of exact (precision 1.0)")
+      if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+    }
+    // both fixture dirs hold 500 docs/vectors with different content — two
+    // independent ground-truth samples
+    val measured = Seq("sf0.001", "sf0.01").map { sf =>
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val exactCos = pairSet(Similarity.exactNearDupPairs(emb, 0.45), "a_id", "b_id")
+      val rLsh = recall(pairSet(
+        Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, 0.45), "a_id", "b_id"), exactCos)
+      val rIvf = recall(pairSet(Similarity.ivfNearDupPairs(emb, 16, 0.45), "a_id", "b_id"), exactCos)
+      val rKmeans = recall(pairSet(Similarity.kmeansIvfPairs(emb, 16, 1, 0.45), "a_id", "b_id"), exactCos)
+      val docsFx = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val exactJac = pairSet(Dedup.ngramJaccardPairs(docsFx, 3, 4, 5), "doc_a", "doc_b")
+      val rMinhash = recall(pairSet(
+        Dedup.minhashLshPairs(docsFx, 3, 64, 16, 4, 5), "doc_a", "doc_b"), exactJac)
+      info(f"$sf: cos@0.45 truth=${exactCos.size} ann_lsh=$rLsh%.3f ivf=$rIvf%.3f " +
+        f"kmeans_ivf=$rKmeans%.3f | jac@0.8 truth=${exactJac.size} minhash_lsh=$rMinhash%.3f")
+      (rLsh, rIvf, rKmeans, rMinhash)
+    }
+    // floors: min measured across fixtures minus safety margin — the table
+    // lives in SCALE.md §Recall; a regression below a floor means a sketch
+    // or banding change broke the recall/cost trade-off.
+    assert(measured.map(_._1).min >= 0.65, "ann_lsh recall below floor")
+    assert(measured.map(_._2).min >= 0.10, "ivf(nprobe=1) recall below floor")
+    assert(measured.map(_._3).min >= 0.20, "kmeans-ivf recall below floor")
+    assert(measured.map(_._4).min >= 0.95, "minhash_lsh recall below floor")
+  }
+
   test("multimodal frame sampling and resize are deterministic and partition-independent") {
     val media = Multimodal.withBlob(docs)
     val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)
