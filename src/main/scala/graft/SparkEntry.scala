@@ -52,6 +52,7 @@ object SparkEntry {
     "ann_lsh"              -> (LlmQueries.annLsh _),
     "ivf_neardup"          -> (LlmQueries.ivfNeardup _),
     "ivf_kmeans_neardup"   -> (LlmQueries.ivfKmeansNeardup _),
+    "ivf_multiprobe_neardup" -> (LlmQueries.ivfMultiprobeNeardup _),
     "lang_id"              -> (LlmQueries.langId _),
     "quality_score"        -> (LlmQueries.qualityScore _),
     "token_count"          -> (LlmQueries.tokenCount _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "ann_lsh"              -> LlmQueries.annLshSql,
     "ivf_neardup"          -> LlmQueries.ivfNeardupSql,
     "ivf_kmeans_neardup"   -> LlmQueries.ivfKmeansNeardupSql,
+    "ivf_multiprobe_neardup" -> LlmQueries.ivfMultiprobeNeardupSql,
     "lang_id"              -> LlmQueries.langIdSql,
     "quality_score"        -> LlmQueries.qualityScoreSql,
     "token_count"          -> LlmQueries.tokenCountSql,

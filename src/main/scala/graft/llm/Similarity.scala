@@ -126,6 +126,38 @@ object Similarity {
       .filter(col("sim") >= minCos)
   }
 
+  /** IVF with replicated assignment — the multi-probe recall knob
+    * (SCALE.md §Recall): each vector is assigned to its `nprobe` nearest
+    * cells instead of one, so pairs that straddle a cell boundary still
+    * co-locate in some probed cell. Candidate generation cost grows ~nprobe×
+    * (the join topology is unchanged: one hash exchange on cell ids,
+    * same-cell pairs only, duplicates collapsed before exact verification).
+    * nprobe=1 degenerates to [[ivfNearDupPairs]]. Deterministic codebook
+    * (K lowest-id vectors) for oracle replay, same as the base IVF.
+    */
+  def ivfNearDupPairsMultiProbe(embeddings: DataFrame, k: Int, nprobe: Int,
+                                minCos: Double): DataFrame = {
+    val base = withNorm(spreadSmallInput(embeddings), "v")
+    val codebook = withNorm(embeddings.filter(col("vec_id") < k), "c")
+    val scored = base.crossJoin(broadcast(codebook))
+      .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id"),
+        round(dot(col("v_emb"), col("c_emb")) / (col("v_norm") * col("c_norm")), 6).as("sim_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id")).orderBy(col("sim_c").desc, col("c_id").asc)
+    val assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id").as("cell"))
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.v_id") < col("b.v_id"))
+      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"))
+      .distinct()
+    val sides = withNorm(embeddings, "s")
+    cand
+      .join(sides.select(col("s_id").as("a_id"), col("s_emb").as("a_emb"), col("s_norm").as("a_norm")), "a_id")
+      .join(sides.select(col("s_id").as("b_id"), col("s_emb").as("b_emb"), col("s_norm").as("b_norm")), "b_id")
+      .select(col("a_id"), col("b_id"), round(cosine("a", "b"), 6).as("sim"))
+      .filter(col("sim") >= minCos)
+  }
+
   /** Deterministic k-means IVF: seed the codebook with the K lowest-id
     * vectors, run `iters` Lloyd updates, then the same cell-join + exact
     * verification as [[ivfNearDupPairs]]. Every step is engine-portable:

@@ -215,6 +215,33 @@ object LlmQueries {
        |WHERE round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 
+  // ----------------------------------- similarity: multi-probe IVF
+  private val ivfNprobe = 2
+
+  def ivfMultiprobeNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfNearDupPairsMultiProbe(Tables.embeddings(spark, dir), ivfK, ivfNprobe, minCos)
+      .select("a_id", "b_id", "sim")
+
+  val ivfMultiprobeNeardupSql: String = {
+    def ldot(a: String, b: String) =
+      s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ldot("e0.embedding", "e0.embedding")}) AS nrm
+       |           FROM embeddings e0),
+       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
+       |scored AS (SELECT e.vec_id, cb.c_id,
+       |           round(${ldot("e.embedding", "cb.c_emb")} / (e.nrm * cb.c_nrm), 6) AS sim_c
+       |           FROM e, cb),
+       |assigned AS (SELECT vec_id, c_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_c DESC, c_id ASC) AS rn
+       |    FROM scored) WHERE rn <= $ivfNprobe),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id,
+       |       round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) AS sim
+       |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+       |WHERE round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
+  }
+
   // ------------------------------------------ similarity: k-means IVF
   def ivfKmeansNeardup(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansIvfPairs(Tables.embeddings(spark, dir), k = ivfK, iters = 1, minCos)

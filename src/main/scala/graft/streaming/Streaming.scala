@@ -200,6 +200,20 @@ object Streaming {
       .transformWithState(processor, timeMode, outputMode)
   }
 
+  /** Streaming exact deduplication — the streaming twin of
+    * [[graft.llm.Dedup.exact]] for a continuously-arriving corpus: drop
+    * rows whose dedup key was already seen, with state BOUNDED by the
+    * watermark (`dropDuplicatesWithinWatermark`, not `dropDuplicates`,
+    * whose key state grows without limit — the difference between a
+    * pipeline that runs for a year and one that OOMs). Duplicates arriving
+    * within `delay` of the first occurrence are suppressed; later
+    * re-occurrences re-emit, which is the correct trade-off for
+    * training-data ingestion where the batch compaction pass (exact/MinHash
+    * dedup) has global scope anyway.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCols)
+
   /** Session configs streaming stateful ops need: RocksDB state store
     * (transformWithState requires it; also W1 parity) and a low
     * shuffle-partition count for local runs.

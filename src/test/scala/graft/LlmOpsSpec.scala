@@ -103,14 +103,19 @@ class LlmOpsSpec extends SparkSuite {
       val rLsh = recall(pairSet(
         Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, 0.45), "a_id", "b_id"), exactCos)
       val rIvf = recall(pairSet(Similarity.ivfNearDupPairs(emb, 16, 0.45), "a_id", "b_id"), exactCos)
+      val rIvf2 = recall(pairSet(
+        Similarity.ivfNearDupPairsMultiProbe(emb, 16, 2, 0.45), "a_id", "b_id"), exactCos)
       val rKmeans = recall(pairSet(Similarity.kmeansIvfPairs(emb, 16, 1, 0.45), "a_id", "b_id"), exactCos)
       val docsFx = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
       val exactJac = pairSet(Dedup.ngramJaccardPairs(docsFx, 3, 4, 5), "doc_a", "doc_b")
       val rMinhash = recall(pairSet(
         Dedup.minhashLshPairs(docsFx, 3, 64, 16, 4, 5), "doc_a", "doc_b"), exactJac)
       info(f"$sf: cos@0.45 truth=${exactCos.size} ann_lsh=$rLsh%.3f ivf=$rIvf%.3f " +
-        f"kmeans_ivf=$rKmeans%.3f | jac@0.8 truth=${exactJac.size} minhash_lsh=$rMinhash%.3f")
-      (rLsh, rIvf, rKmeans, rMinhash)
+        f"ivf_nprobe2=$rIvf2%.3f kmeans_ivf=$rKmeans%.3f | " +
+        f"jac@0.8 truth=${exactJac.size} minhash_lsh=$rMinhash%.3f")
+      // multi-probe must never lose a pair the single-probe assignment found
+      assert(rIvf2 >= rIvf, "nprobe=2 recall must dominate nprobe=1")
+      (rLsh, rIvf, rKmeans, rMinhash, rIvf2)
     }
     // floors: min measured across fixtures minus safety margin — the table
     // lives in SCALE.md §Recall; a regression below a floor means a sketch
@@ -119,6 +124,7 @@ class LlmOpsSpec extends SparkSuite {
     assert(measured.map(_._2).min >= 0.10, "ivf(nprobe=1) recall below floor")
     assert(measured.map(_._3).min >= 0.20, "kmeans-ivf recall below floor")
     assert(measured.map(_._4).min >= 0.95, "minhash_lsh recall below floor")
+    assert(measured.map(_._5).min >= 0.40, "ivf(nprobe=2) recall below floor")
   }
 
   test("multimodal frame sampling and resize are deterministic and partition-independent") {

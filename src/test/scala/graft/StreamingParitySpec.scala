@@ -53,6 +53,26 @@ class StreamingParitySpec extends SparkSuite {
     assert(got == Map(1L -> 3L, 2L -> 6L))
   }
 
+  test("streaming dedup suppresses in-watermark duplicates, bounded state") {
+    val ms = MemoryStream[Event](spark)
+    val q = Streaming.dedupStream(ms.toDF, Seq("event_id"), "10 seconds")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-sdedup").toString)
+      .start()
+    // batch 1 carries an intra-batch duplicate of event 1; batch 2 replays
+    // event 2 (still inside the watermark) and introduces event 3
+    ms.addData(Seq(rows(0), rows(1), rows(0)))
+    q.processAllAvailable()
+    ms.addData(Seq(rows(1), rows(2)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup").select("event_id")
+      .as[Long].collect().toSeq
+    // each id exactly once — converged to batch distinct over the fed rows
+    assert(got.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("zero-grace interval join matches batch and drops out-of-window pairs") {
     val clicks = rows.filter(_.event_type == "click")
     val purchases = rows.filter(_.event_type == "purchase")
