@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the embedding hot path: a fused
   * dot-product over two numeric arrays with a double accumulator, folded
@@ -94,12 +94,123 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-plane LSH bucket ids of one embedding in ONE pass: returns
+  * `array<long>` of `nTables` bucket ids, where bit j of table t is set iff
+  * `dot(emb, planes(t*width+j)) > 0`.
+  *
+  * Replaces `nTables × width` separate [[DotProductFP]]+`when` expressions
+  * (each re-reading the array) with a single expression that streams the
+  * embedding once per plane in a fused primitive loop — the projections for
+  * all 32 planes run in one codegen method with zero intermediate rows.
+  * Accumulation order per plane is identical to DotProductFP (ascending
+  * index, double accumulator), so bucket values are bit-identical to the
+  * composed form and the DuckDB oracle replays them unchanged.
+  *
+  * Null semantics match the composed form: a null embedding yields null; a
+  * null ELEMENT made every `when(proj > 0, ...)` evaluate false in the
+  * composed form (null comparison), producing bucket id 0 for every table —
+  * reproduced here by zeroing all buckets on the first null element.
+  */
+case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
+                        nTables: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_sign_planes expects array<float|double|int>, got $t")
+    }
+
+  private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    val buckets = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var b = 0L
+      var j = 0
+      while (j < width) {
+        val p = planes(t * width + j)
+        val m = math.min(n, p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < m) {
+          if (emb.isNullAt(i)) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](nTables))
+          acc += (elemType match {
+            case FloatType => emb.getFloat(i).toDouble
+            case DoubleType => emb.getDouble(i)
+            case IntegerType => emb.getInt(i).toDouble
+          }) * p(i)
+          i += 1
+        }
+        if (acc > 0) b |= (1L << j)
+        j += 1
+      }
+      buckets(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "int[][]")
+    val getter = elemType match {
+      case FloatType => (a: String, i: String) => s"(double) $a.getFloat($i)"
+      case DoubleType => (a: String, i: String) => s"$a.getDouble($i)"
+      case IntegerType => (a: String, i: String) => s"(double) $a.getInt($i)"
+    }
+    nullSafeCodeGen(ctx, ev, emb => {
+      val n = ctx.freshName("n"); val buckets = ctx.freshName("buckets")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc"); val b = ctx.freshName("b")
+      val nullElem = ctx.freshName("nullElem")
+      s"""
+         |int $n = $emb.numElements();
+         |long[] $buckets = new long[$nTables];
+         |boolean $nullElem = false;
+         |for (int $t = 0; $t < $nTables && !$nullElem; $t++) {
+         |  long $b = 0L;
+         |  for (int $j = 0; $j < $width && !$nullElem; $j++) {
+         |    int[] $p = $planesRef[$t * $width + $j];
+         |    int $m = java.lang.Math.min($n, $p.length);
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      if ($emb.isNullAt($i)) { $nullElem = true; break; }
+         |      $acc += (${getter(emb, i)}) * (double) $p[$i];
+         |    }
+         |    if (!$nullElem && $acc > 0) $b |= (1L << $j);
+         |  }
+         |  $buckets[$t] = $b;
+         |}
+         |if ($nullElem) { $buckets = new long[$nTables]; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-level API — usable without any session setup. */
   def graftDot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductFP(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All LSH bucket ids of an embedding in one fused pass (array<long>). */
+  def graftSignPlanes(emb: Column, planes: Array[Array[Int]],
+                      nTables: Int, width: Int): Column =
+    ColumnBridge.column(SignPlanesFP(
+      ColumnBridge.expression(emb), planes, nTables, width))
 
   /** SQL surface: `SELECT graft_dot(a.embedding, b.embedding)` — injected via
     * SparkSessionExtensions (`.withExtensions(new GraftExtensions)`).

@@ -86,8 +86,13 @@ object Similarity {
   def lshNearDupPairs(embeddings: DataFrame, planes: Array[Array[Int]], minCos: Double,
                       nTables: Int = 8, width: Int = 4): DataFrame = {
     val base = withNorm(embeddings, "v")
+    // one fused expression computes every table's bucket id in a single
+    // pass over the embedding (SignPlanesFP) — bit-identical to the
+    // composed per-plane form (LlmOpsSpec asserts it), ~32× fewer
+    // expression evaluations per row
     val buckets = base.select(col("v_id"),
-      posexplode(array((0 until nTables).map(t => bucketExpr(col("v_emb"), planes, t, width)): _*)))
+      posexplode(graft.functions.VectorFunctions.graftSignPlanes(
+        col("v_emb"), planes, nTables, width)))
       .toDF("v_id", "t", "bucket")
     val cand = buckets.as("a")
       .join(buckets.as("b"),

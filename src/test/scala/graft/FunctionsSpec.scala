@@ -19,6 +19,24 @@ class FunctionsSpec extends SparkSuite {
     assert(CentsSum.reduce(0L, 8.115) == 812L)
   }
 
+
+  test("SignPlanesFP fused buckets are bit-identical to the composed per-plane form") {
+    val planes = graft.llm.Similarity.defaultPlanes
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fused = emb.select(col("vec_id"),
+        VectorFunctions.graftSignPlanes(col("embedding"), planes, 8, 4).as("bs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = emb.select(col("vec_id") +:
+        (0 until 8).map(t => graft.llm.Similarity.bucketExpr(col("embedding"), planes, t, 4).as(s"b$t")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_)).toSeq).toMap
+    assert(fused == composed)
+    // null element -> all-zero buckets on both forms
+    val withNull = Seq((1L, Seq[java.lang.Float](1.0f, null))).toDF("vec_id", "embedding")
+    val f = withNull.select(VectorFunctions.graftSignPlanes(col("embedding"), planes, 8, 4))
+      .as[Seq[Long]].head()
+    assert(f == Seq.fill(8)(0L))
+  }
+
   test("graft_dot returns null when an element is null (zip_with parity)") {
     val df = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
