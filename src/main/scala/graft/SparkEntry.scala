@@ -71,6 +71,8 @@ object SparkEntry {
     "rollup_revenue"       -> (AnalyticsQueries.rollupRevenue _),
     "cube_revenue"         -> (AnalyticsQueries.cubeRevenue _),
     "distinct_users"       -> (AnalyticsQueries.distinctUsers _),
+    "approx_distinct_kmv"  -> (AnalyticsQueries.approxDistinctKmv _),
+    "skew_salted_join"     -> (AnalyticsQueries.skewSaltedJoin _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
   )
@@ -124,5 +126,7 @@ object SparkEntry {
     "rollup_revenue"       -> AnalyticsQueries.rollupRevenueSql,
     "cube_revenue"         -> AnalyticsQueries.cubeRevenueSql,
     "distinct_users"       -> AnalyticsQueries.distinctUsersSql,
+    "approx_distinct_kmv"  -> AnalyticsQueries.approxDistinctKmvSql,
+    "skew_salted_join"     -> AnalyticsQueries.skewSaltedJoinSql,
   )
 }

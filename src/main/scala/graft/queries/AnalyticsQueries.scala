@@ -162,6 +162,51 @@ object AnalyticsQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Engine-portable approximate distinct: a K-Minimum-Values sketch over
+    * md5-derived 60-bit hashes. Unlike HLL (engine-specific register
+    * layout — `approx_distinct_users` stays rows-only), KMV is pure order
+    * statistics: the estimate is (k−1)·2⁶⁰ / (kth smallest distinct hash),
+    * exact count when a group has fewer than k distinct values — so the
+    * DuckDB oracle replays the whole sketch bit-for-bit.
+    *
+    * Scale: the shuffle is the distinct (event_type, hash) dedup (map-side
+    * combined); the per-group sort touches only distinct hashes. A
+    * production variant would keep a bounded k-heap in a custom Aggregator
+    * to avoid the full sort — the sketch math, hashing, and estimate are
+    * identical; this form favors oracle-replayable built-ins.
+    */
+  private val kmvK = 32
+
+  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.engine.PortableHash.md5Long(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val kth = hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === kmvK).select(col("event_type"), col("h").as("m"))
+    hashes.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+      .join(kth, Seq("event_type"), "left")
+      .select(col("event_type"),
+        when(col("nd") < kmvK, col("nd"))
+          .otherwise(floor(lit((kmvK - 1).toDouble) * lit(math.pow(2, 60)) / col("m")).cast("long"))
+          .as("est_users"))
+  }
+
+  val approxDistinctKmvSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |kth AS (SELECT event_type, h AS m FROM r WHERE rn = $kmvK),
+       |c AS (SELECT event_type, count(*) AS nd FROM h GROUP BY 1)
+       |SELECT c.event_type,
+       |  CASE WHEN c.nd < $kmvK THEN c.nd
+       |       ELSE CAST(floor(${kmvK - 1}.0 * 1152921504606846976.0 / kth.m) AS BIGINT)
+       |  END AS est_users
+       |FROM c LEFT JOIN kth USING (event_type)""".stripMargin
+
   /** Exact distinct-count per group (dropDuplicates/approx_count_distinct
     * family; the HLL variant is benchmarked but not oracled — sketches are
     * engine-specific).
@@ -174,6 +219,30 @@ object AnalyticsQueries {
   val distinctUsersSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Hot-key salting under the oracle ([[graft.engine.Skew.saltedJoin]]):
+    * the orders→customer join runs with the fact side salted into 8
+    * sub-keys and the dimension replicated 8× — the manual skew-mitigation
+    * path for when AQE cannot split a pathological key. Salting must never
+    * change semantics, so the oracle is simply the PLAIN join's SQL: a
+    * hash mismatch here means the salt leaked into the result.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.engine.Skew.saltedJoin(orders, cust, "custkey", salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
 
   /** SQL-text surface (the reference has none — SURVEY.md §2.10): the same
     * engine accepts ANSI SQL over registered views; Catalyst plans it
