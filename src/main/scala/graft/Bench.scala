@@ -36,7 +36,11 @@ object Bench {
     // JIT dominate cold runs at this data scale (measured: postings stage
     // 3.5 s cold vs 0.07 s warm) and make cold numbers ~2x noisier. The
     // measured pass reports steady-state per-query times.
+    // optional comma-separated filter for targeted profiling/scaling runs
+    // (absent => all queries; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(runOnce)
     val results = names.map(n => n -> runOnce(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

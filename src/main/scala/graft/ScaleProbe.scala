@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-experiment probe (evidence generator for SCALE.md): times
+  * individual operator configurations on an arbitrary table directory —
+  * e.g. sign-plane LSH at different (tables × width) splits of the same
+  * 32-plane matrix, demonstrating that bucket WIDTH is the knob that holds
+  * per-bucket occupancy (and so candidate-pair cost) constant as the corpus
+  * grows. Usage:
+  *   sbt "runMain graft.ScaleProbe /tmp/scale/x16 lsh=8x4 lsh=4x8"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { spec =>
+      val t0 = System.nanoTime()
+      val rows = spec match {
+        case s"lsh=${t}x${w}" =>
+          graft.llm.Similarity.lshNearDupPairs(
+            graft.engine.Tables.embeddings(spark, dir),
+            graft.llm.Similarity.defaultPlanes, minCos = 0.45,
+            nTables = t.toInt, width = w.toInt).count()
+        case s"ivf=${k}p${np}" =>
+          graft.llm.Similarity.ivfNearDupPairsMultiProbe(
+            graft.engine.Tables.embeddings(spark, dir),
+            k.toInt, np.toInt, minCos = 0.45).count()
+        case other => sys.error(s"unknown probe spec: $other")
+      }
+      println(f"[probe] $spec rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
