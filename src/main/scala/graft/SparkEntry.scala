@@ -57,6 +57,9 @@ object SparkEntry {
     "quality_score"        -> (LlmQueries.qualityScore _),
     "token_count"          -> (LlmQueries.tokenCount _),
     "doc_fingerprint"      -> (LlmQueries.docFingerprint _),
+    "repetition_score"     -> (LlmQueries.repetitionScore _),
+    "pii_count"            -> (LlmQueries.piiCount _),
+    "sample_stratified"    -> (LlmQueries.sampleStratified _),
     "tfidf"                -> (LlmQueries.tfidf _),
     "top_tokens_per_lang"  -> (LlmQueries.topTokensPerLang _),
     "embed_centroids"      -> (LlmQueries.embedCentroids _),
@@ -113,6 +116,9 @@ object SparkEntry {
     "quality_score"        -> LlmQueries.qualityScoreSql,
     "token_count"          -> LlmQueries.tokenCountSql,
     "doc_fingerprint"      -> LlmQueries.docFingerprintSql,
+    "repetition_score"     -> LlmQueries.repetitionScoreSql,
+    "pii_count"            -> LlmQueries.piiCountSql,
+    "sample_stratified"    -> LlmQueries.sampleStratifiedSql,
     "tfidf"                -> LlmQueries.tfidfSql,
     "top_tokens_per_lang"  -> LlmQueries.topTokensPerLangSql,
     "embed_centroids"      -> LlmQueries.embedCentroidsSql,

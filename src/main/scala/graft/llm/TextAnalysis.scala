@@ -54,4 +54,12 @@ object TextAnalysis {
 
   def regexCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** PII-ish surface patterns (curation signals — detection counts only;
+    * redaction is a `regexp_replace` away with the same patterns). Shared
+    * verbatim with the oracle; RE2/Java-compatible syntax only.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val longDigitRe = "[0-9]{7,}"
 }

@@ -365,6 +365,88 @@ object LlmQueries {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------ text: repetition score
+  /** Gopher/RefinedWeb-style repetition signals, adapted to token space
+    * (the fixture corpus is single-line, so line-level dedup is degenerate):
+    * duplicate-token fraction and duplicate-2-gram fraction, in integer
+    * basis points so parity is exact. High values flag boilerplate /
+    * machine-generated repetition for the curation filter.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TextAnalysis.tokens(col("text"))
+    val nTok = size(ts)
+    val nDist = size(array_distinct(ts))
+    val nSh2 = size(TextAnalysis.shingles(col("text"), 2)) // distinct 2-grams
+    val n2 = greatest(nTok - 1, lit(0))                    // total 2-grams
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tok"), nDist.as("n_dist"),
+        n2.as("n_2gram"), nSh2.as("n_2gram_dist"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("((n_tok - n_dist) * 10000) div greatest(n_tok, 1)").as("dup_tok_bp"),
+        expr("((n_2gram - n_2gram_dist) * 10000) div greatest(n_2gram, 1)").as("dup_2gram_bp"))
+  }
+
+  val repetitionScoreSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents),
+      |m AS (SELECT doc_id, len(toks) AS n_tok,
+      |    len(list_distinct(toks)) AS n_dist,
+      |    greatest(len(toks) - 1, 0) AS n_2gram,
+      |    CASE WHEN len(toks) >= 2
+      |         THEN len(list_distinct([array_to_string(toks[i:i+1], ' ')
+      |                                 for i in range(1, len(toks))]))
+      |         ELSE 0 END AS n_2gram_dist
+      |  FROM t)
+      |SELECT doc_id, n_tok,
+      |       ((n_tok - n_dist) * 10000) // greatest(n_tok, 1) AS dup_tok_bp,
+      |       ((n_2gram - n_2gram_dist) * 10000) // greatest(n_2gram, 1) AS dup_2gram_bp
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------------- text: PII counts
+  /** PII-surface detection counts (emails, URLs, long digit runs) — the
+    * standard curation signals before redaction; counts only, per-row
+    * regex in codegen, redaction = regexp_replace with the same patterns.
+    */
+  def piiCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.regexCount(t, TextAnalysis.emailRe).as("n_email"),
+      TextAnalysis.regexCount(t, TextAnalysis.urlRe).as("n_url"),
+      TextAnalysis.regexCount(t, TextAnalysis.longDigitRe).as("n_longnum"))
+  }
+
+  val piiCountSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '${TextAnalysis.emailRe.replace("\\\\", "\\")}')) AS n_email,
+       |  len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_url,
+       |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnum
+       |FROM documents""".stripMargin
+
+  // ------------------------------------- sampling: deterministic stratified
+  /** Deterministic stratified sampling + train/val split — the pipeline op
+    * every training run needs, with NO rand(): membership is a pure
+    * function of (lang, doc_id) via md5, so the sample is reproducible
+    * across engines, re-runs, and partitionings. 30% per-language sample,
+    * split 80/20 train/val by an independent second hash.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h1 = pmod(PortableHash.md5Long(concat(col("lang"), lit(":"), col("doc_id").cast("string"))), lit(100))
+    val h2 = pmod(PortableHash.md5Long(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+    Tables.documents(spark, dir)
+      .filter(h1 < 30)
+      .select(col("doc_id"), col("lang"),
+        when(h2 < 80, "train").otherwise("val").as("split"))
+  }
+
+  val sampleStratifiedSql: String = {
+    def h(s: String) = s"(('0x' || substr(md5($s), 1, 15))::BIGINT) % 100"
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN ${h("'split:' || doc_id::VARCHAR")} < 80 THEN 'train' ELSE 'val' END AS split
+       |FROM documents
+       |WHERE ${h("lang || ':' || doc_id::VARCHAR")} < 30""".stripMargin
+  }
+
   // -------------------------------------------------- text: fingerprinting
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
