@@ -543,7 +543,9 @@ object LlmQueries {
     *   1. MinHash+LSH near-dup removal (drop the higher id of each verified
     *      pair — keeps the minimal element of every duplicate chain);
     *   2. quality filter (integer score ≥ 1400);
-    *   3. language filter (heuristic language-ID = 'en').
+    *   3. language filter (heuristic language-ID = 'en');
+    *   4. repetition filter (duplicate-2-gram fraction < 6% — boilerplate
+    *      rejection, the [[repetitionScore]] signal).
     * Every stage is the same machinery as its standalone query, so the
     * composed oracle is a CTE stitching of those oracles.
     */
@@ -554,9 +556,12 @@ object LlmQueries {
       .select(col("doc_b").as("dup_id")).distinct()
     val quality = qualityScore(spark, dir).select("doc_id", "score_bp")
     val lang = langId(spark, dir).select("doc_id", "pred_lang")
+    val repetition = repetitionScore(spark, dir).select("doc_id", "dup_2gram_bp")
     quality.join(lang, "doc_id")
+      .join(repetition, "doc_id")
       .join(dupes, col("doc_id") === col("dup_id"), "left_anti")
-      .filter(col("score_bp") >= 1400 && col("pred_lang") === "en")
+      .filter(col("score_bp") >= 1400 && col("pred_lang") === "en" &&
+        col("dup_2gram_bp") < 600)
       .select("doc_id", "pred_lang", "score_bp")
   }
 
@@ -583,10 +588,20 @@ object LlmQueries {
        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
        |       WHEN s_fr >= s_de THEN 'fr'
        |       ELSE 'de' END AS pred_lang
-       |  FROM documents)
+       |  FROM documents),
+       |rep AS (SELECT doc_id,
+       |    ((greatest(len(toks2)-1,0) -
+       |      CASE WHEN len(toks2) >= 2
+       |           THEN len(list_distinct([array_to_string(toks2[i:i+1], ' ')
+       |                                   for i in range(1, len(toks2))]))
+       |           ELSE 0 END) * 10000) // greatest(greatest(len(toks2)-1,0), 1) AS dup_2gram_bp
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks2
+       |        FROM documents))
        |SELECT q.doc_id, l.pred_lang, q.score_bp
        |FROM quality q JOIN langp l ON q.doc_id = l.doc_id
-       |WHERE q.score_bp >= 1400 AND l.pred_lang = 'en'
+       |JOIN rep r ON q.doc_id = r.doc_id
+       |WHERE q.score_bp >= 1400 AND l.pred_lang = 'en' AND r.dup_2gram_bp < 600
        |  AND NOT EXISTS (SELECT 1 FROM dupes d WHERE d.dup_id = q.doc_id)""".stripMargin
   }
 

@@ -31,6 +31,21 @@ class PropertySpec extends SparkSuite {
 
   private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
 
+  test("KMV estimate is within sketch error of the exact distinct count") {
+    // k=32 => relative standard error ~ 1/sqrt(k-1) ~ 18%; assert a 3-sigma
+    // band on the fixture (exact counts come from the oracled distinct query)
+    val est = graft.queries.AnalyticsQueries.approxDistinctKmv(spark, sf1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.queries.AnalyticsQueries.distinctUsers(spark, sf1)
+      .select("event_type", "n_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (et, ex) =>
+      val e = est(et)
+      assert(math.abs(e - ex).toDouble / ex <= 0.55,
+        s"$et: KMV estimate $e vs exact $ex outside 3-sigma band")
+    }
+  }
+
   test("latest-per-key view == argmax by (seq, id) for arbitrary upsert streams") {
     forAll { recs =>
       whenever(recs.nonEmpty) {
