@@ -285,14 +285,22 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------- text: lang id
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(spark, dir))
+      .select("doc_id", "labeled_lang", "s_en", "s_es", "s_fr", "s_de", "pred_lang")
+
+  /** Per-row language-ID stage over any documents frame — shared verbatim
+    * by the batch query and the streaming curation twin (stateless, so it
+    * runs unchanged under Structured Streaming).
+    */
+  def langIdOf(d: DataFrame): DataFrame = {
     val scores = TextAnalysis.langMarkers.map { case (l, words) =>
       l -> TextAnalysis.stopwordHits(col("text"), words)
     }
     val Seq(en, es, fr, de) = scores.map(_._2)
-    d.select(col("doc_id"), col("lang").as("labeled_lang"),
-        en.as("s_en"), es.as("s_es"), fr.as("s_fr"), de.as("s_de"))
+    d.withColumn("labeled_lang", col("lang"))
+      .withColumn("s_en", en).withColumn("s_es", es)
+      .withColumn("s_fr", fr).withColumn("s_de", de)
       .withColumn("pred_lang",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
@@ -316,17 +324,19 @@ object LlmQueries {
   }
 
   // ----------------------------------------------------- text: quality score
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, dir))
+      .select("doc_id", "n_chars", "n_ws", "n_word", "n_punct", "stop_hits", "score_bp")
+
+  /** Per-row quality stage over any documents frame (stateless — streams). */
+  def qualityScoreOf(d: DataFrame): DataFrame = {
     val t = col("text")
     val nWs = size(TextAnalysis.tokens(t))
     val enWords = TextAnalysis.langMarkers.toMap.apply("en")
-    Tables.documents(spark, dir).select(
-        col("doc_id"),
-        col("n_chars"),
-        nWs.as("n_ws"),
-        TextAnalysis.regexCount(t, TextAnalysis.wordRe).as("n_word"),
-        TextAnalysis.regexCount(t, TextAnalysis.punctRe).as("n_punct"),
-        TextAnalysis.stopwordHits(t, enWords).as("stop_hits"))
+    d.withColumn("n_ws", nWs)
+      .withColumn("n_word", TextAnalysis.regexCount(t, TextAnalysis.wordRe))
+      .withColumn("n_punct", TextAnalysis.regexCount(t, TextAnalysis.punctRe))
+      .withColumn("stop_hits", TextAnalysis.stopwordHits(t, enWords))
       .withColumn("score_bp",
         least(col("n_chars"), lit(1000L)) * 2
           + expr("(1000 * stop_hits) div greatest(n_ws, 1)")
@@ -372,18 +382,23 @@ object LlmQueries {
     * basis points so parity is exact. High values flag boilerplate /
     * machine-generated repetition for the curation filter.
     */
-  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionScoreOf(Tables.documents(spark, dir))
+      .select("doc_id", "n_tok", "dup_tok_bp", "dup_2gram_bp")
+
+  /** Per-row repetition stage over any documents frame (stateless — streams). */
+  def repetitionScoreOf(d: DataFrame): DataFrame = {
     val ts = TextAnalysis.tokens(col("text"))
     val nTok = size(ts)
     val nDist = size(array_distinct(ts))
     val nSh2 = size(TextAnalysis.shingles(col("text"), 2)) // distinct 2-grams
     val n2 = greatest(nTok - 1, lit(0))                    // total 2-grams
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), nTok.as("n_tok"), nDist.as("n_dist"),
-        n2.as("n_2gram"), nSh2.as("n_2gram_dist"))
-      .select(col("doc_id"), col("n_tok"),
-        expr("((n_tok - n_dist) * 10000) div greatest(n_tok, 1)").as("dup_tok_bp"),
-        expr("((n_2gram - n_2gram_dist) * 10000) div greatest(n_2gram, 1)").as("dup_2gram_bp"))
+    d.withColumn("n_tok", nTok).withColumn("n_dist", nDist)
+      .withColumn("n_2gram", n2).withColumn("n_2gram_dist", nSh2)
+      .withColumn("dup_tok_bp",
+        expr("((n_tok - n_dist) * 10000) div greatest(n_tok, 1)"))
+      .withColumn("dup_2gram_bp",
+        expr("((n_2gram - n_2gram_dist) * 10000) div greatest(n_2gram, 1)"))
   }
 
   val repetitionScoreSql: String =
@@ -554,16 +569,21 @@ object LlmQueries {
     val dupes = Dedup.minhashLshPairs(docs, n = 3, perms = 64, bands = 16,
         num = jaccardNum, den = jaccardDen)
       .select(col("doc_b").as("dup_id")).distinct()
-    val quality = qualityScore(spark, dir).select("doc_id", "score_bp")
-    val lang = langId(spark, dir).select("doc_id", "pred_lang")
-    val repetition = repetitionScore(spark, dir).select("doc_id", "dup_2gram_bp")
-    quality.join(lang, "doc_id")
-      .join(repetition, "doc_id")
+    // one fused per-row stage for all three stateless signals (no joins) —
+    // the identical chain the streaming twin runs (Streaming.curationStream)
+    perRowCuration(docs)
       .join(dupes, col("doc_id") === col("dup_id"), "left_anti")
-      .filter(col("score_bp") >= 1400 && col("pred_lang") === "en" &&
-        col("dup_2gram_bp") < 600)
       .select("doc_id", "pred_lang", "score_bp")
   }
+
+  /** The stateless per-row half of the curation pipeline: quality + lang +
+    * repetition signals computed in one codegen stage, then filtered. Used
+    * verbatim by both the batch flagship and the streaming ingest twin.
+    */
+  def perRowCuration(docs: DataFrame): DataFrame =
+    repetitionScoreOf(langIdOf(qualityScoreOf(docs)))
+      .filter(col("score_bp") >= 1400 && col("pred_lang") === "en" &&
+        col("dup_2gram_bp") < 600)
 
   val curationPipelineSql: String = {
     val en = TextAnalysis.langMarkers.toMap.apply("en").mkString("|")

@@ -214,6 +214,19 @@ object Streaming {
   def dedupStream(events: DataFrame, keyCols: Seq[String], delay: String): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest twin of the flagship curation pipeline: the stateless
+    * per-row half ([[graft.queries.LlmQueries.perRowCuration]] — quality,
+    * language-ID, repetition signals + filters, one codegen stage) runs on
+    * the document stream UNCHANGED, composed with bounded-state exact dedup
+    * ([[dedupStream]]) when an event-time column is present. The MinHash
+    * near-dup stage is inherently corpus-global and stays the periodic
+    * batch compaction pass — the standard ingest-filter + batch-compaction
+    * curation topology, with one shared code path for the shared stages.
+    */
+  def curationStream(docs: DataFrame): DataFrame =
+    graft.queries.LlmQueries.perRowCuration(docs)
+      .select("doc_id", "pred_lang", "score_bp")
+
   /** Session configs streaming stateful ops need: RocksDB state store
     * (transformWithState requires it; also W1 parity) and a low
     * shuffle-partition count for local runs.

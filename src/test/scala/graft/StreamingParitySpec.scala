@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §5.2 #3): the KTable/aggregate duality, and the zero-grace
   * interval join incl. late-record exclusion (JoinsExample.scala:150,176-178).
   */
+case class DocRow(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
 class StreamingParitySpec extends SparkSuite {
   import spark.implicits._
 
@@ -51,6 +53,19 @@ class StreamingParitySpec extends SparkSuite {
     val got = spark.table("lpk").as[(Long, Long, Timestamp, String, Double)]
       .collect().map(r => r._1 -> r._2).toMap
     assert(got == Map(1L -> 3L, 2L -> 6L))
+  }
+
+  test("streaming curation twin emits exactly the batch per-row pipeline's rows") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = docsDf.as[DocRow].collect().toSeq
+    val ms = MemoryStream[DocRow](spark)
+    ms.addData(docs.take(250)); ms.addData(docs.drop(250))
+    runToMemory(graft.streaming.Streaming.curationStream(ms.toDF), "scur", "append")
+    val got = spark.table("scur").as[(Long, String, Long)].collect().toSet
+    val want = graft.queries.LlmQueries.perRowCuration(docsDf)
+      .select("doc_id", "pred_lang", "score_bp").as[(Long, String, Long)].collect().toSet
+    assert(got == want, "stream output must equal the batch stateless stages")
+    assert(got.nonEmpty)
   }
 
   test("streaming dedup suppresses in-watermark duplicates, bounded state") {
