@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level text kernels shared by interpreted eval and generated code.
+  *
+  * The composed built-in form of shingling —
+  * `transform(sequence(0, size-n), i -> concat_ws(' ', slice(tokens, i+1, n)))`
+  * — is a higher-order-function chain, which Spark evaluates INTERPRETED
+  * (one boxed lambda call per element per row). This kernel is the same
+  * computation as one tight loop behind a single static call, so the
+  * shingle stage that feeds every dedup operator (MinHash, n-gram Jaccard,
+  * fingerprinting) stays out of the interpreter. Output is bit-identical to
+  * the composed form: same split-on-space tokens, same first-occurrence
+  * dedup order (array_distinct semantics), same single-space joins, empty
+  * array for short or null input.
+  */
+object TextKernels {
+
+  /** Distinct word n-gram shingles of `text`, first-occurrence order. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val parts = text.toString.split(" ", -1)
+    var m = 0
+    val toks = new Array[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](math.max(8, (m - n + 1) * 2))
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Catalyst expression wrapping [[TextKernels.shingles]]: null text → null
+  * (standard null propagation; the kernel itself never returns null for
+  * non-null input, and the generated code never assigns the isNull slot —
+  * see the DotProductFP nullability lesson in SCALE.md). Call sites that
+  * need the composed form's null → empty-array behavior wrap in
+  * `coalesce` ([[TextFunctions.graftShingles]] does).
+  */
+case class ShinglesFP(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects a string column, got $t")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.shingles(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Column API for the shingle kernel, with the composed form's
+    * null-text → empty-array semantics.
+    */
+  def graftShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.coalesce(
+      ColumnBridge.column(ShinglesFP(ColumnBridge.expression(text), n)),
+      org.apache.spark.sql.functions.array().cast("array<string>"))
+}

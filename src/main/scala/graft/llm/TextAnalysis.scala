@@ -23,9 +23,20 @@ object TextAnalysis {
     array_remove(split(text, " "), "")
 
   /** Distinct word n-gram shingles joined by single spaces; empty array when
-    * the document is shorter than n tokens.
+    * the document is shorter than n tokens (or null). Backed by the native
+    * [[graft.functions.TextKernels]] kernel — the composed built-in form
+    * (`transform(sequence(...), i => concat_ws(" ", slice(...)))`) is a
+    * higher-order-function chain that Spark evaluates interpreted, and it
+    * sat under every dedup operator; `shinglesComposed` keeps that form as
+    * the spec cross-check.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.graftShingles(text, n)
+
+  /** The built-in HOF composition of [[shingles]] — output-equal (proven by
+    * FunctionsSpec), kept as the kernel's correctness reference.
+    */
+  def shinglesComposed(text: Column, n: Int): Column = {
     val ts = tokens(text)
     when(size(ts) >= n,
       array_distinct(transform(sequence(lit(0), size(ts) - n),

@@ -37,6 +37,26 @@ class FunctionsSpec extends SparkSuite {
     assert(f == Seq.fill(8)(0L))
   }
 
+  test("ShinglesFP kernel is output-equal to the composed HOF form") {
+    import graft.llm.TextAnalysis
+    for (sf <- Seq("sf0.001", "sf0.01"); n <- Seq(2, 3, 5)) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val mism = docs.select(
+          TextAnalysis.shingles(col("text"), n).as("k"),
+          TextAnalysis.shinglesComposed(col("text"), n).as("c"))
+        .filter(not(col("k") <=> col("c"))).count()
+      assert(mism == 0, s"$sf n=$n: kernel diverges from composed form")
+    }
+    // edge cases: multi-space runs, leading/trailing spaces, short, empty, null
+    val edge = Seq("a  b   c d", "  x y  ", "one", "", "a a a a", null)
+      .toDF("text")
+    val mism = edge.select(
+        TextAnalysis.shingles(col("text"), 2).as("k"),
+        TextAnalysis.shinglesComposed(col("text"), 2).as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(mism == 0)
+  }
+
   test("graft_dot returns null when an element is null (zip_with parity)") {
     val df = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
