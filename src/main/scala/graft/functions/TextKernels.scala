@@ -95,4 +95,20 @@ object TextFunctions {
     org.apache.spark.sql.functions.coalesce(
       ColumnBridge.column(ShinglesFP(ColumnBridge.expression(text), n)),
       org.apache.spark.sql.functions.array().cast("array<string>"))
+
+  /** SQL surface: `SELECT graft_shingles(text, 3)` — the n-gram width must
+    * be a literal (it parameterizes generated code).
+    */
+  val registration: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+                     org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                     Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ShinglesFP].getName, "graft_shingles"),
+    (exprs: Seq[Expression]) => exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+        ShinglesFP(exprs.head, n)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles(text, n): n must be an integer literal, got $other")
+    })
 }

@@ -223,6 +223,18 @@ object VectorFunctions {
 
 /** Session extensions registering graft's native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorFunctions.registration)
+    e.injectFunction(TextFunctions.registration)
+  }
+}
+
+object GraftExtensions {
+  /** Register every graft SQL function on an ALREADY-RUNNING session (the
+    * builder-time extensions path can't reach existing sessions).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, VectorFunctions.registration)
+    ColumnBridge.registerFunction(spark, TextFunctions.registration)
+  }
 }

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native function on a LIVE session (the extensions path,
+    * `SparkSession.builder().withExtensions(new GraftExtensions)`, only
+    * applies at session build — this covers sessions that already exist,
+    * e.g. shared test/notebook sessions).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      reg: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+            Seq[Expression] => Expression)): Unit =
+    spark.sessionState.functionRegistry.registerFunction(reg._1, reg._2, reg._3)
 }

@@ -57,6 +57,19 @@ class FunctionsSpec extends SparkSuite {
     assert(mism == 0)
   }
 
+  test("SQL surface: graft_dot and graft_shingles registered on a live session") {
+    graft.functions.GraftExtensions.install(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b', 1 + 2)").head()
+    }
+  }
+
   test("graft_dot returns null when an element is null (zip_with parity)") {
     val df = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
