@@ -41,13 +41,21 @@ object Dedup {
 
   /** Fan the (compact) documents input across all cores before the
     * CPU-heavy shingle construction: a small parquet file arrives as ONE
-    * split, and without this shuffle the per-doc interpreted shingle
-    * expression runs serially — measured 41× (not 16×) runtime growth on a
-    * 16× corpus until the input was spread. The shuffled payload is just
-    * the raw documents (tiny next to the shingle expansion).
+    * split, and without this shuffle the per-doc shingle expression runs
+    * serially — measured 41× (not 16×) runtime growth on a 16× corpus
+    * until the input was spread. The shuffled payload is just the raw
+    * documents (tiny next to the shingle expansion).
+    *
+    * GATED on the scan's actual file count: a 100 TB corpus arrives in
+    * thousands of files and already fans out, and an unconditional
+    * repartition there would shuffle the full text for nothing. One
+    * metadata lookup (`inputFiles`), no job.
     */
-  private def spread(documents: DataFrame): DataFrame =
-    documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
+  private def spread(documents: DataFrame): DataFrame = {
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    if (documents.inputFiles.length >= par) documents
+    else documents.repartition(par)
+  }
 
   /** Inverted-index postings: one (doc_id, shingle-hash) row per distinct
     * word n-gram per document. The md5 runs post-explode in codegen.

@@ -272,8 +272,12 @@ object Similarity {
   /** Fan a small-but-compute-heavy input out across the cluster. A compact
     * parquet file arrives as ONE split, which serializes any downstream
     * O(N²) stage — one round-robin shuffle of the (tiny) input buys full
-    * parallelism for the expensive part. No effect on results.
+    * parallelism for the expensive part. No effect on results. Gated on
+    * the scan's file count (metadata only): many-file corpora already fan
+    * out and must not pay a pointless full shuffle.
     */
-  private def spreadSmallInput(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spreadSmallInput(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= par) df else df.repartition(par)
+  }
 }
