@@ -64,6 +64,7 @@ object SparkEntry {
     "top_tokens_per_lang"  -> (LlmQueries.topTokensPerLang _),
     "embed_centroids"      -> (LlmQueries.embedCentroids _),
     "multimodal_meta"      -> (LlmQueries.multimodalMeta _),
+    "multimodal_frames"    -> (LlmQueries.multimodalFrames _),
     "curation_pipeline"    -> (LlmQueries.curationPipeline _),
     // analytic coverage (sorts/top-k, set ops, rollup, distinct)
     "q1_pricing"           -> (AnalyticsQueries.q1Pricing _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "top_tokens_per_lang"  -> LlmQueries.topTokensPerLangSql,
     "embed_centroids"      -> LlmQueries.embedCentroidsSql,
     "multimodal_meta"      -> LlmQueries.multimodalMetaSql,
+    "multimodal_frames"    -> LlmQueries.multimodalFramesSql,
     "curation_pipeline"    -> LlmQueries.curationPipelineSql,
     "q1_pricing"           -> AnalyticsQueries.q1PricingSql,
     "topk_orders_per_cust" -> AnalyticsQueries.topkOrdersPerCustSql,

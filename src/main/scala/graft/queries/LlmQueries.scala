@@ -626,6 +626,28 @@ object LlmQueries {
   }
 
   // -------------------------------------------------------- multimodal stub
+  /** Frame sampling under the oracle: the video-path explode shape (every
+    * 2nd fixed-size chunk of the payload, rows out ≫ rows in). The stub
+    * blob is the UTF-8 text (pure-ASCII fixture, so the oracle chunks the
+    * VARCHAR byte-identically) and frame hashes are md5-derived — DuckDB
+    * replays chunking, sampling, and hashing exactly.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(spark,
+        Multimodal.withBlob(Tables.documents(spark, dir)),
+        chunkBytes = 64, everyN = 2)
+      .toDF()
+      .select("doc_id", "frame_idx", "frame_bytes", "frame_hash")
+
+  val multimodalFramesSql: String =
+    s"""SELECT doc_id, i::INT AS frame_idx,
+       |  octet_length(encode(substr(text, (i * 64 + 1)::INT, 64))) AS frame_bytes,
+       |  ('0x' || substr(md5(substr(text, (i * 64 + 1)::INT, 64)), 1, 15))::BIGINT AS frame_hash
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS i
+       |      FROM documents)
+       |WHERE i % 2 = 0""".stripMargin
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(spark, Multimodal.withBlob(Tables.documents(spark, dir)))
       .toDF()
