@@ -69,6 +69,7 @@ object SparkEntry {
     // analytic coverage (sorts/top-k, set ops, rollup, distinct)
     "q1_pricing"           -> (AnalyticsQueries.q1Pricing _),
     "topk_orders_per_cust" -> (AnalyticsQueries.topkOrdersPerCust _),
+    "topk_orders_heap"     -> (AnalyticsQueries.topkOrdersHeap _),
     "revenue_by_segment"   -> (AnalyticsQueries.revenueBySegment _),
     "set_ops"              -> (AnalyticsQueries.setOps _),
     "sql_surface"          -> (AnalyticsQueries.sqlSurface _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "curation_pipeline"    -> LlmQueries.curationPipelineSql,
     "q1_pricing"           -> AnalyticsQueries.q1PricingSql,
     "topk_orders_per_cust" -> AnalyticsQueries.topkOrdersPerCustSql,
+    "topk_orders_heap"     -> AnalyticsQueries.topkOrdersHeapSql,
     "revenue_by_segment"   -> AnalyticsQueries.revenueBySegmentSql,
     "set_ops"              -> AnalyticsQueries.setOpsSql,
     "sql_surface"          -> AnalyticsQueries.sqlSurfaceSql,

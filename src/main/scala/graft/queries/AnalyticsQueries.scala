@@ -71,6 +71,24 @@ object AnalyticsQueries {
       |  FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  /** Top-k per group WITHOUT a window sort ([[graft.functions.TopKOrders]]):
+    * a bounded-k aggregation buffer gives map-side partial aggregation, so
+    * the shuffle carries ≤ k rows per (partition, group) instead of every
+    * order row — the plan you want when the fact table is 100 TB. Shares
+    * the window form's oracle verbatim (output equality is the contract).
+    */
+  def topkOrdersHeap(spark: SparkSession, dir: String): DataFrame = {
+    val tk = udaf(new graft.functions.TopKOrders(3))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(tk(col("o_orderkey"), col("o_totalprice")).as("top"))
+      .select(col("o_custkey"), explode(col("top")).as("t"))
+      .select(col("o_custkey"), col("t.o_orderkey").as("o_orderkey"),
+        col("t.o_totalprice").as("o_totalprice"), col("t.rn").as("rn"))
+  }
+
+  val topkOrdersHeapSql: String = topkOrdersPerCustSql
+
   /** Revenue by market segment: lineitem ⋈ orders ⋈ broadcast(customer).
     * The two fact tables shuffle on orderkey once; the 150-row customer dim
     * is broadcast so no extra exchange. Distinct order count is exact.
