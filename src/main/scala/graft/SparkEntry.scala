@@ -77,6 +77,8 @@ object SparkEntry {
     "cube_revenue"         -> (AnalyticsQueries.cubeRevenue _),
     "distinct_users"       -> (AnalyticsQueries.distinctUsers _),
     "approx_distinct_kmv"  -> (AnalyticsQueries.approxDistinctKmv _),
+    "value_quantiles"      -> (AnalyticsQueries.valueQuantiles _),
+    "value_histogram"      -> (AnalyticsQueries.valueHistogram _),
     "skew_salted_join"     -> (AnalyticsQueries.skewSaltedJoin _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
@@ -137,6 +139,8 @@ object SparkEntry {
     "cube_revenue"         -> AnalyticsQueries.cubeRevenueSql,
     "distinct_users"       -> AnalyticsQueries.distinctUsersSql,
     "approx_distinct_kmv"  -> AnalyticsQueries.approxDistinctKmvSql,
+    "value_quantiles"      -> AnalyticsQueries.valueQuantilesSql,
+    "value_histogram"      -> AnalyticsQueries.valueHistogramSql,
     "skew_salted_join"     -> AnalyticsQueries.skewSaltedJoinSql,
   )
 }

@@ -262,6 +262,43 @@ object AnalyticsQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Exact interpolated quantiles per group (`percentile`, Spark's exact
+    * form — NOT the approx sketch, which is engine-specific). One hash agg;
+    * per-group state is the sorted value multiset, fine for bounded groups
+    * (5 event types); for unbounded cardinality at scale the approx sketch
+    * (`percentile_approx`) is the drop-in with the same plan shape. Rounded
+    * to 6 dp: Spark interpolates lower + g·(upper−lower), DuckDB
+    * (1−g)·a + g·b — algebraically equal, 1-ulp apart in float.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  val valueQuantilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Fixed-width histogram of the value distribution per event type — the
+    * profiling op before choosing quantile/filter thresholds. Pure integer
+    * bucketing (floor division), one map-side-combined agg.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") / 50.0).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+
+  val valueHistogramSql: String =
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** SQL-text surface (the reference has none — SURVEY.md §2.10): the same
     * engine accepts ANSI SQL over registered views; Catalyst plans it
     * identically to the DataFrame form. Oracle: the very same SQL.
