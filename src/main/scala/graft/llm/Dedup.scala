@@ -130,7 +130,11 @@ object Dedup {
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val common = broadcast(candidates)
+    // no forced broadcast: the candidate set is data-dependent (tiny on
+    // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
+    // its actual size at the shuffle boundary and picks broadcast-hash vs
+    // shuffle join at runtime, which a compile-time hint cannot do safely
+    val common = candidates
       .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
         col("doc_b") === col("pb") && col("h") === col("h_b"))
@@ -189,7 +193,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sizes = shingleSizes(documents, n)
-    val common = broadcast(candidates)
+    // no forced broadcast: the candidate set is data-dependent (tiny on
+    // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
+    // its actual size at the shuffle boundary and picks broadcast-hash vs
+    // shuffle join at runtime, which a compile-time hint cannot do safely
+    val common = candidates
       .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
         col("doc_b") === col("pb") && col("h") === col("h_b"))
