@@ -49,15 +49,20 @@ object Streaming {
     * watermark + tolerance — the symmetric-hash-join state Kafka Streams
     * keeps in its window store, managed by Spark.
     */
+  /** `joinType` extends the same topology to outer forms: "leftOuter"
+    * emits the null-padded left row once the watermark closes its window —
+    * the streaming twin of the batch left interval join (J3).
+    */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
-                         tolerance: String, grace: String = "0 seconds"): DataFrame = {
+                         tolerance: String, grace: String = "0 seconds",
+                         joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", grace).alias("l")
     val r = right.withWatermark("ts", grace).alias("r")
     l.join(r,
       col("l.user_id") === col("r.user_id") &&
         col("r.ts") >= col("l.ts") - expr(s"INTERVAL $tolerance") &&
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $tolerance"),
-      "inner")
+      joinType)
   }
 
   /** A3/W1 (ProcessorApiExample.scala:60-67): per-record read-modify-write

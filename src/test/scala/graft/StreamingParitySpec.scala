@@ -55,6 +55,37 @@ class StreamingParitySpec extends SparkSuite {
     assert(got == Map(1L -> 3L, 2L -> 6L))
   }
 
+  test("left-outer interval join emits null-padded rows after watermark close") {
+    val clicks = rows.filter(_.event_type == "click")
+    val purchases = rows.filter(_.event_type == "purchase")
+    val mc = MemoryStream[Event](spark)
+    val mp = MemoryStream[Event](spark)
+    val out = Streaming.intervalJoinStream(mc.toDF, mp.toDF, "5 SECONDS",
+        joinType = "leftOuter")
+      .select(col("l.event_id").as("click_id"), col("r.event_id").as("purchase_id"))
+    val q = out.writeStream.format("memory").queryName("loj").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-loj").toString)
+      .start()
+    mc.addData(clicks); mp.addData(purchases); q.processAllAvailable()
+    // advance the watermark far past every click window so unmatched left
+    // rows close and emit their null-padded form
+    mc.addData(Seq(Event(99, ts(1000), 9, "click", 0.0, "{}")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("loj").as[(Long, Option[Long])].collect().toSet
+    // inner pairs as before; click 3 at t=40 has no purchase within ±5s and
+    // must appear exactly once with a null right side
+    assert(got.contains((1L, Some(2L))) && got.contains((5L, Some(4L))))
+    assert(got.contains((3L, None)), "unmatched click must null-pad after close")
+    // batch twin on the same rows (excluding the watermark pusher) agrees
+    val batch = graft.api.KStream(clicks.toDF, "user_id", "ts")
+      .joinInterval(graft.api.KStream(purchases.toDF, "user_id", "ts"),
+        "5 SECONDS", joinType = "left")
+      .select(col("l_event_id"), col("r_event_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(batch == got.filter(_._1 != 99L))
+  }
+
   test("streaming curation twin emits exactly the batch per-row pipeline's rows") {
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val docs = docsDf.as[DocRow].collect().toSeq
