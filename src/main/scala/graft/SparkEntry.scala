@@ -50,6 +50,7 @@ object SparkEntry {
     "ann_topk"             -> (LlmQueries.annTopk _),
     "embed_neardup"        -> (LlmQueries.embedNeardup _),
     "ann_lsh"              -> (LlmQueries.annLsh _),
+    "ann_lsh_multiprobe"   -> (LlmQueries.annLshMultiprobe _),
     "ivf_neardup"          -> (LlmQueries.ivfNeardup _),
     "ivf_kmeans_neardup"   -> (LlmQueries.ivfKmeansNeardup _),
     "ivf_multiprobe_neardup" -> (LlmQueries.ivfMultiprobeNeardup _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "ann_topk"             -> LlmQueries.annTopkSql,
     "embed_neardup"        -> LlmQueries.embedNeardupSql,
     "ann_lsh"              -> LlmQueries.annLshSql,
+    "ann_lsh_multiprobe"   -> LlmQueries.annLshMultiprobeSql,
     "ivf_neardup"          -> LlmQueries.ivfNeardupSql,
     "ivf_kmeans_neardup"   -> LlmQueries.ivfKmeansNeardupSql,
     "ivf_multiprobe_neardup" -> LlmQueries.ivfMultiprobeNeardupSql,

@@ -112,8 +112,10 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
   * reproduced here by zeroing all buckets on the first null element.
   */
 case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
-                        nTables: Int, width: Int)
+                        nTables: Int, width: Int, probes: Int = 1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(probes == 1 || probes == 2, "probes must be 1 (primary) or 2 (+flip lowest-margin bit)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -130,10 +132,12 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
     val n = emb.numElements()
-    val buckets = new Array[Long](nTables)
+    val buckets = new Array[Long](nTables * probes)
     var t = 0
     while (t < nTables) {
       var b = 0L
+      var jmin = 0
+      var minAbs = Double.MaxValue
       var j = 0
       while (j < width) {
         val p = planes(t * width + j)
@@ -141,7 +145,7 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
         var acc = 0.0
         var i = 0
         while (i < m) {
-          if (emb.isNullAt(i)) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](nTables))
+          if (emb.isNullAt(i)) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](nTables * probes))
           acc += (elemType match {
             case FloatType => emb.getFloat(i).toDouble
             case DoubleType => emb.getDouble(i)
@@ -150,9 +154,12 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
           i += 1
         }
         if (acc > 0) b |= (1L << j)
+        val a = math.abs(acc)
+        if (a < minAbs) { minAbs = a; jmin = j }
         j += 1
       }
-      buckets(t) = b
+      buckets(t * probes) = b
+      if (probes == 2) buckets(t * probes + 1) = b ^ (1L << jmin)
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
@@ -171,12 +178,16 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
       val p = ctx.freshName("p"); val m = ctx.freshName("m")
       val acc = ctx.freshName("acc"); val b = ctx.freshName("b")
       val nullElem = ctx.freshName("nullElem")
+      val jmin = ctx.freshName("jmin"); val minAbs = ctx.freshName("minAbs")
+      val absAcc = ctx.freshName("absAcc")
       s"""
          |int $n = $emb.numElements();
-         |long[] $buckets = new long[$nTables];
+         |long[] $buckets = new long[${nTables * probes}];
          |boolean $nullElem = false;
          |for (int $t = 0; $t < $nTables && !$nullElem; $t++) {
          |  long $b = 0L;
+         |  int $jmin = 0;
+         |  double $minAbs = Double.MAX_VALUE;
          |  for (int $j = 0; $j < $width && !$nullElem; $j++) {
          |    int[] $p = $planesRef[$t * $width + $j];
          |    int $m = java.lang.Math.min($n, $p.length);
@@ -186,10 +197,13 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
          |      $acc += (${getter(emb, i)}) * (double) $p[$i];
          |    }
          |    if (!$nullElem && $acc > 0) $b |= (1L << $j);
+         |    double $absAcc = java.lang.Math.abs($acc);
+         |    if (!$nullElem && $absAcc < $minAbs) { $minAbs = $absAcc; $jmin = $j; }
          |  }
-         |  $buckets[$t] = $b;
+         |  $buckets[$t * $probes] = $b;
+         |  if ($probes == 2) { $buckets[$t * $probes + 1] = $b ^ (1L << $jmin); }
          |}
-         |if ($nullElem) { $buckets = new long[$nTables]; }
+         |if ($nullElem) { $buckets = new long[${nTables * probes}]; }
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
        """.stripMargin
     })
@@ -206,11 +220,16 @@ object VectorFunctions {
     ColumnBridge.column(DotProductFP(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** All LSH bucket ids of an embedding in one fused pass (array<long>). */
+  /** All LSH bucket ids of an embedding in one fused pass (array<long>).
+    * `probes = 2` appends, per table, the bucket with the LOWEST-MARGIN bit
+    * flipped (the plane whose |projection| is smallest — the most likely
+    * single-bit hash error): symmetric multi-probe, entries laid out
+    * [t0 primary, t0 probe, t1 primary, ...].
+    */
   def graftSignPlanes(emb: Column, planes: Array[Array[Int]],
-                      nTables: Int, width: Int): Column =
+                      nTables: Int, width: Int, probes: Int = 1): Column =
     ColumnBridge.column(SignPlanesFP(
-      ColumnBridge.expression(emb), planes, nTables, width))
+      ColumnBridge.expression(emb), planes, nTables, width, probes))
 
   /** SQL surface: `SELECT graft_dot(a.embedding, b.embedding)` — injected via
     * SparkSessionExtensions (`.withExtensions(new GraftExtensions)`).

@@ -84,16 +84,20 @@ object Similarity {
     * centroid id gives IVF with the same join topology.
     */
   def lshNearDupPairs(embeddings: DataFrame, planes: Array[Array[Int]], minCos: Double,
-                      nTables: Int = 8, width: Int = 4): DataFrame = {
+                      nTables: Int = 8, width: Int = 4, probes: Int = 1): DataFrame = {
     val base = withNorm(embeddings, "v")
     // one fused expression computes every table's bucket id in a single
     // pass over the embedding (SignPlanesFP) — bit-identical to the
     // composed per-plane form (LlmOpsSpec asserts it), ~32× fewer
-    // expression evaluations per row
+    // expression evaluations per row. probes=2 appends each table's
+    // lowest-margin-bit flip (symmetric multi-probe): a pair becomes a
+    // candidate when ANY of its probed buckets collide in a table —
+    // recall rises for ~probes× candidate cost, topology unchanged.
     val buckets = base.select(col("v_id"),
       posexplode(graft.functions.VectorFunctions.graftSignPlanes(
-        col("v_emb"), planes, nTables, width)))
-      .toDF("v_id", "t", "bucket")
+        col("v_emb"), planes, nTables, width, probes)))
+      .toDF("v_id", "pos", "bucket")
+      .select(col("v_id"), (col("pos") / probes).cast("int").as("t"), col("bucket"))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&

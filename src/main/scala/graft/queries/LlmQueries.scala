@@ -189,6 +189,48 @@ object LlmQueries {
        |WHERE round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 
+  // ----------------------------------- similarity: multi-probe sign-plane
+  /** Symmetric multi-probe LSH: each table also probes the bucket with the
+    * lowest-margin bit flipped (the plane most likely to have hashed a
+    * near-neighbor to the other side). Same join topology; recall rises
+    * for ~2× candidate cost — the sign-plane analogue of
+    * [[ivfMultiprobeNeardup]]'s nprobe knob.
+    */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
+        Similarity.defaultPlanes, minCos, probes = 2)
+      .select("a_id", "b_id", "sim")
+
+  val annLshMultiprobeSql: String = {
+    val planeRows = Similarity.defaultPlanes.zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(", ")}])" }
+      .mkString(",\n    ")
+    val projDot =
+      "list_reduce([e.embedding[i]::DOUBLE * pl.v[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+       |           FROM embeddings e0),
+       |pl(p, v) AS (VALUES
+       |    $planeRows),
+       |proj AS (SELECT e.vec_id, pl.p, $projDot AS s FROM e, pl),
+       |tb AS (SELECT vec_id, p // 4 AS t, p % 4 AS j, s FROM proj),
+       |b0 AS (SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+       |       FROM tb GROUP BY vec_id, t),
+       |jm AS (SELECT vec_id, t, j AS jmin FROM (
+       |    SELECT vec_id, t, j,
+       |           row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(s), j) AS rn
+       |    FROM tb) WHERE rn = 1),
+       |bk AS (SELECT vec_id, t, bucket FROM b0
+       |       UNION ALL
+       |       SELECT b0.vec_id, b0.t, xor(b0.bucket, (1::BIGINT << jm.jmin))
+       |       FROM b0 JOIN jm USING (vec_id, t)),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM bk a JOIN bk b
+       |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) AS sim
+       |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+       |WHERE round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
+  }
+
   // --------------------------------------------- similarity: IVF cells
   private val ivfK = 16
 

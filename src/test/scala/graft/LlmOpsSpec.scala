@@ -102,6 +102,10 @@ class LlmOpsSpec extends SparkSuite {
       val exactCos = pairSet(Similarity.exactNearDupPairs(emb, 0.45), "a_id", "b_id")
       val rLsh = recall(pairSet(
         Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, 0.45), "a_id", "b_id"), exactCos)
+      val rLsh2 = recall(pairSet(
+        Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, 0.45, probes = 2),
+        "a_id", "b_id"), exactCos)
+      assert(rLsh2 >= rLsh, "multi-probe LSH recall must dominate single-probe")
       val rIvf = recall(pairSet(Similarity.ivfNearDupPairs(emb, 16, 0.45), "a_id", "b_id"), exactCos)
       val rIvf2 = recall(pairSet(
         Similarity.ivfNearDupPairsMultiProbe(emb, 16, 2, 0.45), "a_id", "b_id"), exactCos)
@@ -110,8 +114,8 @@ class LlmOpsSpec extends SparkSuite {
       val exactJac = pairSet(Dedup.ngramJaccardPairs(docsFx, 3, 4, 5), "doc_a", "doc_b")
       val rMinhash = recall(pairSet(
         Dedup.minhashLshPairs(docsFx, 3, 64, 16, 4, 5), "doc_a", "doc_b"), exactJac)
-      info(f"$sf: cos@0.45 truth=${exactCos.size} ann_lsh=$rLsh%.3f ivf=$rIvf%.3f " +
-        f"ivf_nprobe2=$rIvf2%.3f kmeans_ivf=$rKmeans%.3f | " +
+      info(f"$sf: cos@0.45 truth=${exactCos.size} ann_lsh=$rLsh%.3f lsh_probe2=$rLsh2%.3f " +
+        f"ivf=$rIvf%.3f ivf_nprobe2=$rIvf2%.3f kmeans_ivf=$rKmeans%.3f | " +
         f"jac@0.8 truth=${exactJac.size} minhash_lsh=$rMinhash%.3f")
       // multi-probe must never lose a pair the single-probe assignment found
       assert(rIvf2 >= rIvf, "nprobe=2 recall must dominate nprobe=1")
