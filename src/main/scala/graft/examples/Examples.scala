@@ -178,3 +178,38 @@ object ErrorHandlingApp {
     try run(spark, payloads, maxErrors = 25).show(5) finally spark.stop()
   }
 }
+
+/** Beyond the reference's surface: the end-to-end training-data curation
+  * app a library user writes against graft.llm — MinHash near-dup removal,
+  * then the fused per-row quality/language/repetition stage, same code
+  * batch or streaming (SURVEY.md §2.9; the flagship SparkEntry.entry).
+  */
+object CurationApp {
+  def run(spark: SparkSession, dir: String = ExampleSession.sfDir): DataFrame =
+    graft.queries.LlmQueries.curationPipeline(spark, dir)
+
+  /** The streaming ingest half on the same corpus via MemoryStream — what
+    * runs against a live document feed while the batch compaction pass
+    * (near-dup removal) runs periodically.
+    */
+  def runStreamingIngest(spark: SparkSession, dir: String = ExampleSession.sfDir): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val ms = MemoryStream[(Long, String, String, String, Long)](spark)
+    ms.addData(docs.as[(Long, String, String, String, Long)].collect().toSeq)
+    val q = Streaming.curationStream(
+        ms.toDF.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName("curation_ingest")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-curation").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.table("curation_ingest")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.session()
+    try run(spark).show(5) finally spark.stop()
+  }
+}

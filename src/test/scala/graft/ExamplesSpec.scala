@@ -9,6 +9,18 @@ class ExamplesSpec extends SparkSuite {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
 
+  test("Curation twin: batch flagship and streaming ingest agree on the per-row stages") {
+    val batch = graft.examples.CurationApp.run(spark)
+    assert(batch.count() > 0, "flagship must survive the filters at sf0.001")
+    val ingest = graft.examples.CurationApp.runStreamingIngest(spark)
+    // the streaming half lacks the corpus-global near-dup stage, so it is a
+    // SUPERSET of the batch rows restricted to the per-row filters
+    import spark.implicits._
+    val b = batch.select("doc_id").as[Long].collect().toSet
+    val i = ingest.select("doc_id").as[Long].collect().toSet
+    assert(b.subsetOf(i), "batch output (after dedup) within streaming ingest output")
+  }
+
   test("BasicStreams twin") {
     val out = examples.BasicStreamsApp.run(spark, sf1)
     assert(out.count() > 0)
