@@ -30,6 +30,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
+      finally
+        // drop per-query persisted subplans (dedup postings etc.): plans are
+        // rebuilt per call, so blocks from 2x57 runs would only accumulate
+        spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
     // Warm every query once (unmeasured): Janino codegen compilation and

@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_exact_keyed"    -> (AnalyticsQueries.dedupExactKeyed _),
     "ngram_jaccard"        -> (LlmQueries.ngramJaccard _),
     "minhash_lsh"          -> (LlmQueries.minhashLsh _),
+    "dup_clusters"         -> (LlmQueries.dupClusters _),
     "simhash_neardup"      -> (LlmQueries.simhashNeardup _),
     "ann_topk"             -> (LlmQueries.annTopk _),
     "embed_neardup"        -> (LlmQueries.embedNeardup _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_exact_keyed"    -> AnalyticsQueries.dedupExactKeyedSql,
     "ngram_jaccard"        -> LlmQueries.ngramJaccardSql,
     "minhash_lsh"          -> LlmQueries.minhashLshSql,
+    "dup_clusters"         -> LlmQueries.dupClustersSql,
     "simhash_neardup"      -> LlmQueries.simhashNeardupSql,
     "ann_topk"             -> LlmQueries.annTopkSql,
     "embed_neardup"        -> LlmQueries.embedNeardupSql,

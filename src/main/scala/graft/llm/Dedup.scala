@@ -210,6 +210,59 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
+  /** Duplicate-CLUSTER resolution over a near-dup pair graph: connected
+    * components by iterative min-label propagation (each vertex adopts the
+    * smallest label among itself and its neighbors until fixpoint), so a
+    * duplicate CHAIN a~b, b~c collapses to one cluster labeled by its
+    * minimal doc id — the correct "keep one document per duplicate group"
+    * semantics, where pairwise dropping can over- or under-delete.
+    *
+    * Scale topology: the classic Pregel loop — per iteration one equi-join
+    * of labels onto edges + a min aggregation (both map-side combinable),
+    * converging in O(component diameter) rounds; near-dup clusters are
+    * shallow (chains of a few docs), so 2–4 rounds in practice. Only the
+    * scalar changed-count crosses the driver per round. Deterministic, so
+    * the DuckDB oracle replays it as reachability (recursive CTE) +
+    * min-over-reachable — fixpoint label propagation and min-of-component
+    * are the same function.
+    *
+    * Each round ends in an eager localCheckpoint: without it the loop's
+    * logical plan doubles per iteration (every round embeds the full
+    * lineage of all prior rounds) and analysis alone OOMs after ~8 rounds.
+    * Cutting lineage keeps round N's plan a constant two-shuffle shape
+    * regardless of N — on a real cluster swap localCheckpoint for
+    * reliable `checkpoint` against the cluster checkpoint dir.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // one shuffle per round: the vertex's own row rides along tagged, so
+      // "changed" is a cheap scan of the checkpointed result instead of a
+      // second shuffle join against the previous labels
+      val prop = labels.join(edges, col("id") === col("s"))
+        .select(col("d").as("id"), col("label"), lit(false).as("own"))
+        .union(labels.select(col("id"), col("label"), lit(true).as("own")))
+        .groupBy("id")
+        .agg(min("label").as("label"),
+             min(when(col("own"), col("label"))).as("old"))
+        .localCheckpoint(true)
+      val changed = prop.filter(col("label") =!= col("old")).count()
+      labels = prop.select("id", "label")
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 60-bit SimHash per document over whitespace tokens: bit j is set when
     * Σ_tokens (±1 from bit j of md5(token)) is positive. The sum runs over
     * token OCCURRENCES (explode keeps duplicates), so this is the

@@ -106,6 +106,30 @@ object LlmQueries {
 
   val minhashLshSql: String = s"WITH $minhashCtes\n$minhashFinalSelect"
 
+  // ---------------------------------------- dedup: duplicate clusters
+  /** Connected components over the MinHash near-dup pair graph
+    * ([[graft.llm.Dedup.duplicateClusters]]): every document in a duplicate
+    * chain gets the chain's minimal doc id as its cluster label. The oracle
+    * replays the fixpoint as reachability (recursive CTE) + min — the same
+    * function, closed-form.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(Tables.documents(spark, dir), n = 3, perms = 64,
+        bands = 16, num = jaccardNum, den = jaccardDen)
+        .select("doc_a", "doc_b"))
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashFinalSelect),
+       |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (SELECT s, d FROM ed
+       |                UNION
+       |                SELECT r.s, e.d FROM reach r JOIN ed e ON r.d = e.s)
+       |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+       |FROM reach GROUP BY s""".stripMargin
+
   // ----------------------------------------------------- dedup: SimHash
   private val simhashMaxDist = 4
 

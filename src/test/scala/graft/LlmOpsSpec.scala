@@ -85,6 +85,19 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)), "parallel vectors bucket together and verify; orthogonal doesn't")
   }
 
+  test("duplicate clusters collapse chains that pairwise dropping would split") {
+    // a~b, b~c, but NOT a~c: one cluster labeled by the minimal id; the
+    // disjoint pair (7,9) stays its own cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain exercises multiple propagation rounds
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L), "whole chain is one component")
+  }
+
   test("LSH/IVF recall vs exact baselines is quantified and floored (SCALE.md table)") {
     // ground truth = the exact operators on the sf0.001 fixtures; every
     // approximate operator verifies candidates with the exact measure, so
