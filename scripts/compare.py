@@ -9,6 +9,7 @@ parquet tables registered as views, and compares: column set, dtypes
 (loosely), row count, and exact values after sorting rows and columns.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -32,7 +33,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
+    n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # a SPARK_GRAFT_ONLY-filtered Verify run dumps a subset; compare those
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
             want = canon(con.sql(sql).df())
@@ -68,7 +74,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
         else:
             print(f"OK    {name} ({len(got)} rows)")
-    print(f"{'PASS' if n_bad == 0 else 'FAIL'}: {len(oracle) - n_bad}/{len(oracle)} queries match")
+    n_run = len(oracle) - n_skip
+    skipped = f" ({n_skip} not dumped, skipped)" if n_skip else ""
+    print(f"{'PASS' if n_bad == 0 else 'FAIL'}: {n_run - n_bad}/{n_run} queries match{skipped}")
     return 1 if n_bad else 0
 
 

@@ -47,6 +47,8 @@ object SparkEntry {
     "ngram_jaccard"        -> (LlmQueries.ngramJaccard _),
     "minhash_lsh"          -> (LlmQueries.minhashLsh _),
     "dup_clusters"         -> (LlmQueries.dupClusters _),
+    "bag_jaccard"          -> (LlmQueries.bagJaccard _),
+    "minhash_weighted"     -> (LlmQueries.minhashWeighted _),
     "simhash_neardup"      -> (LlmQueries.simhashNeardup _),
     "ann_topk"             -> (LlmQueries.annTopk _),
     "embed_neardup"        -> (LlmQueries.embedNeardup _),
@@ -61,6 +63,7 @@ object SparkEntry {
     "doc_fingerprint"      -> (LlmQueries.docFingerprint _),
     "repetition_score"     -> (LlmQueries.repetitionScore _),
     "pii_count"            -> (LlmQueries.piiCount _),
+    "pii_redact"           -> (LlmQueries.piiRedact _),
     "sample_stratified"    -> (LlmQueries.sampleStratified _),
     "tfidf"                -> (LlmQueries.tfidf _),
     "top_tokens_per_lang"  -> (LlmQueries.topTokensPerLang _),
@@ -82,6 +85,7 @@ object SparkEntry {
     "value_quantiles"      -> (AnalyticsQueries.valueQuantiles _),
     "value_histogram"      -> (AnalyticsQueries.valueHistogram _),
     "skew_salted_join"     -> (AnalyticsQueries.skewSaltedJoin _),
+    "bloom_pruned_join"    -> (AnalyticsQueries.bloomPrunedJoin _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
   )
@@ -112,6 +116,8 @@ object SparkEntry {
     "ngram_jaccard"        -> LlmQueries.ngramJaccardSql,
     "minhash_lsh"          -> LlmQueries.minhashLshSql,
     "dup_clusters"         -> LlmQueries.dupClustersSql,
+    "bag_jaccard"          -> LlmQueries.bagJaccardSql,
+    "minhash_weighted"     -> LlmQueries.minhashWeightedSql,
     "simhash_neardup"      -> LlmQueries.simhashNeardupSql,
     "ann_topk"             -> LlmQueries.annTopkSql,
     "embed_neardup"        -> LlmQueries.embedNeardupSql,
@@ -126,6 +132,7 @@ object SparkEntry {
     "doc_fingerprint"      -> LlmQueries.docFingerprintSql,
     "repetition_score"     -> LlmQueries.repetitionScoreSql,
     "pii_count"            -> LlmQueries.piiCountSql,
+    "pii_redact"           -> LlmQueries.piiRedactSql,
     "sample_stratified"    -> LlmQueries.sampleStratifiedSql,
     "tfidf"                -> LlmQueries.tfidfSql,
     "top_tokens_per_lang"  -> LlmQueries.topTokensPerLangSql,
@@ -146,5 +153,6 @@ object SparkEntry {
     "value_quantiles"      -> AnalyticsQueries.valueQuantilesSql,
     "value_histogram"      -> AnalyticsQueries.valueHistogramSql,
     "skew_salted_join"     -> AnalyticsQueries.skewSaltedJoinSql,
+    "bloom_pruned_join"    -> AnalyticsQueries.bloomPrunedJoinSql,
   )
 }

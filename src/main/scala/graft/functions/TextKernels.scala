@@ -55,6 +55,38 @@ object TextKernels {
     while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL word n-gram shingles of `text` in document order — duplicates kept.
+    * The multiset form behind the weighted (bag) Jaccard operators, where a
+    * shingle's occurrence count is its weight.
+    */
+  def shinglesAll(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val parts = text.toString.split(" ", -1)
+    var m = 0
+    val toks = new Array[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Catalyst expression wrapping [[TextKernels.shingles]]: null text → null
@@ -64,7 +96,8 @@ object TextKernels {
   * need the composed form's null → empty-array behavior wrap in
   * `coalesce` ([[TextFunctions.graftShingles]] does).
   */
-case class ShinglesFP(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesFP(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -76,12 +109,15 @@ case class ShinglesFP(child: Expression, n: Int) extends UnaryExpression {
         s"graft_shingles expects a string column, got $t")
     }
 
+  private def kernel: String = if (distinct) "shingles" else "shinglesAll"
+
   override def nullSafeEval(text: Any): Any =
-    TextKernels.shingles(text.asInstanceOf[UTF8String], n)
+    if (distinct) TextKernels.shingles(text.asInstanceOf[UTF8String], n)
+    else TextKernels.shinglesAll(text.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextKernels.shingles($c, $n);")
+      s"${ev.value} = graft.functions.TextKernels.$kernel($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -94,6 +130,12 @@ object TextFunctions {
   def graftShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.functions.coalesce(
       ColumnBridge.column(ShinglesFP(ColumnBridge.expression(text), n)),
+      org.apache.spark.sql.functions.array().cast("array<string>"))
+
+  /** All-occurrences (multiset) variant — duplicates kept, document order. */
+  def graftShinglesAll(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.coalesce(
+      ColumnBridge.column(ShinglesFP(ColumnBridge.expression(text), n, distinct = false)),
       org.apache.spark.sql.functions.array().cast("array<string>"))
 
   /** SQL surface: `SELECT graft_shingles(text, 3)` — the n-gram width must
@@ -110,5 +152,21 @@ object TextFunctions {
         ShinglesFP(exprs.head, n)
       case other => throw new IllegalArgumentException(
         s"graft_shingles(text, n): n must be an integer literal, got $other")
+    })
+
+  /** SQL surface for the multiset variant:
+    * `SELECT graft_shingles_all(text, 3)`.
+    */
+  val registrationAll: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+                        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                        Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles_all"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ShinglesFP].getName, "graft_shingles_all"),
+    (exprs: Seq[Expression]) => exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+        ShinglesFP(exprs.head, n, distinct = false)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles_all(text, n): n must be an integer literal, got $other")
     })
 }

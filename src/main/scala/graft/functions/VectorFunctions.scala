@@ -245,6 +245,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorFunctions.registration)
     e.injectFunction(TextFunctions.registration)
+    e.injectFunction(TextFunctions.registrationAll)
   }
 }
 
@@ -255,5 +256,6 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, VectorFunctions.registration)
     ColumnBridge.registerFunction(spark, TextFunctions.registration)
+    ColumnBridge.registerFunction(spark, TextFunctions.registrationAll)
   }
 }

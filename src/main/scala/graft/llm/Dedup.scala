@@ -175,23 +175,31 @@ object Dedup {
     * broadcast join back to the postings — only candidate pairs are ever
     * materialized. At scale the band shuffle is O(docs × bands) short keys.
     */
-  def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
-                      num: Int, den: Int): DataFrame = {
+  /** LSH banding over MinHash signatures: split each `perms`-long signature
+    * into `bands` bands, emit (doc_a < doc_b) for every pair sharing any
+    * band key. Shared by the set and weighted MinHash joins.
+    */
+  private def bandCandidates(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
-    val posts = shinglePostings(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesFromPosts(posts, perms)
     val bandKeys = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))
       }: _*)))
       .toDF("doc_id", "band", "key")
-    val candidates = bandKeys.as("a")
+    bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
+                      num: Int, den: Int): DataFrame = {
+    val posts = shinglePostings(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFromPosts(posts, perms)
+    val candidates = bandCandidates(sigs, perms, bands)
     val sizes = shingleSizes(documents, n)
     // no forced broadcast: the candidate set is data-dependent (tiny on
     // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
@@ -208,6 +216,80 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+  }
+
+  /** Bag (multiset) postings: one row per (doc, distinct shingle) with the
+    * shingle's OCCURRENCE COUNT as its weight — boilerplate-and-template
+    * repetition that set-Jaccard cannot see. One map-side-combined
+    * aggregation over the all-occurrences shingle explode; the hash is
+    * computed post-aggregate, once per distinct shingle.
+    */
+  def bagPostings(documents: DataFrame, n: Int): DataFrame =
+    spread(documents)
+      .select(col("doc_id"), explode(TextAnalysis.shinglesAll(col("text"), n)).as("s"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("s"), col("cnt"), PortableHash.md5Long(col("s")).as("h"))
+
+  /** Exact weighted (bag) Jaccard pairs:
+    * J_w = Σ min(cnt_a, cnt_b) / Σ max(cnt_a, cnt_b) ≥ num/den, in pure
+    * integer arithmetic (Σ max = w_a + w_b − Σ min). The same
+    * inverted-index topology as [[ngramJaccardPairs]] — postings of
+    * (doc, hash, count) shuffle, never documents — but duplicate-heavy
+    * docs no longer inflate toward 1.0: a doc that is another's text
+    * repeated k times scores 1/k, not ~1.
+    */
+  def bagJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val bag = bagPostings(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
+    val common = bag.as("a")
+      .join(bag.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("w_common"))
+    common
+      .join(wsizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w_sh", "wsize_a"), "doc_a")
+      .join(wsizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w_sh", "wsize_b"), "doc_b")
+      .filter(col("w_common") * den >= (col("wsize_a") + col("wsize_b") - col("w_common")) * num)
+      .select("doc_a", "doc_b", "w_common", "wsize_a", "wsize_b")
+  }
+
+  /** Weighted MinHash + LSH, exact-verified: MinHash over the MULTISET
+    * EXPANSION — shingle s with count c contributes elements
+    * (s,1)…(s,c), hashed md5(s + "#" + r) — so P[sig collision] equals the
+    * bag Jaccard exactly (the expansion reduces weighted Jaccard on integer
+    * weights to set Jaccard on the expanded universe). Banding and
+    * candidate verification mirror [[minhashLshPairs]], with verification
+    * against the exact bag measure of [[bagJaccardPairs]].
+    *
+    * Scale: the expansion multiplies postings by the mean shingle
+    * multiplicity (≈1 on natural text; bounded by doc length on degenerate
+    * repetition), after which shuffle volume is again O(docs) signatures +
+    * O(docs × bands) band keys. The "#r" suffix is unambiguous: r is
+    * digit-only, so distinct (s, r) pairs never collide.
+    */
+  def minhashWeightedPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
+                           num: Int, den: Int): DataFrame = {
+    val bag = bagPostings(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expanded = bag
+      .select(col("doc_id"), col("s"), explode(sequence(lit(1L), col("cnt"))).as("r"))
+      .select(col("doc_id"),
+        PortableHash.md5Long(concat(col("s"), lit("#"), col("r").cast("string"))).as("h"))
+    val candidates = bandCandidates(minhashSignaturesFromPosts(expanded, perms), perms, bands)
+    val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
+    // AQE picks the verify-join strategy from the candidate set's runtime size
+    val common = candidates
+      .join(bag.select(col("doc_id").as("doc_a"), col("h"), col("cnt").as("cnt_a")), "doc_a")
+      .join(bag.select(col("doc_id").as("pb"), col("h").as("h_b"), col("cnt").as("cnt_b")),
+        col("doc_b") === col("pb") && col("h") === col("h_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("cnt_a"), col("cnt_b"))).as("w_common"))
+    common
+      .join(wsizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w_sh", "wsize_a"), "doc_a")
+      .join(wsizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w_sh", "wsize_b"), "doc_b")
+      .filter(col("w_common") * den >= (col("wsize_a") + col("wsize_b") - col("w_common")) * num)
+      .select("doc_a", "doc_b", "w_common", "wsize_a", "wsize_b")
   }
 
   /** Duplicate-CLUSTER resolution over a near-dup pair graph: connected

@@ -33,6 +33,13 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     graft.functions.TextFunctions.graftShingles(text, n)
 
+  /** ALL word n-gram shingles, duplicates kept in document order — the
+    * multiset form whose occurrence counts weight the bag-Jaccard operators
+    * ([[graft.llm.Dedup.bagPostings]]).
+    */
+  def shinglesAll(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.graftShinglesAll(text, n)
+
   /** The built-in HOF composition of [[shingles]] — output-equal (proven by
     * FunctionsSpec), kept as the kernel's correctness reference.
     */

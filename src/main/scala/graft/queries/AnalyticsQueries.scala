@@ -262,6 +262,81 @@ object AnalyticsQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Broadcast Bloom-filter pruned join — the 100 TB pattern for filtering
+    * a huge fact table by a selective dimension whose KEY SET is too big to
+    * broadcast: broadcast a fixed-size bit array instead (here 16 Kbit =
+    * 2 KB regardless of key count), pre-filter the fact scan against it,
+    * and only bloom-survivors reach the real (shuffle) join. No false
+    * negatives by construction; false positives only cost wasted join
+    * input, never wrong answers. This is what Spark's own runtime row-level
+    * filtering does with engine-internal hashes; this operator is the
+    * PORTABLE version — md5-derived bit positions and integer masks, so the
+    * DuckDB oracle builds the identical bitmap and replays membership
+    * bit-for-bit, false positives included.
+    *
+    * Layout: m=16384 bits as 512 BIGINT lanes of 32 (masks stay below the
+    * sign bit on both engines); k=3 probes/key. The compile-time
+    * `broadcast()` hint is safe here — unlike a data-dependent candidate
+    * set, the bitmap's size is FIXED by construction (512 rows), so the
+    * AQE-vs-hint lesson (SCALE.md) does not apply. Sizing at scale: m grows
+    * with build-side count n (~10–16 bits/key keeps FP% low); the bitmap
+    * stays KB–MB when n is millions, still broadcastable.
+    *
+    * Output is the audit summary (pass/exact/false-positive counts), which
+    * makes the FP behavior itself oracle-verified.
+    */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16384
+    val k = 3
+    import graft.engine.PortableHash
+    val build = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val js = array((0 until k).map(lit): _*)
+    def pos(key: org.apache.spark.sql.Column) =
+      pmod(PortableHash.md5Long(
+        concat(col("j").cast("string"), lit(":"), key.cast("string"))), lit(m))
+    val bits = build
+      .select(explode(js).as("j"), col("c_custkey"))
+      .withColumn("pos", pos(col("c_custkey")))
+      .selectExpr("CAST(pos div 32 AS INT) AS lane",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask")
+      .groupBy("lane").agg(bit_or(col("mask")).as("bm"))
+    val pass = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), explode(js).as("j"))
+      .withColumn("pos", pos(col("o_custkey")))
+      .withColumn("lane", expr("CAST(pos div 32 AS INT)"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .join(broadcast(bits), "lane")
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(sum(when(col("bm").bitwiseAND(col("mask")) =!= 0, 1).otherwise(0)).as("n_hit"))
+      .filter(col("n_hit") === k)
+    pass
+      .join(build.withColumnRenamed("c_custkey", "bk"),
+        col("o_custkey") === col("bk"), "left")
+      .agg(count(lit(1)).as("n_bloom_pass"), count(col("bk")).as("n_exact"),
+        (count(lit(1)) - count(col("bk"))).as("n_false_pos"))
+  }
+
+  val bloomPrunedJoinSql: String = {
+    val md5 = "(('0x' || substr(md5(j::VARCHAR || ':' || key::VARCHAR), 1, 15))::BIGINT)"
+    s"""WITH build AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |bits AS (SELECT pos // 32 AS lane, bit_or(1::BIGINT << (pos % 32)) AS bm
+       |         FROM (SELECT $md5 % 16384 AS pos
+       |               FROM (SELECT c_custkey AS key FROM build), range(3) t(j))
+       |         GROUP BY 1),
+       |probe AS (SELECT o_orderkey, key, $md5 % 16384 AS pos
+       |          FROM (SELECT o_orderkey, o_custkey AS key FROM orders), range(3) t(j)),
+       |pass AS (SELECT o_orderkey, key
+       |         FROM probe p JOIN bits b ON p.pos // 32 = b.lane
+       |         GROUP BY 1, 2
+       |         HAVING sum(CASE WHEN (b.bm & (1::BIGINT << (p.pos % 32))) != 0
+       |                         THEN 1 ELSE 0 END) = 3)
+       |SELECT count(*) AS n_bloom_pass, count(bk.c_custkey) AS n_exact,
+       |       count(*) - count(bk.c_custkey) AS n_false_pos
+       |FROM pass LEFT JOIN build bk ON pass.key = bk.c_custkey""".stripMargin
+  }
+
   /** Exact interpolated quantiles per group (`percentile`, Spark's exact
     * form — NOT the approx sketch, which is engine-specific). One hash agg;
     * per-group state is the sorted value multiset, fine for bounded groups

@@ -106,6 +106,80 @@ object LlmQueries {
 
   val minhashLshSql: String = s"WITH $minhashCtes\n$minhashFinalSelect"
 
+  // ------------------------------------- dedup: weighted (bag) Jaccard
+  /** DuckDB CTEs for the bag (multiset) shingle postings — mirrors
+    * [[graft.llm.Dedup.bagPostings]]: all-occurrences shingles (no
+    * distinct), grouped to (doc, shingle, count). Casts keep every summed
+    * weight BIGINT on both engines (DuckDB SUM(BIGINT) is HUGEINT).
+    */
+  private def bagCtes(n: Int): String =
+    s"""toks AS (SELECT doc_id, text,
+       |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens FROM documents),
+       |shsa AS (SELECT doc_id,
+       |         CASE WHEN len(tokens) >= $n
+       |              THEN [array_to_string(tokens[i:i+${n - 1}], ' ')
+       |                    for i in range(1, len(tokens) - ${n - 2})]
+       |              ELSE [] END AS sh FROM toks),
+       |bag AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt,
+       |               ${PortableHash.md5LongSql("s")} AS h
+       |        FROM (SELECT doc_id, unnest(sh) AS s FROM shsa) GROUP BY doc_id, s),
+       |wsizes AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS w_sh FROM bag GROUP BY 1)""".stripMargin
+
+  private val bagFinalSelect: String =
+    s"""SELECT doc_a, doc_b, w_common, sa.w_sh AS wsize_a, sb.w_sh AS wsize_b
+       |FROM common JOIN wsizes sa ON doc_a = sa.doc_id JOIN wsizes sb ON doc_b = sb.doc_id
+       |WHERE w_common * $jaccardDen >= (sa.w_sh + sb.w_sh - w_common) * $jaccardNum""".stripMargin
+
+  /** Exact weighted (bag) n-gram Jaccard: occurrence counts weight each
+    * shingle, so template/boilerplate repetition that set-Jaccard is blind
+    * to lowers the score ([[graft.llm.Dedup.bagJaccardPairs]]).
+    */
+  def bagJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bagJaccardPairs(Tables.documents(spark, dir), 3, jaccardNum, jaccardDen)
+
+  val bagJaccardSql: String =
+    s"""WITH ${bagCtes(3)},
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                  CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS w_common
+       |           FROM bag a JOIN bag b ON a.h = b.h AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |$bagFinalSelect""".stripMargin
+
+  /** Weighted MinHash + LSH over the multiset expansion, verified with the
+    * exact bag measure ([[graft.llm.Dedup.minhashWeightedPairs]]) — the
+    * scale path for weighted dedup: constant-size signatures instead of
+    * posting joins.
+    */
+  def minhashWeighted(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashWeightedPairs(Tables.documents(spark, dir), n = 3, perms = 64,
+      bands = 16, num = jaccardNum, den = jaccardDen)
+
+  val minhashWeightedSql: String = {
+    val p = PortableHash.P
+    s"""WITH ${bagCtes(3)},
+       |expw AS (SELECT doc_id,
+       |         unnest([${PortableHash.md5LongSql("s || '#' || r")}
+       |                 for r in range(1, cnt + 1)]) AS h FROM bag),
+       |params AS (SELECT i,
+       |    ((('0x' || substr(md5('a' || i), 1, 15))::BIGINT) % ${p - 1}) + 1 AS a,
+       |    (('0x' || substr(md5('b' || i), 1, 15))::BIGINT) % $p AS b
+       |  FROM range(64) t(i)),
+       |sigsw AS (SELECT e.doc_id, p.i, min((p.a * (e.h % $p) + p.b) % $p) AS m
+       |          FROM expw e CROSS JOIN params p GROUP BY 1, 2),
+       |bandkeys AS (SELECT doc_id, i // 4 AS band,
+       |             string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+       |             FROM sigsw GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bandkeys a JOIN bandkeys b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |common AS (SELECT c.doc_a, c.doc_b,
+       |                  CAST(sum(least(pa.cnt, pb.cnt)) AS BIGINT) AS w_common
+       |           FROM cand c JOIN bag pa ON pa.doc_id = c.doc_a
+       |                       JOIN bag pb ON pb.doc_id = c.doc_b AND pb.h = pa.h
+       |           GROUP BY 1, 2)
+       |$bagFinalSelect""".stripMargin
+  }
+
   // ---------------------------------------- dedup: duplicate clusters
   /** Connected components over the MinHash near-dup pair graph
     * ([[graft.llm.Dedup.duplicateClusters]]): every document in a duplicate
@@ -503,6 +577,64 @@ object LlmQueries {
        |  len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_url,
        |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnum
        |FROM documents""".stripMargin
+
+  // ------------------------------------------------------ text: PII redaction
+  /** PII redaction — the write path of [[piiCount]]'s signals: emails,
+    * URLs, then long digit runs replaced with typed placeholder tokens, in
+    * that order (URL-embedded addresses are already gone when the digit
+    * pass runs). Pure per-row `regexp_replace` chain in codegen; emitted
+    * only for documents that changed, with the redaction count as an audit
+    * column.
+    *
+    * The fixture corpus is PII-free (word-soup text, no digits) and
+    * testdata is read-only, so — like [[graft.queries.ReferenceQueries
+    * .errorDeadletterSplit]]'s corruption — PII is injected
+    * deterministically at read time: every 10th document gains an email,
+    * a URL, and a 7+-digit account number, and the redaction chain then
+    * has real work whose output the oracle replays.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val injected = Tables.documents(spark, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" contact user"), id,
+          lit("@example.com or https://site.example/u/"), id,
+          lit(" acct 900000"), id))
+        .otherwise(col("text")))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), TextAnalysis.emailRe, "<EMAIL>"),
+          TextAnalysis.urlRe, "<URL>"),
+        TextAnalysis.longDigitRe, "<NUM>")
+    val t = col("text")
+    injected
+      .select(col("doc_id"), redacted.as("clean_text"),
+        (TextAnalysis.regexCount(t, TextAnalysis.emailRe) +
+          TextAnalysis.regexCount(t, TextAnalysis.urlRe) +
+          TextAnalysis.regexCount(t, TextAnalysis.longDigitRe)).as("n_redacted"))
+      .filter(col("n_redacted") > 0)
+  }
+
+  val piiRedactSql: String = {
+    val email = TextAnalysis.emailRe.replace("\\\\", "\\")
+    s"""WITH inj AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0
+       |         THEN text || ' contact user' || doc_id || '@example.com or https://site.example/u/'
+       |              || doc_id || ' acct 900000' || doc_id
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    'https?://[^\\s]+', '<URL>', 'g'),
+       |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+       |  len(regexp_extract_all(text, '$email'))
+       |    + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+       |    + len(regexp_extract_all(text, '[0-9]{7,}')) AS n_redacted
+       |FROM inj
+       |WHERE n_redacted > 0""".stripMargin
+  }
 
   // ------------------------------------- sampling: deterministic stratified
   /** Deterministic stratified sampling + train/val split — the pipeline op

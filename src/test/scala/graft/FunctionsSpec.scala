@@ -57,6 +57,27 @@ class FunctionsSpec extends SparkSuite {
     assert(mism == 0)
   }
 
+  test("shinglesAll keeps duplicates in document order; distinct of it == shingles") {
+    import graft.llm.TextAnalysis
+    val df = Seq("a b a b a", "x  y", "one", "", null: String).toDF("text")
+    val got = df.select(TextAnalysis.shinglesAll(col("text"), 2).as("all"),
+        TextAnalysis.shingles(col("text"), 2).as("dst"))
+      .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    assert(got(0)._1 == Seq("a b", "b a", "a b", "b a"), "duplicates kept, in order")
+    assert(got.forall { case (all, dst) => all.distinct == dst },
+      "first-occurrence distinct of the multiset equals the set kernel")
+    // fixture-wide: multiset cardinality = len(tokens) - n + 1
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = docs.select(size(TextAnalysis.shinglesAll(col("text"), 3)).as("m"),
+        greatest(size(TextAnalysis.tokens(col("text"))) - 2, lit(0)).as("want"))
+      .filter(col("m") =!= col("want")).count()
+    assert(bad == 0)
+    // SQL surface
+    graft.functions.GraftExtensions.install(spark)
+    assert(spark.sql("SELECT graft_shingles_all('a b a b', 2) AS s")
+      .head().getSeq[String](0) == Seq("a b", "b a", "a b"))
+  }
+
   test("SQL surface: graft_dot and graft_shingles registered on a live session") {
     graft.functions.GraftExtensions.install(spark)
     val dot = spark.sql(

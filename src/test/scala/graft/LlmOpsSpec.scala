@@ -85,6 +85,37 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)), "parallel vectors bucket together and verify; orthogonal doesn't")
   }
 
+  test("bag jaccard weights repetition that set jaccard is blind to") {
+    // B is A's text repeated twice. A: shingles {abc,bcd,cde} once each
+    // (w=3). B: 8 occurrences (abc,bcd,cde twice + boundary dea,eab once).
+    // SET jaccard = 3/5 = 0.6; BAG jaccard = 3/(3+8-3) = 0.375 — at the
+    // same 0.5 threshold the set measure keeps the pair, the bag measure
+    // correctly sees the doubled doc as non-duplicate.
+    val rep = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val set = Dedup.ngramJaccardPairs(rep, n = 3, num = 1, den = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(set == Set((1L, 2L)), "set jaccard 0.6 passes 0.5")
+    assert(Dedup.bagJaccardPairs(rep, n = 3, num = 1, den = 2).collect().isEmpty,
+      "bag jaccard 0.375 < 0.5: repetition suppressed the pair")
+    val bagLow = Dedup.bagJaccardPairs(rep, n = 3, num = 1, den = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(bagLow.toSeq == Seq((1L, 2L, 3L, 3L, 8L)),
+      s"w_common=3, weights 3 and 8; got ${bagLow.mkString(",")}")
+    // weighted minhash verifies candidates with the same exact bag measure,
+    // so its output can only be a subset of the exact pairs (recall depends
+    // on banding luck at J=0.375; precision is exact by construction)
+    val viaLsh = Dedup.minhashWeightedPairs(rep, n = 3, perms = 64, bands = 16,
+      num = 1, den = 3).as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaLsh.subsetOf(bagLow.toSet), "no unverified pair survives")
+    // identical docs: bag jaccard exactly 1 regardless of banding luck
+    val twin = Seq((1L, "p q r s t"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val ones = Dedup.minhashWeightedPairs(twin, 3, 64, 16, 1, 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(ones.toSeq == Seq((1L, 2L, 3L, 3L, 3L)))
+  }
+
   test("duplicate clusters collapse chains that pairwise dropping would split") {
     // a~b, b~c, but NOT a~c: one cluster labeled by the minimal id; the
     // disjoint pair (7,9) stays its own cluster
