@@ -50,6 +50,7 @@ object SparkEntry {
     "bag_jaccard"          -> (LlmQueries.bagJaccard _),
     "minhash_weighted"     -> (LlmQueries.minhashWeighted _),
     "simhash_neardup"      -> (LlmQueries.simhashNeardup _),
+    "neardup_incremental"  -> (LlmQueries.neardupIncremental _),
     "ann_topk"             -> (LlmQueries.annTopk _),
     "embed_neardup"        -> (LlmQueries.embedNeardup _),
     "ann_lsh"              -> (LlmQueries.annLsh _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "bag_jaccard"          -> LlmQueries.bagJaccardSql,
     "minhash_weighted"     -> LlmQueries.minhashWeightedSql,
     "simhash_neardup"      -> LlmQueries.simhashNeardupSql,
+    "neardup_incremental"  -> LlmQueries.neardupIncrementalSql,
     "ann_topk"             -> LlmQueries.annTopkSql,
     "embed_neardup"        -> LlmQueries.embedNeardupSql,
     "ann_lsh"              -> LlmQueries.annLshSql,

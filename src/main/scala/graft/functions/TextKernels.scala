@@ -87,6 +87,60 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 as a positive long — bit-identical to
+    * [[graft.engine.PortableHash.md5LongScala]] (15 hex digits == big-endian
+    * first 8 bytes >>> 4), without the hex-string round-trip.
+    */
+  private def md5Long60(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Per-ROW frequency-weighted SimHash over whitespace tokens — the same
+    * function as the aggregation form ([[graft.llm.Dedup.simhashSignatures]]:
+    * bit j set when Σ_token-occurrences (±1 from bit j of md5(token)) > 0),
+    * computed in one pass inside codegen with NO shuffle and NO state.
+    * That statelessness is the point: a document STREAM can be signed row
+    * by row and banded against a static corpus index without any streaming
+    * aggregation (see `Streaming.neardupStream`). Docs with no tokens sign
+    * to 0L (the aggregation form emits no row for them — align filters at
+    * call sites).
+    */
+  def simhash(text: UTF8String, bits: Int): Long = {
+    if (text == null) return 0L
+    val parts = text.toString.split(" ", -1)
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) {
+        val h = md5Long60(parts(i))
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 }
 
 /** Catalyst expression wrapping [[TextKernels.shingles]]: null text → null
@@ -123,6 +177,33 @@ case class ShinglesFP(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Catalyst expression wrapping [[TextKernels.simhash]]: null text → null,
+  * empty/short text → 0L. Never assigns the isNull slot in generated code
+  * (the nullability lesson in SCALE.md).
+  */
+case class SimhashFP(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects a string column, got $t")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.simhash(text.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.simhash($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for the shingle kernel, with the composed form's
     * null-text → empty-array semantics.
@@ -138,6 +219,10 @@ object TextFunctions {
       ColumnBridge.column(ShinglesFP(ColumnBridge.expression(text), n, distinct = false)),
       org.apache.spark.sql.functions.array().cast("array<string>"))
 
+  /** Per-row 60-bit frequency-weighted SimHash (shuffle-free, state-free). */
+  def graftSimhash(text: Column, bits: Int = 60): Column =
+    ColumnBridge.column(SimhashFP(ColumnBridge.expression(text), bits))
+
   /** SQL surface: `SELECT graft_shingles(text, 3)` — the n-gram width must
     * be a literal (it parameterizes generated code).
     */
@@ -152,6 +237,20 @@ object TextFunctions {
         ShinglesFP(exprs.head, n)
       case other => throw new IllegalArgumentException(
         s"graft_shingles(text, n): n must be an integer literal, got $other")
+    })
+
+  /** SQL surface: `SELECT graft_simhash(text, 60)`. */
+  val registrationSimhash: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+                            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                            Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SimhashFP].getName, "graft_simhash"),
+    (exprs: Seq[Expression]) => exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(bits: Int, _) =>
+        SimhashFP(exprs.head, bits)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash(text, bits): bits must be an integer literal, got $other")
     })
 
   /** SQL surface for the multiset variant:

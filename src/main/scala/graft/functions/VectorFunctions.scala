@@ -246,6 +246,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(VectorFunctions.registration)
     e.injectFunction(TextFunctions.registration)
     e.injectFunction(TextFunctions.registrationAll)
+    e.injectFunction(TextFunctions.registrationSimhash)
   }
 }
 
@@ -257,5 +258,6 @@ object GraftExtensions {
     ColumnBridge.registerFunction(spark, VectorFunctions.registration)
     ColumnBridge.registerFunction(spark, TextFunctions.registration)
     ColumnBridge.registerFunction(spark, TextFunctions.registrationAll)
+    ColumnBridge.registerFunction(spark, TextFunctions.registrationSimhash)
   }
 }

@@ -218,18 +218,19 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
-  /** Bag (multiset) postings: one row per (doc, distinct shingle) with the
-    * shingle's OCCURRENCE COUNT as its weight — boilerplate-and-template
-    * repetition that set-Jaccard cannot see. One map-side-combined
-    * aggregation over the all-occurrences shingle explode; the hash is
-    * computed post-aggregate, once per distinct shingle.
+  /** Bag (multiset) postings: one row per (doc, distinct shingle-HASH) with
+    * the shingle's OCCURRENCE COUNT as its weight — boilerplate-and-template
+    * repetition that set-Jaccard cannot see. The md5 runs map-side right
+    * after the all-occurrences explode, so the counting aggregation
+    * shuffles 16-byte (doc, hash) rows — never shingle strings — with
+    * map-side combine collapsing intra-partition repeats.
     */
   def bagPostings(documents: DataFrame, n: Int): DataFrame =
     spread(documents)
       .select(col("doc_id"), explode(TextAnalysis.shinglesAll(col("text"), n)).as("s"))
-      .groupBy(col("doc_id"), col("s"))
+      .select(col("doc_id"), PortableHash.md5Long(col("s")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("doc_id"), col("s"), col("cnt"), PortableHash.md5Long(col("s")).as("h"))
 
   /** Exact weighted (bag) Jaccard pairs:
     * J_w = Σ min(cnt_a, cnt_b) / Σ max(cnt_a, cnt_b) ≥ num/den, in pure
@@ -255,27 +256,29 @@ object Dedup {
   }
 
   /** Weighted MinHash + LSH, exact-verified: MinHash over the MULTISET
-    * EXPANSION — shingle s with count c contributes elements
-    * (s,1)…(s,c), hashed md5(s + "#" + r) — so P[sig collision] equals the
+    * EXPANSION — a shingle with hash h and count c contributes elements
+    * (h,1)…(h,c), hashed md5(h + "#" + r) — so P[sig collision] equals the
     * bag Jaccard exactly (the expansion reduces weighted Jaccard on integer
     * weights to set Jaccard on the expanded universe). Banding and
     * candidate verification mirror [[minhashLshPairs]], with verification
-    * against the exact bag measure of [[bagJaccardPairs]].
+    * against the exact bag measure of [[bagJaccardPairs]]. Expanding from
+    * the 60-bit hash rather than the shingle string keeps every stage
+    * string-free past the first map.
     *
     * Scale: the expansion multiplies postings by the mean shingle
     * multiplicity (≈1 on natural text; bounded by doc length on degenerate
     * repetition), after which shuffle volume is again O(docs) signatures +
     * O(docs × bands) band keys. The "#r" suffix is unambiguous: r is
-    * digit-only, so distinct (s, r) pairs never collide.
+    * digit-only, so distinct (h, r) pairs never collide.
     */
   def minhashWeightedPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                            num: Int, den: Int): DataFrame = {
     val bag = bagPostings(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expanded = bag
-      .select(col("doc_id"), col("s"), explode(sequence(lit(1L), col("cnt"))).as("r"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(1L), col("cnt"))).as("r"))
       .select(col("doc_id"),
-        PortableHash.md5Long(concat(col("s"), lit("#"), col("r").cast("string"))).as("h"))
+        PortableHash.md5Long(concat(col("h").cast("string"), lit("#"), col("r").cast("string"))).as("h"))
     val candidates = bandCandidates(minhashSignaturesFromPosts(expanded, perms), perms, bands)
     val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
     // AQE picks the verify-join strategy from the candidate set's runtime size
@@ -343,6 +346,53 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Band-key explode for 60-bit SimHash signatures: (doc_id, sig) →
+    * (doc_id, sig, band, key) with `bands` keys of `bits/bands` bits each.
+    */
+  def simhashBands(sigs: DataFrame, bits: Int = 60, bands: Int = 6): DataFrame = {
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * w).bitwiseAND(lit(mask))): _*)))
+      .toDF("doc_id", "sig", "band", "key")
+  }
+
+  /** Incremental (stream-shaped) near-dup: sign each NEW document PER ROW
+    * with the stateless [[graft.functions.TextKernels.simhash]] kernel —
+    * no shuffle, no aggregation — and band-join it against a precomputed
+    * corpus index ([[simhashBands]] over the historical signatures).
+    * Verification is exact Hamming ≤ maxDist; by pigeonhole (6 bands of
+    * 10 bits) the banded join is EXACT for maxDist ≤ 5, so the output
+    * equals the plain all-pairs Hamming join — which is what the oracle
+    * replays. Multi-band collisions dedup STATELESSLY: both signatures are
+    * present post-join, so "is this the first matching band?" is a row
+    * predicate, not a distinct.
+    *
+    * Because every stage is a projection, generator, or stream-static
+    * equi-join, the SAME function runs over a streaming `newDocs`
+    * (`Streaming.neardupStream`): continuous ingest dedup against a
+    * historical corpus with zero streaming state.
+    */
+  def incrementalNeardupPairs(newDocs: DataFrame, corpusIndex: DataFrame,
+                              maxDist: Int, bits: Int = 60, bands: Int = 6): DataFrame = {
+    val w = bits / bands
+    val probe = simhashBands(
+      newDocs.select(col("doc_id"),
+        graft.functions.TextFunctions.graftSimhash(col("text"), bits).as("sig")),
+      bits, bands)
+      .toDF("new_id", "new_sig", "band", "key")
+    val idx = corpusIndex.toDF("old_id", "old_sig", "band", "key")
+    val x = col("new_sig").bitwiseXOR(col("old_sig"))
+    val firstBand = least((0 until bands).map(b =>
+      when(shiftright(x, b * w).bitwiseAND(lit((1L << w) - 1)) === 0, lit(b))
+        .otherwise(lit(bands))): _*)
+    probe.join(idx, Seq("band", "key"))
+      .filter(bit_count(x) <= maxDist && col("band") === firstBand &&
+        col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"), bit_count(x).as("hamming"))
   }
 
   /** 60-bit SimHash per document over whitespace tokens: bit j is set when

@@ -109,8 +109,8 @@ object LlmQueries {
   // ------------------------------------- dedup: weighted (bag) Jaccard
   /** DuckDB CTEs for the bag (multiset) shingle postings — mirrors
     * [[graft.llm.Dedup.bagPostings]]: all-occurrences shingles (no
-    * distinct), grouped to (doc, shingle, count). Casts keep every summed
-    * weight BIGINT on both engines (DuckDB SUM(BIGINT) is HUGEINT).
+    * distinct), hashed, grouped to (doc, hash, count). Casts keep every
+    * summed weight BIGINT on both engines (DuckDB SUM(BIGINT) is HUGEINT).
     */
   private def bagCtes(n: Int): String =
     s"""toks AS (SELECT doc_id, text,
@@ -120,9 +120,9 @@ object LlmQueries {
        |              THEN [array_to_string(tokens[i:i+${n - 1}], ' ')
        |                    for i in range(1, len(tokens) - ${n - 2})]
        |              ELSE [] END AS sh FROM toks),
-       |bag AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS cnt,
-       |               ${PortableHash.md5LongSql("s")} AS h
-       |        FROM (SELECT doc_id, unnest(sh) AS s FROM shsa) GROUP BY doc_id, s),
+       |bag AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT doc_id, unnest([${PortableHash.md5LongSql("s")} for s in sh]) AS h
+       |              FROM shsa) GROUP BY doc_id, h),
        |wsizes AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS w_sh FROM bag GROUP BY 1)""".stripMargin
 
   private val bagFinalSelect: String =
@@ -158,7 +158,7 @@ object LlmQueries {
     val p = PortableHash.P
     s"""WITH ${bagCtes(3)},
        |expw AS (SELECT doc_id,
-       |         unnest([${PortableHash.md5LongSql("s || '#' || r")}
+       |         unnest([${PortableHash.md5LongSql("h::VARCHAR || '#' || r")}
        |                 for r in range(1, cnt + 1)]) AS h FROM bag),
        |params AS (SELECT i,
        |    ((('0x' || substr(md5('a' || i), 1, 15))::BIGINT) % ${p - 1}) + 1 AS a,
@@ -223,6 +223,41 @@ object LlmQueries {
        |       bit_count(xor(a.sig, b.sig)) AS hamming
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxDist""".stripMargin
+
+  // ------------------------------------- dedup: incremental (stream-shaped)
+  /** Incremental near-dup under the oracle: documents with doc_id % 20 == 0
+    * play the incoming 5% batch, signed PER ROW by the stateless
+    * [[graft.functions.SimhashFP]] kernel and band-joined against the
+    * remaining 95%'s index ([[graft.llm.Dedup.incrementalNeardupPairs]]).
+    * Pigeonhole-exactness means the oracle is simply the all-pairs Hamming
+    * join over the split — if the banded first-match plan dropped or
+    * duplicated anything, the hash would diverge. The same plan runs
+    * unchanged over a real stream (`Streaming.neardupStream`,
+    * StreamingParitySpec).
+    */
+  def neardupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val index = Dedup.simhashBands(corpus.select(col("doc_id"),
+      graft.functions.TextFunctions.graftSimhash(col("text"), 60).as("sig")))
+    Dedup.incrementalNeardupPairs(incoming, index, maxDist = simhashMaxDist)
+  }
+
+  val neardupIncrementalSql: String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+       |              FROM documents),
+       |tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |bitsums AS (SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS s
+       |            FROM th, range(60) r(j) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+       |         FROM bitsums GROUP BY 1)
+       |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       |       bit_count(xor(n.sig, o.sig)) AS hamming
+       |FROM sigs n JOIN sigs o ON n.doc_id % 20 = 0 AND o.doc_id % 20 != 0
+       |WHERE bit_count(xor(n.sig, o.sig)) <= $simhashMaxDist""".stripMargin
 
   // ------------------------------------------------ similarity: brute top-k
   def annTopk(spark: SparkSession, dir: String): DataFrame =

@@ -232,6 +232,21 @@ object Streaming {
     graft.queries.LlmQueries.perRowCuration(docs)
       .select("doc_id", "pred_lang", "score_bp")
 
+  /** Streaming near-dup filter against a HISTORICAL corpus with ZERO
+    * streaming state: each arriving document is signed per row by the
+    * stateless SimHash kernel, banded, and stream-static-joined against
+    * the precomputed corpus index — no aggregation, no watermark, no state
+    * store; multi-band collisions dedup via the row-level first-matching-
+    * band predicate ([[graft.llm.Dedup.incrementalNeardupPairs]] verbatim
+    * — one code path for the oracled batch query `neardup_incremental`
+    * and the stream). At scale the index is a compact static table
+    * (one 8-byte sig × 6 band rows per corpus doc) that Spark re-reads
+    * per micro-batch or caches; refreshing it is a batch job, which is the
+    * standard ingest-filter + periodic-compaction curation topology.
+    */
+  def neardupStream(docs: DataFrame, corpusIndex: DataFrame, maxDist: Int): DataFrame =
+    graft.llm.Dedup.incrementalNeardupPairs(docs, corpusIndex, maxDist)
+
   /** Session configs streaming stateful ops need: RocksDB state store
     * (transformWithState requires it; also W1 parity) and a low
     * shuffle-partition count for local runs.

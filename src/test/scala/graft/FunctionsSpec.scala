@@ -78,6 +78,24 @@ class FunctionsSpec extends SparkSuite {
       .head().getSeq[String](0) == Seq("a b", "b a", "a b"))
   }
 
+  test("per-row SimHash kernel equals the aggregation form on fixtures") {
+    import graft.llm.{Dedup, TextAnalysis}
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+      val mism = Dedup.simhashSignatures(docs)
+        .withColumnRenamed("sig", "agg_sig")
+        .join(docs.select(col("doc_id"),
+          graft.functions.TextFunctions.graftSimhash(col("text"), 60).as("row_sig")), "doc_id")
+        .filter(col("agg_sig") =!= col("row_sig")).count()
+      assert(mism == 0, s"$sf: kernel diverges from the aggregation form")
+    }
+    // tokenless text signs to 0; SQL surface registered
+    graft.functions.GraftExtensions.install(spark)
+    assert(spark.sql("SELECT graft_simhash('', 60) AS s").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT graft_simhash('alpha beta', 60) AS s").head().getLong(0) != 0L)
+  }
+
   test("SQL surface: graft_dot and graft_shingles registered on a live session") {
     graft.functions.GraftExtensions.install(spark)
     val dot = spark.sql(

@@ -99,6 +99,26 @@ class StreamingParitySpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming near-dup vs static corpus is stateless and equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docsDf.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val incoming = docsDf.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .as[DocRow].collect().toSeq
+    val index = graft.llm.Dedup.simhashBands(corpus.select(col("doc_id"),
+      graft.functions.TextFunctions.graftSimhash(col("text"), 60).as("sig")))
+    val ms = MemoryStream[DocRow](spark)
+    ms.addData(incoming.take(incoming.size / 2))
+    ms.addData(incoming.drop(incoming.size / 2))
+    runToMemory(Streaming.neardupStream(ms.toDF, index, maxDist = 4), "sndp", "append")
+    val got = spark.table("sndp").as[(Long, Long, Int)].collect().toSet
+    val want = graft.queries.LlmQueries
+      .neardupIncremental(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want, "stream-static banded join must equal the batch query")
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup suppresses in-watermark duplicates, bounded state") {
     val ms = MemoryStream[Event](spark)
     val q = Streaming.dedupStream(ms.toDF, Seq("event_id"), "10 seconds")
