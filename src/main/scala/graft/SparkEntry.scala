@@ -87,6 +87,8 @@ object SparkEntry {
     "value_histogram"      -> (AnalyticsQueries.valueHistogram _),
     "skew_salted_join"     -> (AnalyticsQueries.skewSaltedJoin _),
     "bloom_pruned_join"    -> (AnalyticsQueries.bloomPrunedJoin _),
+    "pivot_revenue"        -> (AnalyticsQueries.pivotRevenue _),
+    "cumulative_spend"     -> (AnalyticsQueries.cumulativeSpend _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
   )
@@ -156,5 +158,7 @@ object SparkEntry {
     "value_histogram"      -> AnalyticsQueries.valueHistogramSql,
     "skew_salted_join"     -> AnalyticsQueries.skewSaltedJoinSql,
     "bloom_pruned_join"    -> AnalyticsQueries.bloomPrunedJoinSql,
+    "pivot_revenue"        -> AnalyticsQueries.pivotRevenueSql,
+    "cumulative_spend"     -> AnalyticsQueries.cumulativeSpendSql,
   )
 }

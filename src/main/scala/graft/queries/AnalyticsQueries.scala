@@ -262,6 +262,54 @@ object AnalyticsQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Pivoted revenue matrix (order priority × status). `pivot` with an
+    * EXPLICIT value list: omitting the values makes Spark run a hidden
+    * distinct-scan job at PLAN time to discover them — a driver action
+    * before the query even starts, and non-deterministic column sets under
+    * data drift. With values given, the pivot compiles to one groupBy with
+    * conditional aggregates (exactly the oracle's CASE form) — a single
+    * map-side-combined shuffle, no surprises at any scale.
+    */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double"))
+
+  val pivotRevenueSql: String = {
+    def cell(s: String) =
+      s"""CAST(SUM(CASE WHEN o_orderstatus = '$s'
+         |         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "$s"""".stripMargin
+    s"""SELECT o_orderpriority, ${cell("F")}, ${cell("O")}, ${cell("P")}
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
+  }
+
+  /** Per-event running spend (cumulative window sum) — the classic ordered
+    * analytic. Decimal money math keeps every prefix sum exact and
+    * order-independent across engines; ties on ts break on the unique
+    * event_id so the frame is a total order. The oracle orders by
+    * ts::TIMESTAMP (µs) to match `Tables.events`' nanos→µs truncation.
+    * Scale: one hash exchange on user_id + per-partition sort — the same
+    * shape as any window; state per group is a single running decimal.
+    */
+  def cumulativeSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("cum_spend"))
+  }
+
+  val cumulativeSpendSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
   /** Broadcast Bloom-filter pruned join — the 100 TB pattern for filtering
     * a huge fact table by a selective dimension whose KEY SET is too big to
     * broadcast: broadcast a fixed-size bit array instead (here 16 Kbit =
