@@ -213,3 +213,40 @@ object CurationApp {
     try run(spark).show(5) finally spark.stop()
   }
 }
+
+/** Continuous ingest dedup: the arriving document feed is near-dup-checked
+  * against the historical corpus with ZERO streaming state — per-row
+  * SimHash signing + band join against a static index
+  * (`Streaming.neardupStream`). The index is refreshed by the periodic
+  * batch compaction job (here: built inline); at scale it is a compact
+  * table (6 band rows × 8-byte sig per corpus doc) that micro-batches
+  * re-read or cache.
+  */
+object IncrementalDedupApp {
+  def run(spark: SparkSession, dir: String = ExampleSession.sfDir): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val index = graft.llm.Dedup.simhashBands(corpus.select(col("doc_id"),
+      graft.functions.TextFunctions.graftSimhash(col("text"), 60).as("sig")))
+    val feed = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val ms = MemoryStream[(Long, String, String, String, Long)](spark)
+    ms.addData(feed.as[(Long, String, String, String, Long)].collect().toSeq)
+    val q = Streaming.neardupStream(
+        ms.toDF.toDF("doc_id", "text", "lang", "source", "n_chars"),
+        index, maxDist = 4)
+      .writeStream.format("memory").queryName("incremental_dedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-incdedup").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.table("incremental_dedup")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession.session()
+    try run(spark).show(5) finally spark.stop()
+  }
+}

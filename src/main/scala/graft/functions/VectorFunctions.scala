@@ -115,7 +115,9 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
                         nTables: Int, width: Int, probes: Int = 1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(probes == 1 || probes == 2, "probes must be 1 (primary) or 2 (+flip lowest-margin bit)")
+  require(probes >= 1 && probes <= width + 1,
+    s"probes must be in [1, width+1]: primary + up to $width single-bit flips " +
+      "in ascending |margin| order")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -136,8 +138,7 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
     var t = 0
     while (t < nTables) {
       var b = 0L
-      var jmin = 0
-      var minAbs = Double.MaxValue
+      val absm = new Array[Double](width)
       var j = 0
       while (j < width) {
         val p = planes(t * width + j)
@@ -154,12 +155,26 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
           i += 1
         }
         if (acc > 0) b |= (1L << j)
-        val a = math.abs(acc)
-        if (a < minAbs) { minAbs = a; jmin = j }
+        absm(j) = math.abs(acc)
         j += 1
       }
       buckets(t * probes) = b
-      if (probes == 2) buckets(t * probes + 1) = b ^ (1L << jmin)
+      // probe q flips the q-th lowest-|margin| bit (ties -> lowest j, same
+      // as the oracle's ORDER BY abs(s), j): partial selection over width
+      val used = new Array[Boolean](width)
+      var q = 1
+      while (q < probes) {
+        var best = 0
+        var bestAbs = Double.MaxValue
+        var k = 0
+        while (k < width) {
+          if (!used(k) && absm(k) < bestAbs) { bestAbs = absm(k); best = k }
+          k += 1
+        }
+        used(best) = true
+        buckets(t * probes + q) = b ^ (1L << best)
+        q += 1
+      }
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
@@ -178,16 +193,16 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
       val p = ctx.freshName("p"); val m = ctx.freshName("m")
       val acc = ctx.freshName("acc"); val b = ctx.freshName("b")
       val nullElem = ctx.freshName("nullElem")
-      val jmin = ctx.freshName("jmin"); val minAbs = ctx.freshName("minAbs")
-      val absAcc = ctx.freshName("absAcc")
+      val absm = ctx.freshName("absm"); val used = ctx.freshName("used")
+      val q = ctx.freshName("q"); val k = ctx.freshName("k")
+      val best = ctx.freshName("best"); val bestAbs = ctx.freshName("bestAbs")
       s"""
          |int $n = $emb.numElements();
          |long[] $buckets = new long[${nTables * probes}];
          |boolean $nullElem = false;
          |for (int $t = 0; $t < $nTables && !$nullElem; $t++) {
          |  long $b = 0L;
-         |  int $jmin = 0;
-         |  double $minAbs = Double.MAX_VALUE;
+         |  double[] $absm = new double[$width];
          |  for (int $j = 0; $j < $width && !$nullElem; $j++) {
          |    int[] $p = $planesRef[$t * $width + $j];
          |    int $m = java.lang.Math.min($n, $p.length);
@@ -197,11 +212,20 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
          |      $acc += (${getter(emb, i)}) * (double) $p[$i];
          |    }
          |    if (!$nullElem && $acc > 0) $b |= (1L << $j);
-         |    double $absAcc = java.lang.Math.abs($acc);
-         |    if (!$nullElem && $absAcc < $minAbs) { $minAbs = $absAcc; $jmin = $j; }
+         |    $absm[$j] = java.lang.Math.abs($acc);
          |  }
          |  $buckets[$t * $probes] = $b;
-         |  if ($probes == 2) { $buckets[$t * $probes + 1] = $b ^ (1L << $jmin); }
+         |  // probe q flips the q-th lowest-|margin| bit (ties -> lowest j)
+         |  boolean[] $used = new boolean[$width];
+         |  for (int $q = 1; $q < $probes; $q++) {
+         |    int $best = 0;
+         |    double $bestAbs = Double.MAX_VALUE;
+         |    for (int $k = 0; $k < $width; $k++) {
+         |      if (!$used[$k] && $absm[$k] < $bestAbs) { $bestAbs = $absm[$k]; $best = $k; }
+         |    }
+         |    $used[$best] = true;
+         |    $buckets[$t * $probes + $q] = $b ^ (1L << $best);
+         |  }
          |}
          |if ($nullElem) { $buckets = new long[${nTables * probes}]; }
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
@@ -221,10 +245,11 @@ object VectorFunctions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** All LSH bucket ids of an embedding in one fused pass (array<long>).
-    * `probes = 2` appends, per table, the bucket with the LOWEST-MARGIN bit
-    * flipped (the plane whose |projection| is smallest — the most likely
-    * single-bit hash error): symmetric multi-probe, entries laid out
-    * [t0 primary, t0 probe, t1 primary, ...].
+    * `probes = p` appends, per table, p−1 extra buckets: probe q flips the
+    * q-th LOWEST-|MARGIN| bit (the planes whose |projection| is smallest —
+    * the most likely single-bit hash errors, in likelihood order):
+    * symmetric multi-probe, entries laid out
+    * [t0 primary, t0 probe1, …, t1 primary, …].
     */
   def graftSignPlanes(emb: Column, planes: Array[Array[Int]],
                       nTables: Int, width: Int, probes: Int = 1): Column =

@@ -275,10 +275,17 @@ object Dedup {
                            num: Int, den: Int): DataFrame = {
     val bag = bagPostings(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r=1 keeps the shingle hash ITSELF as its expanded element (identity —
+    // no second md5 for the ~all-of-them multiplicity-1 case); only genuine
+    // repeats (r >= 2) pay the re-hash. Distinctness across (h, r) holds up
+    // to the same 60-bit collision odds every hash here already accepts,
+    // and both engines compute the identical mapping.
     val expanded = bag
       .select(col("doc_id"), col("h"), explode(sequence(lit(1L), col("cnt"))).as("r"))
       .select(col("doc_id"),
-        PortableHash.md5Long(concat(col("h").cast("string"), lit("#"), col("r").cast("string"))).as("h"))
+        when(col("r") === 1L, col("h"))
+          .otherwise(PortableHash.md5Long(
+            concat(col("h").cast("string"), lit("#"), col("r").cast("string")))).as("h"))
     val candidates = bandCandidates(minhashSignaturesFromPosts(expanded, perms), perms, bands)
     val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
     // AQE picks the verify-join strategy from the candidate set's runtime size
@@ -323,8 +330,14 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initialization IS round 1 at lower cost: every neighbor's initial
+    // label is its own id, which the edge row already carries — so
+    // min(self, neighbors) needs no join yet, just one aggregation.
+    // Shallow components (pairs/triangles) converge here and pay a single
+    // confirming loop round.
+    var labels = edges.select(col("s").as("id"), col("d").as("label"))
+      .union(edges.select(col("s").as("id"), col("s").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

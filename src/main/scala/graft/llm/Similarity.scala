@@ -89,8 +89,9 @@ object Similarity {
     // one fused expression computes every table's bucket id in a single
     // pass over the embedding (SignPlanesFP) — bit-identical to the
     // composed per-plane form (LlmOpsSpec asserts it), ~32× fewer
-    // expression evaluations per row. probes=2 appends each table's
-    // lowest-margin-bit flip (symmetric multi-probe): a pair becomes a
+    // expression evaluations per row. probes=p appends, per table, the
+    // buckets with the q-th lowest-|margin| bit flipped (q = 1..p−1,
+    // symmetric multi-probe in likelihood order): a pair becomes a
     // candidate when ANY of its probed buckets collide in a table —
     // recall rises for ~probes× candidate cost, topology unchanged.
     val buckets = base.select(col("v_id"),

@@ -158,7 +158,8 @@ object LlmQueries {
     val p = PortableHash.P
     s"""WITH ${bagCtes(3)},
        |expw AS (SELECT doc_id,
-       |         unnest([${PortableHash.md5LongSql("h::VARCHAR || '#' || r")}
+       |         unnest([CASE WHEN r = 1 THEN h
+       |                      ELSE ${PortableHash.md5LongSql("h::VARCHAR || '#' || r")} END
        |                 for r in range(1, cnt + 1)]) AS h FROM bag),
        |params AS (SELECT i,
        |    ((('0x' || substr(md5('a' || i), 1, 15))::BIGINT) % ${p - 1}) + 1 AS a,
@@ -323,15 +324,18 @@ object LlmQueries {
   }
 
   // ----------------------------------- similarity: multi-probe sign-plane
-  /** Symmetric multi-probe LSH: each table also probes the bucket with the
-    * lowest-margin bit flipped (the plane most likely to have hashed a
-    * near-neighbor to the other side). Same join topology; recall rises
-    * for ~2× candidate cost — the sign-plane analogue of
-    * [[ivfMultiprobeNeardup]]'s nprobe knob.
+  /** Symmetric n-way multi-probe LSH: probe q of each table flips the
+    * q-th lowest-|margin| bit (the planes most likely to have hashed a
+    * near-neighbor to the other side, in likelihood order). Same join
+    * topology; recall rises for ~probes× candidate cost — the sign-plane
+    * analogue of [[ivfMultiprobeNeardup]]'s nprobe knob. Judged at
+    * probes=3; the knob accepts 1..width+1.
     */
+  private val lshProbes = 3
+
   def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
-        Similarity.defaultPlanes, minCos, probes = 2)
+        Similarity.defaultPlanes, minCos, probes = lshProbes)
       .select("a_id", "b_id", "sim")
 
   val annLshMultiprobeSql: String = {
@@ -348,13 +352,13 @@ object LlmQueries {
        |tb AS (SELECT vec_id, p // 4 AS t, p % 4 AS j, s FROM proj),
        |b0 AS (SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
        |       FROM tb GROUP BY vec_id, t),
-       |jm AS (SELECT vec_id, t, j AS jmin FROM (
+       |jm AS (SELECT vec_id, t, j FROM (
        |    SELECT vec_id, t, j,
        |           row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(s), j) AS rn
-       |    FROM tb) WHERE rn = 1),
+       |    FROM tb) WHERE rn <= ${lshProbes - 1}),
        |bk AS (SELECT vec_id, t, bucket FROM b0
        |       UNION ALL
-       |       SELECT b0.vec_id, b0.t, xor(b0.bucket, (1::BIGINT << jm.jmin))
+       |       SELECT b0.vec_id, b0.t, xor(b0.bucket, (1::BIGINT << jm.j))
        |       FROM b0 JOIN jm USING (vec_id, t)),
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |         FROM bk a JOIN bk b

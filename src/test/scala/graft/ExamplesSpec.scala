@@ -9,6 +9,17 @@ class ExamplesSpec extends SparkSuite {
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
 
+  test("IncrementalDedupApp flags stream docs near-duplicating the corpus, statelessly") {
+    val out = graft.examples.IncrementalDedupApp.run(spark)
+    val got = out.as[(Long, Long, Int)].collect().toSet
+    // same split and threshold as the oracled neardup_incremental query
+    val want = graft.queries.LlmQueries
+      .neardupIncremental(spark, graft.examples.ExampleSession.sfDir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty, "sf0.001 has cross-split near-dups (7 as generated)")
+  }
+
   test("Curation twin: batch flagship and streaming ingest agree on the per-row stages") {
     val batch = graft.examples.CurationApp.run(spark)
     assert(batch.count() > 0, "flagship must survive the filters at sf0.001")

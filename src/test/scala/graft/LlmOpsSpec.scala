@@ -150,6 +150,16 @@ class LlmOpsSpec extends SparkSuite {
         Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, 0.45, probes = 2),
         "a_id", "b_id"), exactCos)
       assert(rLsh2 >= rLsh, "multi-probe LSH recall must dominate single-probe")
+      // n-way: each extra probe can only widen the candidate set (probe q
+      // flips the q-th lowest-margin bit; buckets are a superset per row)
+      val rLsh3 = recall(pairSet(
+        Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, 0.45, probes = 3),
+        "a_id", "b_id"), exactCos)
+      val rLsh5 = recall(pairSet(
+        Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, 0.45, probes = 5),
+        "a_id", "b_id"), exactCos)
+      assert(rLsh3 >= rLsh2 && rLsh5 >= rLsh3,
+        s"recall must be monotone in probes: $rLsh2 / $rLsh3 / $rLsh5")
       val rIvf = recall(pairSet(Similarity.ivfNearDupPairs(emb, 16, 0.45), "a_id", "b_id"), exactCos)
       val rIvf2 = recall(pairSet(
         Similarity.ivfNearDupPairsMultiProbe(emb, 16, 2, 0.45), "a_id", "b_id"), exactCos)
