@@ -89,6 +89,9 @@ object SparkEntry {
     "bloom_pruned_join"    -> (AnalyticsQueries.bloomPrunedJoin _),
     "pivot_revenue"        -> (AnalyticsQueries.pivotRevenue _),
     "cumulative_spend"     -> (AnalyticsQueries.cumulativeSpend _),
+    "full_outer_activity"  -> (AnalyticsQueries.fullOuterActivity _),
+    "sample_per_source"    -> (AnalyticsQueries.samplePerSource _),
+    "table_profile"        -> (AnalyticsQueries.tableProfile _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
   )
@@ -160,5 +163,8 @@ object SparkEntry {
     "bloom_pruned_join"    -> AnalyticsQueries.bloomPrunedJoinSql,
     "pivot_revenue"        -> AnalyticsQueries.pivotRevenueSql,
     "cumulative_spend"     -> AnalyticsQueries.cumulativeSpendSql,
+    "full_outer_activity"  -> AnalyticsQueries.fullOuterActivitySql,
+    "sample_per_source"    -> AnalyticsQueries.samplePerSourceSql,
+    "table_profile"        -> AnalyticsQueries.tableProfileSql,
   )
 }

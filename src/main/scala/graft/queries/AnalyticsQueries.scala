@@ -262,6 +262,102 @@ object AnalyticsQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** FULL OUTER join over two keyed aggregates: high-value clickers vs
+    * high-value purchasers per user — rows survive with nulls on EITHER
+    * side (25 click-only + 16 purchase-only users at sf0.01), the
+    * defensive join shape for reconciling two feeds whose key sets only
+    * partly overlap. `Seq("user_id")` using-column form coalesces the key
+    * on both engines. Plans as one sort-merge (or AQE-broadcast) join —
+    * full-outer cannot broadcast-hash in Spark, which is exactly the
+    * right constraint at scale (both sides may carry unmatched keys).
+    */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click" && col("value") >= 97)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_hot_clicks"))
+    val buys = ev.filter(col("event_type") === "purchase" && col("value") >= 97)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hot_buys"),
+        sum(dec(col("value"))).cast("double").as("hot_spend"))
+    clicks.join(buys, Seq("user_id"), "full_outer")
+  }
+
+  val fullOuterActivitySql: String =
+    """WITH c AS (SELECT user_id, count(*) AS n_hot_clicks FROM events
+      |           WHERE event_type = 'click' AND value >= 97 GROUP BY 1),
+      |p AS (SELECT user_id, count(*) AS n_hot_buys,
+      |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hot_spend
+      |      FROM events WHERE event_type = 'purchase' AND value >= 97 GROUP BY 1)
+      |SELECT user_id, n_hot_clicks, n_hot_buys, hot_spend
+      |FROM c FULL OUTER JOIN p USING (user_id)""".stripMargin
+
+  /** Per-source contribution cap — the training-data guard against one
+    * crawl dump dominating the corpus: keep a deterministic fixed-size
+    * sample per source, ranked by an md5 hash (uniform, reproducible
+    * across engines/re-runs, no rand()). One hash exchange on source +
+    * per-partition sort; for pathological single-source skew the
+    * bounded-heap aggregator (`topk_orders_heap` pattern) is the same
+    * semantics without the full sort.
+    */
+  def samplePerSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.PortableHash
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(PortableHash.md5Long(
+        concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+
+  val samplePerSourceSql: String =
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY (('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT),
+      |                    doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10""".stripMargin
+
+  /** Single-scan table profiling (the ANALYZE/data-quality summary every
+    * pipeline runs before training): per column — non-null count, distinct
+    * count, min, max — computed in ONE aggregation over one scan, then
+    * unpivoted to rows with `stack` (a projection, not a shuffle).
+    * Min/max/counts involve no float accumulation, so doubles are
+    * hash-safe here. At scale this is the cheapest possible shape: one
+    * partial+final agg; count(DISTINCT) rewrites to an expand+two-phase
+    * agg, still linear.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max")))
+    val stackArgs = cols.map(c =>
+      s"'$c', n - ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) " +
+        "AS (column_name, n_null, n_distinct, min_v, max_v)")
+  }
+
+  val tableProfileSql: String = {
+    def arm(c: String) =
+      s"""SELECT '$c' AS column_name, n - ${c}_nn AS n_null, ${c}_nd AS n_distinct,
+         |       ${c}_min AS min_v, ${c}_max AS max_v FROM a""".stripMargin
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.map(c =>
+      s"""count($c) AS ${c}_nn, count(DISTINCT $c) AS ${c}_nd,
+         |  CAST(min($c) AS DOUBLE) AS ${c}_min, CAST(max($c) AS DOUBLE) AS ${c}_max""".stripMargin)
+      .mkString(",\n  ")
+    s"""WITH a AS (SELECT count(*) AS n,
+       |  $aggs
+       |  FROM lineitem)
+       |${cols.map(arm).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Pivoted revenue matrix (order priority × status). `pivot` with an
     * EXPLICIT value list: omitting the values makes Spark run a hidden
     * distinct-scan job at PLAN time to discover them — a driver action
