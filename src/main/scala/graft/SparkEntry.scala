@@ -61,6 +61,8 @@ object SparkEntry {
     "lang_id"              -> (LlmQueries.langId _),
     "quality_score"        -> (LlmQueries.qualityScore _),
     "token_count"          -> (LlmQueries.tokenCount _),
+    "doc_chunks"           -> (LlmQueries.docChunks _),
+    "decontaminate"        -> (LlmQueries.decontaminate _),
     "doc_fingerprint"      -> (LlmQueries.docFingerprint _),
     "repetition_score"     -> (LlmQueries.repetitionScore _),
     "pii_count"            -> (LlmQueries.piiCount _),
@@ -136,6 +138,8 @@ object SparkEntry {
     "lang_id"              -> LlmQueries.langIdSql,
     "quality_score"        -> LlmQueries.qualityScoreSql,
     "token_count"          -> LlmQueries.tokenCountSql,
+    "doc_chunks"           -> LlmQueries.docChunksSql,
+    "decontaminate"        -> LlmQueries.decontaminateSql,
     "doc_fingerprint"      -> LlmQueries.docFingerprintSql,
     "repetition_score"     -> LlmQueries.repetitionScoreSql,
     "pii_count"            -> LlmQueries.piiCountSql,

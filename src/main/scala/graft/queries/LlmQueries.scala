@@ -225,6 +225,77 @@ object LlmQueries {
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxDist""".stripMargin
 
+  // --------------------------------------------- dedup: eval decontamination
+  /** Benchmark decontamination — flag training documents that share any
+    * long n-gram (8 tokens, the standard contamination window) with the
+    * held-out eval set, BEFORE training. Documents with doc_id % 10 == 0
+    * play the benchmark; output is the contamination report
+    * (train doc, eval doc, shared 8-gram count). The eval side is
+    * `broadcast()` BY CONSTRUCTION — a benchmark suite is fixed-size and
+    * small, which is exactly when a compile-time hint is safe — so the
+    * training corpus streams through one codegen'd hash join: no shuffle
+    * of the 100 TB side at all, the decisive property at scale.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Dedup.shinglePostings(Tables.documents(spark, dir), n = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSide = posts.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val train = posts.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id").as("train_id"), col("h"))
+    train.join(broadcast(evalSide), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH ${shingleCtes(8)},
+       |post AS (SELECT doc_id, unnest([${PortableHash.md5LongSql("s")} for s in sh]) AS h FROM shs),
+       |ev AS (SELECT doc_id AS eval_id, h FROM post WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id AS train_id, h FROM post WHERE doc_id % 10 != 0)
+       |SELECT train_id, eval_id, count(*) AS n_shared
+       |FROM tr JOIN ev USING (h) GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- text: document chunking
+  /** Deterministic document chunking — fixed token windows with overlap
+    * (32-token chunks, 8-token overlap, stride 24), the standard pre-
+    * tokenization split for long documents. Pure per-row generator math:
+    * chunk count = max(1, ceil((n − overlap) / stride)) so every token is
+    * covered and short docs yield one chunk; the output carries the chunk's
+    * token count and an md5 content hash (not the text — at 100 TB the
+    * chunk table is an index, the text stays in the source). All integer /
+    * md5 arithmetic, replayed exactly by the oracle's list slicing.
+    * Scale: explode + codegen'd slice/hash per row, no shuffle at all.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (chunk, overlap) = (32, 8)
+    val stride = chunk - overlap
+    val nChunks = greatest(lit(1L),
+      expr(s"(n_tok - $overlap + ${stride - 1}) div $stride"))
+    val piece = slice(col("toks"), col("k") * stride + 1, lit(chunk))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), nChunks - 1)))
+      .withColumnRenamed("col", "k")
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        size(piece).cast("long").as("n_chunk_tok"),
+        PortableHash.md5Long(concat_ws(" ", piece)).as("chunk_hash"))
+  }
+
+  val docChunksSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens FROM documents),
+       |t AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+       |ks AS (SELECT doc_id, tokens, n,
+       |              unnest(range(greatest(1, (n - 8 + 23) // 24))) AS k FROM t)
+       |SELECT doc_id, k AS chunk_idx,
+       |       len(tokens[k*24+1 : k*24+32]) AS n_chunk_tok,
+       |       ${PortableHash.md5LongSql("array_to_string(tokens[k*24+1 : k*24+32], ' ')")} AS chunk_hash
+       |FROM ks""".stripMargin
+
   // ------------------------------------- dedup: incremental (stream-shaped)
   /** Incremental near-dup under the oracle: documents with doc_id % 20 == 0
     * play the incoming 5% batch, signed PER ROW by the stateless

@@ -116,6 +116,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(ones.toSeq == Seq((1L, 2L, 3L, 3L, 3L)))
   }
 
+  test("doc chunking covers every token with the declared overlap") {
+    // 33 tokens, chunk 32 / stride 24 -> 2 chunks: [1..32], [25..33]
+    val text = (1 to 33).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text, "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.queries.LlmQueries.docChunks(df.sparkSession, "/root/testdata/sf0.001")
+    // formula check on the constructed doc via the same operators
+    import org.apache.spark.sql.functions._
+    val got = df.select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0L), greatest(lit(1L), expr("(n_tok - 8 + 23) div 24")) - 1)),
+        col("toks"))
+      .select(col("pos"), size(slice(col("toks"), col("col") * 24 + 1, lit(32))).as("len"))
+      .as[(Int, Int)].collect().toMap
+    assert(got == Map(0 -> 32, 1 -> 9), s"chunks [32, 9] expected, got $got")
+    // fixture query sanity: every doc yields >= 1 chunk, idx 0 always present
+    assert(rows.filter(col("chunk_idx") === 0).count() == 500)
+  }
+
   test("duplicate clusters collapse chains that pairwise dropping would split") {
     // a~b, b~c, but NOT a~c: one cluster labeled by the minimal id; the
     // disjoint pair (7,9) stays its own cluster
