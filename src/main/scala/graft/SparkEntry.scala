@@ -47,6 +47,7 @@ object SparkEntry {
     "ngram_jaccard"        -> (LlmQueries.ngramJaccard _),
     "minhash_lsh"          -> (LlmQueries.minhashLsh _),
     "dup_clusters"         -> (LlmQueries.dupClusters _),
+    "split_no_leakage"     -> (LlmQueries.splitNoLeakage _),
     "bag_jaccard"          -> (LlmQueries.bagJaccard _),
     "minhash_weighted"     -> (LlmQueries.minhashWeighted _),
     "simhash_neardup"      -> (LlmQueries.simhashNeardup _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "ngram_jaccard"        -> LlmQueries.ngramJaccardSql,
     "minhash_lsh"          -> LlmQueries.minhashLshSql,
     "dup_clusters"         -> LlmQueries.dupClustersSql,
+    "split_no_leakage"     -> LlmQueries.splitNoLeakageSql,
     "bag_jaccard"          -> LlmQueries.bagJaccardSql,
     "minhash_weighted"     -> LlmQueries.minhashWeightedSql,
     "simhash_neardup"      -> LlmQueries.simhashNeardupSql,

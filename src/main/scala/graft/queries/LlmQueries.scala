@@ -106,6 +106,47 @@ object LlmQueries {
 
   val minhashLshSql: String = s"WITH $minhashCtes\n$minhashFinalSelect"
 
+  // ---------------------------------------- split without duplicate leakage
+  /** Train/val split WITHOUT near-dup leakage: membership is hashed from
+    * the duplicate-CLUSTER label ([[dupClusters]]; singletons label
+    * themselves), not the document id — so a near-dup pair can never
+    * straddle the split. Splitting by doc id quietly leaks: the val set
+    * "generalization" on memorized near-copies of training docs is the
+    * classic eval-inflation bug. Deterministic md5 membership, no rand();
+    * the leakage-freedom property itself is spec-asserted
+    * (LlmOpsSpec "no near-dup pair straddles").
+    */
+  def splitNoLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(docs, n = 3, perms = 64, bands = 16,
+        num = jaccardNum, den = jaccardDen).select("doc_a", "doc_b"))
+      .withColumnRenamed("doc_id", "cid")
+    val group = coalesce(col("cluster_id"), col("doc_id"))
+    docs.join(clusters, col("doc_id") === col("cid"), "left")
+      .select(col("doc_id"), group.as("group_id"),
+        when(pmod(PortableHash.md5Long(
+          concat(lit("leak:"), group.cast("string"))), lit(100)) < 80, "train")
+          .otherwise("val").as("split"))
+  }
+
+  val splitNoLeakageSql: String = {
+    val h = PortableHash.md5LongSql("'leak:' || g::VARCHAR")
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashFinalSelect),
+       |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (SELECT s, d FROM ed
+       |                UNION
+       |                SELECT r.s, e.d FROM reach r JOIN ed e ON r.d = e.s),
+       |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+       |lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS g
+       |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT doc_id, g AS group_id,
+       |       CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split
+       |FROM lab""".stripMargin
+  }
+
   // ------------------------------------- dedup: weighted (bag) Jaccard
   /** DuckDB CTEs for the bag (multiset) shingle postings — mirrors
     * [[graft.llm.Dedup.bagPostings]]: all-occurrences shingles (no

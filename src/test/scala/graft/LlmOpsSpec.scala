@@ -116,6 +116,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(ones.toSeq == Seq((1L, 2L, 3L, 3L, 3L)))
   }
 
+  test("no near-dup pair straddles the leakage-free split") {
+    val dir = "/root/testdata/sf0.001"
+    val split = graft.queries.LlmQueries.splitNoLeakage(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = Dedup.minhashLshPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), 3, 64, 16, 4, 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dups $a/$b straddle train/val")
+    }
+    // and both sides of the split are populated
+    assert(split.values.toSet == Set("train", "val"))
+  }
+
   test("doc chunking covers every token with the declared overlap") {
     // 33 tokens, chunk 32 / stride 24 -> 2 chunks: [1..32], [25..33]
     val text = (1 to 33).map(i => s"w$i").mkString(" ")

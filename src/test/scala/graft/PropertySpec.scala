@@ -31,6 +31,36 @@ class PropertySpec extends SparkSuite {
 
   private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
 
+  test("duplicateClusters equals a reference union-find on random graphs") {
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, for {
+        a <- Gen.choose(0L, 14L)
+        b <- Gen.choose(0L, 14L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    (1 to 8).foreach { i =>
+      val edges = edgesGen(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(fail(s"generator exhausted at seed $i")).distinct
+      whenever(edges.nonEmpty) {
+        // reference: plain union-find with min-label normalization
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // one more pass so every member points at the component minimum
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val got = graft.llm.Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"seed $i: $edges")
+      }
+    }
+  }
+
   test("KMV estimate is within sketch error of the exact distinct count") {
     // k=32 => relative standard error ~ 1/sqrt(k-1) ~ 18%; assert a 3-sigma
     // band on the fixture (exact counts come from the oracled distinct query)
