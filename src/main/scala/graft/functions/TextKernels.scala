@@ -88,6 +88,51 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** (shingle, occurrence-count) pairs in first-occurrence order — one
+    * document's bag postings computed in a single pass, so the per-corpus
+    * counting aggregation (a full (doc, hash) shuffle) disappears from the
+    * weighted-dedup plans entirely: counts become per-row generator
+    * output.
+    */
+  def shingleCounts(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val parts = text.toString.split(" ", -1)
+    var m = 0
+    val toks = new Array[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[String, Integer](math.max(8, (m - n + 1) * 2))
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      val s = sb.toString
+      val prev = counts.get(s)
+      counts.put(s, if (prev == null) 1 else prev + 1)
+      j += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue.longValue()))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -177,6 +222,38 @@ case class ShinglesFP(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Catalyst expression wrapping [[TextKernels.shingleCounts]]:
+  * array<struct<s: string, cnt: bigint>> of a document's bag postings.
+  * Null text → null (explode drops it).
+  */
+case class ShingleCountsFP(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_counts expects a string column, got $t")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.shingleCounts(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleCounts($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Catalyst expression wrapping [[TextKernels.simhash]]: null text → null,
   * empty/short text → 0L. Never assigns the isNull slot in generated code
   * (the nullability lesson in SCALE.md).
@@ -222,6 +299,10 @@ object TextFunctions {
   /** Per-row 60-bit frequency-weighted SimHash (shuffle-free, state-free). */
   def graftSimhash(text: Column, bits: Int = 60): Column =
     ColumnBridge.column(SimhashFP(ColumnBridge.expression(text), bits))
+
+  /** Per-row bag postings: array<struct<s, cnt>> of (shingle, count). */
+  def graftShingleCounts(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleCountsFP(ColumnBridge.expression(text), n))
 
   /** SQL surface: `SELECT graft_shingles(text, 3)` — the n-gram width must
     * be a literal (it parameterizes generated code).

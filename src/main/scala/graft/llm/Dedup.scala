@@ -218,19 +218,21 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
-  /** Bag (multiset) postings: one row per (doc, distinct shingle-HASH) with
-    * the shingle's OCCURRENCE COUNT as its weight — boilerplate-and-template
-    * repetition that set-Jaccard cannot see. The md5 runs map-side right
-    * after the all-occurrences explode, so the counting aggregation
-    * shuffles 16-byte (doc, hash) rows — never shingle strings — with
-    * map-side combine collapsing intra-partition repeats.
+  /** Bag (multiset) postings: one row per (doc, distinct shingle) with the
+    * shingle's OCCURRENCE COUNT as its weight — boilerplate-and-template
+    * repetition that set-Jaccard cannot see. The counting happens INSIDE
+    * the row kernel ([[graft.functions.TextKernels.shingleCounts]]: one
+    * pass over the document, (shingle, cnt) pairs out), so there is NO
+    * counting shuffle at all — the only exchanges left in the weighted
+    * plans are the ones the unweighted paths already pay. The md5 runs
+    * post-explode in codegen; strings never leave the map side.
     */
   def bagPostings(documents: DataFrame, n: Int): DataFrame =
     spread(documents)
-      .select(col("doc_id"), explode(TextAnalysis.shinglesAll(col("text"), n)).as("s"))
-      .select(col("doc_id"), PortableHash.md5Long(col("s")).as("h"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.graftShingleCounts(col("text"), n)).as("sc"))
+      .select(col("doc_id"), PortableHash.md5Long(col("sc.s")).as("h"),
+        col("sc.cnt").as("cnt"))
 
   /** Exact weighted (bag) Jaccard pairs:
     * J_w = Σ min(cnt_a, cnt_b) / Σ max(cnt_a, cnt_b) ≥ num/den, in pure

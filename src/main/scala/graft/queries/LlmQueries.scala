@@ -161,9 +161,8 @@ object LlmQueries {
        |              THEN [array_to_string(tokens[i:i+${n - 1}], ' ')
        |                    for i in range(1, len(tokens) - ${n - 2})]
        |              ELSE [] END AS sh FROM toks),
-       |bag AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt
-       |        FROM (SELECT doc_id, unnest([${PortableHash.md5LongSql("s")} for s in sh]) AS h
-       |              FROM shsa) GROUP BY doc_id, h),
+       |bag AS (SELECT doc_id, ${PortableHash.md5LongSql("s")} AS h, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM (SELECT doc_id, unnest(sh) AS s FROM shsa) GROUP BY doc_id, s),
        |wsizes AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS w_sh FROM bag GROUP BY 1)""".stripMargin
 
   private val bagFinalSelect: String =
