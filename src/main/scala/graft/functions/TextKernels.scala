@@ -152,6 +152,56 @@ object TextKernels {
     v >>> 4
   }
 
+  /** Per-row MinHash signature: the `perms` minima over the document's
+    * DISTINCT shingle hashes, computed in one pass — the signature is a
+    * pure function of the row, so the 64-column min-aggregation (and its
+    * full posting exchange) disappears from the sketch plans. Bit-identical
+    * to [[graft.llm.Dedup.minhashSignaturesFromPosts]] over
+    * [[shingles]]-postings: same md5-derived hashes, same (a·h+b) mod P
+    * permutations. Documents with fewer than n tokens return an EMPTY
+    * array (the aggregation form emits no row) — callers filter on size.
+    */
+  def minhashSig(text: UTF8String, n: Int, a: Array[Long], b: Array[Long],
+                 p: Long): ArrayData = {
+    val perms = a.length
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val parts = text.toString.split(" ", -1)
+    var m = 0
+    val toks = new Array[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[String](math.max(8, (m - n + 1) * 2))
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        val hp = md5Long60(s) % p
+        var q = 0
+        while (q < perms) {
+          val v = (hp * a(q) + b(q)) % p
+          if (v < mins(q)) mins(q) = v
+          q += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Per-ROW frequency-weighted SimHash over whitespace tokens — the same
     * function as the aggregation form ([[graft.llm.Dedup.simhashSignatures]]:
     * bit j set when Σ_token-occurrences (±1 from bit j of md5(token)) > 0),
@@ -254,6 +304,44 @@ case class ShingleCountsFP(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression wrapping [[TextKernels.minhashSig]]: a document's
+  * full MinHash signature (array<bigint>, length `perms`) as a pure row
+  * function; empty array for docs with fewer than n tokens. Null text →
+  * null.
+  */
+case class MinhashSigFP(child: Expression, n: Int, perms: Int) extends UnaryExpression {
+
+  private val params = graft.engine.PortableHash.minhashParams(perms)
+  private val aArr: Array[Long] = params.map(_._1).toArray
+  private val bArr: Array[Long] = params.map(_._2).toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects a string column, got $t")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.minhashSig(text.asInstanceOf[UTF8String], n, aArr, bArr,
+      graft.engine.PortableHash.P)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSig($c, $n, $aRef, $bRef, " +
+        s"${graft.engine.PortableHash.P}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Catalyst expression wrapping [[TextKernels.simhash]]: null text → null,
   * empty/short text → 0L. Never assigns the isNull slot in generated code
   * (the nullability lesson in SCALE.md).
@@ -303,6 +391,10 @@ object TextFunctions {
   /** Per-row bag postings: array<struct<s, cnt>> of (shingle, count). */
   def graftShingleCounts(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleCountsFP(ColumnBridge.expression(text), n))
+
+  /** Per-row MinHash signature (array<bigint>; empty when < n tokens). */
+  def graftMinhashSig(text: Column, n: Int, perms: Int): Column =
+    ColumnBridge.column(MinhashSigFP(ColumnBridge.expression(text), n, perms))
 
   /** SQL surface: `SELECT graft_shingles(text, 3)` — the n-gram width must
     * be a literal (it parameterizes generated code).

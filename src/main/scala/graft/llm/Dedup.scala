@@ -148,12 +148,18 @@ object Dedup {
   }
 
   /** MinHash signatures: sig_i = min over shingle hashes h of
-    * (a_i*(h mod P)+b_i) mod P. One hash aggregation with 64 codegen'd `min`
-    * columns over the postings — map-side combined, shuffle is one row of 64
-    * longs per (doc × partition).
+    * (a_i*(h mod P)+b_i) mod P — computed PER ROW by the
+    * [[graft.functions.MinhashSigFP]] kernel (one pass over the document,
+    * no posting exchange at all; the signature is a pure row function).
+    * Output-equal to [[minhashSignaturesFromPosts]] over
+    * [[shinglePostings]] (FunctionsSpec proves it), which remains the form
+    * for pre-expanded postings (the weighted path).
     */
   def minhashSignatures(documents: DataFrame, n: Int, perms: Int): DataFrame =
-    minhashSignaturesFromPosts(shinglePostings(documents, n), perms)
+    spread(documents)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.graftMinhashSig(col("text"), n, perms).as("sig"))
+      .filter(size(col("sig")) > 0)
 
   /** Signature aggregation over an existing postings frame (lets callers
     * share one persisted postings scan across signature + verification).
@@ -196,9 +202,11 @@ object Dedup {
 
   def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                       num: Int, den: Int): DataFrame = {
+    // postings are persisted for candidate VERIFICATION only — signatures
+    // come from the per-row kernel and never touch an exchange
     val posts = shinglePostings(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignaturesFromPosts(posts, perms)
+    val sigs = minhashSignatures(documents, n, perms)
     val candidates = bandCandidates(sigs, perms, bands)
     val sizes = shingleSizes(documents, n)
     // no forced broadcast: the candidate set is data-dependent (tiny on

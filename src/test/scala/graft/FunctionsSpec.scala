@@ -78,6 +78,21 @@ class FunctionsSpec extends SparkSuite {
       .head().getSeq[String](0) == Seq("a b", "b a", "a b"))
   }
 
+  test("per-row MinHash signature kernel equals the aggregation form on fixtures") {
+    import graft.llm.Dedup
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val aggForm = Dedup.minhashSignaturesFromPosts(Dedup.shinglePostings(docs, 3), 64)
+        .withColumnRenamed("sig", "agg_sig")
+      val mism = Dedup.minhashSignatures(docs, 3, 64)
+        .join(aggForm, "doc_id")
+        .filter(not(col("sig") <=> col("agg_sig"))).count()
+      assert(mism == 0, s"$sf: kernel signature diverges from the aggregation form")
+      // same doc set too (kernel filters empty-shingle docs like the agg)
+      assert(Dedup.minhashSignatures(docs, 3, 64).count() == aggForm.count())
+    }
+  }
+
   test("per-row SimHash kernel equals the aggregation form on fixtures") {
     import graft.llm.{Dedup, TextAnalysis}
     for (sf <- Seq("sf0.001", "sf0.01")) {
