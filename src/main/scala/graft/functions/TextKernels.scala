@@ -202,6 +202,58 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** Per-row WEIGHTED MinHash signature over the multiset expansion: the
+    * k-th occurrence of a shingle contributes element hash h (k=1, the
+    * base) or md5(h + "#" + k) (k ≥ 2) — the same mapping as
+    * [[graft.llm.Dedup.minhashWeightedPairs]]'s expansion, processed
+    * incrementally in one pass (occurrence counts tracked as they stream,
+    * no second loop). Signature collision probability = bag Jaccard,
+    * computed with zero exchanges.
+    */
+  def minhashSigWeighted(text: UTF8String, n: Int, a: Array[Long], b: Array[Long],
+                         p: Long): ArrayData = {
+    val perms = a.length
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val parts = text.toString.split(" ", -1)
+    var m = 0
+    val toks = new Array[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    // per-shingle state: base hash + occurrences seen so far
+    val state = new java.util.HashMap[String, Array[Long]](math.max(8, (m - n + 1) * 2))
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      val s = sb.toString
+      var st = state.get(s)
+      if (st == null) { st = Array(md5Long60(s), 0L); state.put(s, st) }
+      st(1) += 1
+      val h = if (st(1) == 1L) st(0) else md5Long60(st(0).toString + "#" + st(1))
+      val hp = h % p
+      var q = 0
+      while (q < perms) {
+        val v = (hp * a(q) + b(q)) % p
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Per-ROW frequency-weighted SimHash over whitespace tokens — the same
     * function as the aggregation form ([[graft.llm.Dedup.simhashSignatures]]:
     * bit j set when Σ_token-occurrences (±1 from bit j of md5(token)) > 0),
@@ -309,7 +361,8 @@ case class ShingleCountsFP(child: Expression, n: Int) extends UnaryExpression {
   * function; empty array for docs with fewer than n tokens. Null text →
   * null.
   */
-case class MinhashSigFP(child: Expression, n: Int, perms: Int) extends UnaryExpression {
+case class MinhashSigFP(child: Expression, n: Int, perms: Int,
+                        weighted: Boolean = false) extends UnaryExpression {
 
   private val params = graft.engine.PortableHash.minhashParams(perms)
   private val aArr: Array[Long] = params.map(_._1).toArray
@@ -326,15 +379,21 @@ case class MinhashSigFP(child: Expression, n: Int, perms: Int) extends UnaryExpr
         s"graft_minhash expects a string column, got $t")
     }
 
+  private def kernel: String = if (weighted) "minhashSigWeighted" else "minhashSig"
+
   override def nullSafeEval(text: Any): Any =
-    TextKernels.minhashSig(text.asInstanceOf[UTF8String], n, aArr, bArr,
-      graft.engine.PortableHash.P)
+    if (weighted)
+      TextKernels.minhashSigWeighted(text.asInstanceOf[UTF8String], n, aArr, bArr,
+        graft.engine.PortableHash.P)
+    else
+      TextKernels.minhashSig(text.asInstanceOf[UTF8String], n, aArr, bArr,
+        graft.engine.PortableHash.P)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextKernels.minhashSig($c, $n, $aRef, $bRef, " +
+      s"${ev.value} = graft.functions.TextKernels.$kernel($c, $n, $aRef, $bRef, " +
         s"${graft.engine.PortableHash.P}L);")
   }
 
@@ -395,6 +454,11 @@ object TextFunctions {
   /** Per-row MinHash signature (array<bigint>; empty when < n tokens). */
   def graftMinhashSig(text: Column, n: Int, perms: Int): Column =
     ColumnBridge.column(MinhashSigFP(ColumnBridge.expression(text), n, perms))
+
+  /** Weighted (bag) variant over the multiset expansion. */
+  def graftMinhashSigWeighted(text: Column, n: Int, perms: Int): Column =
+    ColumnBridge.column(MinhashSigFP(ColumnBridge.expression(text), n, perms,
+      weighted = true))
 
   /** SQL surface: `SELECT graft_shingles(text, 3)` — the n-gram width must
     * be a literal (it parameterizes generated code).

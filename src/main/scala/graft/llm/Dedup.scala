@@ -267,13 +267,13 @@ object Dedup {
 
   /** Weighted MinHash + LSH, exact-verified: MinHash over the MULTISET
     * EXPANSION — a shingle with hash h and count c contributes elements
-    * (h,1)…(h,c), hashed md5(h + "#" + r) — so P[sig collision] equals the
-    * bag Jaccard exactly (the expansion reduces weighted Jaccard on integer
-    * weights to set Jaccard on the expanded universe). Banding and
-    * candidate verification mirror [[minhashLshPairs]], with verification
-    * against the exact bag measure of [[bagJaccardPairs]]. Expanding from
-    * the 60-bit hash rather than the shingle string keeps every stage
-    * string-free past the first map.
+    * h (first occurrence) and md5(h + "#" + r) for r = 2..c — so
+    * P[sig collision] equals the bag Jaccard exactly (the expansion
+    * reduces weighted Jaccard on integer weights to set Jaccard on the
+    * expanded universe). The expansion is processed INSIDE the per-row
+    * signature kernel ([[graft.functions.TextKernels.minhashSigWeighted]]);
+    * banding and candidate verification mirror [[minhashLshPairs]], with
+    * verification against the exact bag measure of [[bagJaccardPairs]].
     *
     * Scale: the expansion multiplies postings by the mean shingle
     * multiplicity (≈1 on natural text; bounded by doc length on degenerate
@@ -283,20 +283,17 @@ object Dedup {
     */
   def minhashWeightedPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                            num: Int, den: Int): DataFrame = {
+    // bag postings persist for candidate VERIFICATION only — the weighted
+    // signatures come from the per-row kernel (expansion processed
+    // inline), so the signature path pays zero exchanges, like the
+    // unweighted family
     val bag = bagPostings(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // r=1 keeps the shingle hash ITSELF as its expanded element (identity —
-    // no second md5 for the ~all-of-them multiplicity-1 case); only genuine
-    // repeats (r >= 2) pay the re-hash. Distinctness across (h, r) holds up
-    // to the same 60-bit collision odds every hash here already accepts,
-    // and both engines compute the identical mapping.
-    val expanded = bag
-      .select(col("doc_id"), col("h"), explode(sequence(lit(1L), col("cnt"))).as("r"))
+    val sigs = spread(documents)
       .select(col("doc_id"),
-        when(col("r") === 1L, col("h"))
-          .otherwise(PortableHash.md5Long(
-            concat(col("h").cast("string"), lit("#"), col("r").cast("string")))).as("h"))
-    val candidates = bandCandidates(minhashSignaturesFromPosts(expanded, perms), perms, bands)
+        graft.functions.TextFunctions.graftMinhashSigWeighted(col("text"), n, perms).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val candidates = bandCandidates(sigs, perms, bands)
     val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
     // AQE picks the verify-join strategy from the candidate set's runtime size
     val common = candidates
@@ -440,10 +437,17 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via 6×10-bit
     * pigeonhole banding (EXACT for maxDist ≤ 5): candidates must share one
     * 10-bit band, then the full 60-bit Hamming distance filters.
+    * Signatures come from the per-row [[graft.functions.SimhashFP]] kernel
+    * (spec-equal to the [[simhashSignatures]] aggregation form), so the
+    * token explode + 60-sum exchange is gone — the only shuffle left is
+    * the band join itself.
     */
   def simhashPairs(documents: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 5, "6-band pigeonhole guarantees recall only for distance <= 5")
-    val sigs = simhashSignatures(documents)
+    val sigs = spread(documents)
+      .filter(size(TextAnalysis.tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.graftSimhash(col("text"), 60).as("sig"))
     val bandKeys = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 6).map(b => shiftright(col("sig"), b * 10) % 1024L): _*)))
       .toDF("doc_id", "sig", "band", "key")

@@ -90,6 +90,24 @@ class FunctionsSpec extends SparkSuite {
       assert(mism == 0, s"$sf: kernel signature diverges from the aggregation form")
       // same doc set too (kernel filters empty-shingle docs like the agg)
       assert(Dedup.minhashSignatures(docs, 3, 64).count() == aggForm.count())
+      // weighted: kernel == aggregation over the explicit multiset expansion
+      val bag = Dedup.bagPostings(docs, 3)
+      val expanded = bag
+        .select(col("doc_id"), col("h"),
+          explode(org.apache.spark.sql.functions.sequence(lit(1L), col("cnt"))).as("r"))
+        .select(col("doc_id"),
+          when(col("r") === 1L, col("h"))
+            .otherwise(graft.engine.PortableHash.md5Long(
+              concat(col("h").cast("string"), lit("#"), col("r").cast("string")))).as("h"))
+      val wAgg = Dedup.minhashSignaturesFromPosts(expanded, 64)
+        .withColumnRenamed("sig", "agg_sig")
+      val wKernel = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.graftMinhashSigWeighted(col("text"), 3, 64).as("sig"))
+        .filter(size(col("sig")) > 0)
+      val wMism = wKernel.join(wAgg, "doc_id")
+        .filter(not(col("sig") <=> col("agg_sig"))).count()
+      assert(wMism == 0, s"$sf: weighted kernel diverges from the expansion-agg form")
+      assert(wKernel.count() == wAgg.count())
     }
   }
 
