@@ -48,6 +48,7 @@ object SparkEntry {
     "minhash_lsh"          -> (LlmQueries.minhashLsh _),
     "dup_clusters"         -> (LlmQueries.dupClusters _),
     "split_no_leakage"     -> (LlmQueries.splitNoLeakage _),
+    "training_corpus"      -> (LlmQueries.trainingCorpus _),
     "bag_jaccard"          -> (LlmQueries.bagJaccard _),
     "minhash_weighted"     -> (LlmQueries.minhashWeighted _),
     "simhash_neardup"      -> (LlmQueries.simhashNeardup _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "minhash_lsh"          -> LlmQueries.minhashLshSql,
     "dup_clusters"         -> LlmQueries.dupClustersSql,
     "split_no_leakage"     -> LlmQueries.splitNoLeakageSql,
+    "training_corpus"      -> LlmQueries.trainingCorpusSql,
     "bag_jaccard"          -> LlmQueries.bagJaccardSql,
     "minhash_weighted"     -> LlmQueries.minhashWeightedSql,
     "simhash_neardup"      -> LlmQueries.simhashNeardupSql,

@@ -106,6 +106,95 @@ object LlmQueries {
 
   val minhashLshSql: String = s"WITH $minhashCtes\n$minhashFinalSelect"
 
+  // ------------------------------------ flagship #2: training-corpus build
+  /** End-to-end training-corpus materialization — the full pipeline a
+    * 100 TB pretraining run needs, composed from the library's own stages:
+    *  1. duplicate-CLUSTER resolution keeps one doc per near-dup group
+    *     (the component's minimal id — [[dupClusters]]);
+    *  2. the fused per-row curation stage filters on quality / language /
+    *     repetition ([[perRowCuration]], shared with the streaming twin);
+    *  3. PII redaction rewrites surviving text ([[piiRedact]]'s chain —
+    *     a no-op on the PII-free fixture, real work on real data, same
+    *     plan either way);
+    *  4. deterministic chunking emits the training-ready chunk index
+    *     ([[docChunks]]'s 32/8 windows).
+    * Output: one row per chunk with its content hash, token count, and
+    * the doc's curation signals. Every stage is the library operator
+    * itself, so the oracle is the stitched composition of their CTEs.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(docs, n = 3, perms = 64, bands = 16,
+        num = jaccardNum, den = jaccardDen).select("doc_a", "doc_b"))
+      .withColumnRenamed("doc_id", "cid")
+    val keep = docs.join(clusters, col("doc_id") === col("cid"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .drop("cid", "cluster_id")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), TextAnalysis.emailRe, "<EMAIL>"),
+          TextAnalysis.urlRe, "<URL>"),
+        TextAnalysis.longDigitRe, "<NUM>")
+    val cur = perRowCuration(keep)
+      .select(col("doc_id"), redacted.as("clean"), col("pred_lang"), col("score_bp"))
+    val (chunk, overlap) = (32, 8)
+    val stride = chunk - overlap
+    val nChunks = greatest(lit(1L),
+      expr(s"(n_tok - $overlap + ${stride - 1}) div $stride"))
+    val piece = slice(col("toks"), col("k") * stride + 1, lit(chunk))
+    cur
+      .withColumn("toks", TextAnalysis.tokens(col("clean")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("pred_lang"), col("score_bp"), col("toks"),
+        posexplode(sequence(lit(0L), nChunks - 1)))
+      .withColumnRenamed("col", "k")
+      .select(col("doc_id"), col("k").as("chunk_idx"),
+        size(piece).cast("long").as("n_chunk_tok"),
+        PortableHash.md5Long(concat_ws(" ", piece)).as("chunk_hash"),
+        col("pred_lang"), col("score_bp"))
+  }
+
+  val trainingCorpusSql: String = {
+    val email = TextAnalysis.emailRe.replace("\\\\", "\\")
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashFinalSelect),
+       |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (SELECT s, d FROM ed
+       |                UNION
+       |                SELECT r.s, e.d FROM reach r JOIN ed e ON r.d = e.s),
+       |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+       |$curationSignalCtes,
+       |cur AS (SELECT d.doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(d.text,
+       |      '$email', '<EMAIL>', 'g'),
+       |      'https?://[^\\s]+', '<URL>', 'g'),
+       |      '[0-9]{7,}', '<NUM>', 'g') AS clean,
+       |    l.pred_lang, q.score_bp
+       |  FROM documents d
+       |  LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |  JOIN quality q ON d.doc_id = q.doc_id
+       |  JOIN langp l ON d.doc_id = l.doc_id
+       |  JOIN rep r ON d.doc_id = r.doc_id
+       |  WHERE (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id)
+       |    AND q.score_bp >= 1400 AND l.pred_lang = 'en' AND r.dup_2gram_bp < 600),
+       |ct AS (SELECT doc_id, pred_lang, score_bp,
+       |              list_filter(string_split(clean, ' '), t -> len(t) > 0) AS tokens
+       |       FROM cur),
+       |cn AS (SELECT doc_id, pred_lang, score_bp, tokens, len(tokens) AS n
+       |       FROM ct WHERE len(tokens) > 0),
+       |ks AS (SELECT doc_id, pred_lang, score_bp, tokens, n,
+       |              unnest(range(greatest(1, (n - 8 + 23) // 24))) AS k FROM cn)
+       |SELECT doc_id, k AS chunk_idx,
+       |       len(tokens[k*24+1 : k*24+32]) AS n_chunk_tok,
+       |       ${PortableHash.md5LongSql("array_to_string(tokens[k*24+1 : k*24+32], ' ')")} AS chunk_hash,
+       |       pred_lang, score_bp
+       |FROM ks""".stripMargin
+  }
+
   // ---------------------------------------- split without duplicate leakage
   /** Train/val split WITHOUT near-dup leakage: membership is hashed from
     * the duplicate-CLUSTER label ([[dupClusters]]; singletons label
@@ -933,13 +1022,14 @@ object LlmQueries {
       .filter(col("score_bp") >= 1400 && col("pred_lang") === "en" &&
         col("dup_2gram_bp") < 600)
 
-  val curationPipelineSql: String = {
+  /** Shared quality/langp/rep CTE block (the stateless curation signals),
+    * used by the curation flagship and the training-corpus composition.
+    */
+  private def curationSignalCtes: String = {
     val en = TextAnalysis.langMarkers.toMap.apply("en").mkString("|")
     def re(words: Seq[String]) = s"'\\b(${words.mkString("|")})\\b'"
     val m = TextAnalysis.langMarkers.toMap
-    s"""WITH $minhashCtes,
-       |dupes AS (SELECT DISTINCT doc_b AS dup_id FROM ($minhashFinalSelect)),
-       |quality AS (SELECT doc_id,
+    s"""quality AS (SELECT doc_id,
        |  least(n_chars, 1000) * 2
        |    + (1000 * len(regexp_extract_all(text, '\\b($en)\\b')))
        |        // greatest(len(list_filter(string_split(text, ' '), t -> len(t) > 0)), 1)
@@ -965,13 +1055,18 @@ object LlmQueries {
        |           ELSE 0 END) * 10000) // greatest(greatest(len(toks2)-1,0), 1) AS dup_2gram_bp
        |  FROM (SELECT doc_id,
        |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks2
-       |        FROM documents))
+       |        FROM documents))""".stripMargin
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH $minhashCtes,
+       |dupes AS (SELECT DISTINCT doc_b AS dup_id FROM ($minhashFinalSelect)),
+       |$curationSignalCtes
        |SELECT q.doc_id, l.pred_lang, q.score_bp
        |FROM quality q JOIN langp l ON q.doc_id = l.doc_id
        |JOIN rep r ON q.doc_id = r.doc_id
        |WHERE q.score_bp >= 1400 AND l.pred_lang = 'en' AND r.dup_2gram_bp < 600
        |  AND NOT EXISTS (SELECT 1 FROM dupes d WHERE d.dup_id = q.doc_id)""".stripMargin
-  }
 
   // -------------------------------------------------------- multimodal stub
   /** Frame sampling under the oracle: the video-path explode shape (every
