@@ -244,6 +244,12 @@ object VectorFunctions {
     ColumnBridge.column(DotProductFP(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Int8 quantization summary: [scale_bp, checksum, q_min, q_max]
+    * (empty array on null element / zero max).
+    */
+  def graftQuant8(emb: Column): Column =
+    ColumnBridge.column(Quant8FP(ColumnBridge.expression(emb)))
+
   /** All LSH bucket ids of an embedding in one fused pass (array<long>).
     * `probes = p` appends, per table, p−1 extra buckets: probe q flips the
     * q-th LOWEST-|MARGIN| bit (the planes whose |projection| is smallest —
@@ -263,6 +269,107 @@ object VectorFunctions {
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProductFP].getName, "graft_dot"),
     (exprs: Seq[Expression]) => DotProductFP(exprs.head, exprs(1)))
+}
+
+/** Int8 quantization summary of an embedding — the vector-store
+  * compression step: q_i = floor(x_i · 127 / max|x|), reported as integer
+  * summary columns (scale in 1e-4 fixed point, an order-weighted checksum
+  * Σ q_i·(i+1), min, max) rather than the raw int8 array, which keeps the
+  * oracle compare scalar. All arithmetic after the reads is IEEE double
+  * multiply/divide + floor — bit-identical across engines (HALF_UP vs
+  * half-even never enters: floor only). Returns an EMPTY array for a null
+  * element or a zero/negative max (callers filter on size), so the isNull
+  * slot is never assigned in generated code.
+  */
+case class Quant8FP(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_quant8 expects array<float|double|int>, got $t")
+    }
+
+  private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    def at(i: Int): Double = elemType match {
+      case FloatType => emb.getFloat(i).toDouble
+      case DoubleType => emb.getDouble(i)
+      case IntegerType => emb.getInt(i).toDouble
+    }
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (emb.isNullAt(i)) return empty
+      val a = math.abs(at(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs <= 0.0) return empty
+    var checksum = 0L
+    var qMin = Long.MaxValue
+    var qMax = Long.MinValue
+    i = 0
+    while (i < n) {
+      val q = math.floor(at(i) * 127.0 / maxAbs).toLong
+      checksum += q * (i + 1)
+      if (q < qMin) qMin = q
+      if (q > qMax) qMax = q
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(math.floor(maxAbs * 10000.0).toLong, checksum, qMin, qMax))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = elemType match {
+      case FloatType => (a: String, i: String) => s"(double) $a.getFloat($i)"
+      case DoubleType => (a: String, i: String) => s"$a.getDouble($i)"
+      case IntegerType => (a: String, i: String) => s"(double) $a.getInt($i)"
+    }
+    nullSafeCodeGen(ctx, ev, emb => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs"); val bad = ctx.freshName("bad")
+      val a = ctx.freshName("a"); val q = ctx.freshName("q")
+      val cs = ctx.freshName("cs"); val qmn = ctx.freshName("qmn")
+      val qmx = ctx.freshName("qmx"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $emb.numElements();
+         |double $maxAbs = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($emb.isNullAt($i)) { $bad = true; break; }
+         |  double $a = java.lang.Math.abs(${getter(emb, i)});
+         |  if ($a > $maxAbs) $maxAbs = $a;
+         |}
+         |long[] $out;
+         |if ($bad || $maxAbs <= 0.0) {
+         |  $out = new long[0];
+         |} else {
+         |  long $cs = 0L; long $qmn = Long.MAX_VALUE; long $qmx = Long.MIN_VALUE;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $q = (long) java.lang.Math.floor((${getter(emb, i)}) * 127.0 / $maxAbs);
+         |    $cs += $q * ($i + 1);
+         |    if ($q < $qmn) $qmn = $q;
+         |    if ($q > $qmx) $qmx = $q;
+         |  }
+         |  $out = new long[]{(long) java.lang.Math.floor($maxAbs * 10000.0), $cs, $qmn, $qmx};
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Session extensions registering graft's native functions. */

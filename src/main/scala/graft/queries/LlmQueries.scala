@@ -460,6 +460,32 @@ object LlmQueries {
        |FROM sigs n JOIN sigs o ON n.doc_id % 20 = 0 AND o.doc_id % 20 != 0
        |WHERE bit_count(xor(n.sig, o.sig)) <= $simhashMaxDist""".stripMargin
 
+  // ------------------------------------------- vectors: int8 quantization
+  /** Embedding int8 quantization summary ([[graft.functions.Quant8FP]]) —
+    * the vector-store compression step (4× over float32), reported as
+    * integer summary columns so the oracle compare stays scalar. Pure
+    * per-row codegen kernel, no shuffle; floor-only float math keeps the
+    * two engines bit-identical.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.graftQuant8(col("embedding")).as("q"))
+      .filter(size(col("q")) === 4)
+      .select(col("vec_id"), col("q")(0).as("scale_bp"), col("q")(1).as("q_checksum"),
+        col("q")(2).as("q_min"), col("q")(3).as("q_max"))
+
+  val embedQuantizeSql: String =
+    """WITH m AS (SELECT vec_id, embedding,
+      |           list_max([abs(x::DOUBLE) for x in embedding]) AS ma FROM embeddings),
+      |q AS (SELECT vec_id, CAST(floor(ma * 10000) AS BIGINT) AS scale_bp,
+      |             [CAST(floor(x::DOUBLE * 127 / ma) AS BIGINT) for x in embedding] AS qs
+      |      FROM m WHERE ma > 0)
+      |SELECT vec_id, scale_bp,
+      |       CAST(list_sum([qs[i] * i for i in range(1, len(qs) + 1)]) AS BIGINT) AS q_checksum,
+      |       list_min(qs) AS q_min, list_max(qs) AS q_max
+      |FROM q""".stripMargin
+
   // ------------------------------------------------ similarity: brute top-k
   def annTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), col("vec_id") < 10, k = 5)

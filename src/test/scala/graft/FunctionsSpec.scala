@@ -78,6 +78,21 @@ class FunctionsSpec extends SparkSuite {
       .head().getSeq[String](0) == Seq("a b", "b a", "a b"))
   }
 
+  test("Quant8FP quantizes with floor semantics; null/zero vectors drop out") {
+    import graft.functions.VectorFunctions
+    val rows = Seq(
+      (1L, Seq[java.lang.Float](1.0f, -0.5f, 0.25f)),   // ma=1: q = [127, -64, 31]
+      (2L, Seq[java.lang.Float](0.0f, 0.0f)),           // zero max -> dropped
+      (3L, Seq[java.lang.Float](2.0f, null))            // null element -> dropped
+    ).toDF("vec_id", "embedding")
+    val got = rows.select(col("vec_id"), VectorFunctions.graftQuant8(col("embedding")).as("q"))
+      .filter(size(col("q")) === 4)
+      .select(col("vec_id"), col("q")(1).as("cs"), col("q")(2).as("mn"), col("q")(3).as("mx"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // floor(-0.5*127) = floor(-63.5) = -64; checksum 127*1 + -64*2 + 31*3 = 92
+    assert(got == Seq((1L, 92L, -64L, 127L)))
+  }
+
   test("per-row MinHash signature kernel equals the aggregation form on fixtures") {
     import graft.llm.Dedup
     for (sf <- Seq("sf0.001", "sf0.01")) {
