@@ -476,6 +476,23 @@ object TextFunctions {
         s"graft_shingles(text, n): n must be an integer literal, got $other")
     })
 
+  /** SQL surface: `SELECT graft_minhash(text, 3, 64)` — n-gram width and
+    * permutation count must be literals (they parameterize the kernel).
+    */
+  val registrationMinhash: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+                            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                            Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[MinhashSigFP].getName, "graft_minhash"),
+    (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+      case (org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(p: Int, _)) =>
+        MinhashSigFP(exprs.head, n, p)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash(text, n, perms): n and perms must be integer literals, got $other")
+    })
+
   /** SQL surface: `SELECT graft_simhash(text, 60)`. */
   val registrationSimhash: (org.apache.spark.sql.catalyst.FunctionIdentifier,
                             org.apache.spark.sql.catalyst.expressions.ExpressionInfo,

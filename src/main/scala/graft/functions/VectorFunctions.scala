@@ -269,6 +269,12 @@ object VectorFunctions {
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProductFP].getName, "graft_dot"),
     (exprs: Seq[Expression]) => DotProductFP(exprs.head, exprs(1)))
+
+  /** SQL surface: `SELECT graft_quant8(embedding)`. */
+  val registrationQuant8: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quant8"),
+    new ExpressionInfo(classOf[Quant8FP].getName, "graft_quant8"),
+    (exprs: Seq[Expression]) => Quant8FP(exprs.head))
 }
 
 /** Int8 quantization summary of an embedding — the vector-store
@@ -376,9 +382,11 @@ case class Quant8FP(child: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorFunctions.registration)
+    e.injectFunction(VectorFunctions.registrationQuant8)
     e.injectFunction(TextFunctions.registration)
     e.injectFunction(TextFunctions.registrationAll)
     e.injectFunction(TextFunctions.registrationSimhash)
+    e.injectFunction(TextFunctions.registrationMinhash)
   }
 }
 
@@ -388,8 +396,10 @@ object GraftExtensions {
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, VectorFunctions.registration)
+    ColumnBridge.registerFunction(spark, VectorFunctions.registrationQuant8)
     ColumnBridge.registerFunction(spark, TextFunctions.registration)
     ColumnBridge.registerFunction(spark, TextFunctions.registrationAll)
     ColumnBridge.registerFunction(spark, TextFunctions.registrationSimhash)
+    ColumnBridge.registerFunction(spark, TextFunctions.registrationMinhash)
   }
 }

@@ -155,6 +155,11 @@ class FunctionsSpec extends SparkSuite {
     intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b', 1 + 2)").head()
     }
+    // the full kernel surface is SQL-reachable
+    assert(spark.sql("SELECT graft_minhash('a b c d', 3, 64) AS s")
+      .head().getSeq[Long](0).size == 64)
+    assert(spark.sql("SELECT graft_quant8(array(1.0D, -0.5D)) AS q")
+      .head().getSeq[Long](0).size == 4)
   }
 
   test("graft_dot returns null when an element is null (zip_with parity)") {
