@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, LlmQueries, ReferenceQueries}
+import graft.queries.{AnalyticsQueries, LlmQueries, ReferenceQueries, StreamParity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -97,6 +97,12 @@ object SparkEntry {
     "full_outer_activity"  -> (AnalyticsQueries.fullOuterActivity _),
     "sample_per_source"    -> (AnalyticsQueries.samplePerSource _),
     "table_profile"        -> (AnalyticsQueries.tableProfile _),
+    // streaming EXECUTION under the oracle: real StreamingQuery runs
+    // (file stream → IncrementalExecution → streaming sink), compared
+    // against the same batch oracle SQL (queries/StreamParity.scala)
+    "curation_stream_parity"    -> (StreamParity.curationStreamParity _),
+    "running_sum_stream_parity" -> (StreamParity.runningSumStreamParity _),
+    "neardup_stream_parity"     -> (StreamParity.neardupStreamParity _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
   )
@@ -176,5 +182,10 @@ object SparkEntry {
     "full_outer_activity"  -> AnalyticsQueries.fullOuterActivitySql,
     "sample_per_source"    -> AnalyticsQueries.samplePerSourceSql,
     "table_profile"        -> AnalyticsQueries.tableProfileSql,
+    // streaming-execution parity rows share the batch twins' oracles:
+    // converged streaming state must equal the batch recompute
+    "curation_stream_parity"    -> LlmQueries.perRowCurationSql,
+    "running_sum_stream_parity" -> ReferenceQueries.runningSumSql,
+    "neardup_stream_parity"     -> LlmQueries.neardupIncrementalSql,
   )
 }

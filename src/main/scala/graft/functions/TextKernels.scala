@@ -460,6 +460,14 @@ object TextFunctions {
     ColumnBridge.column(MinhashSigFP(ColumnBridge.expression(text), n, perms,
       weighted = true))
 
+  /** Arity gate for the SQL builders: a wrong argument count must surface
+    * as the same IllegalArgumentException with the usage string, not an
+    * IndexOutOfBoundsException from exprs(i).
+    */
+  private def requireArity(exprs: Seq[Expression], n: Int, usage: String): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$usage: expected $n arguments, got ${exprs.length}")
+
   /** SQL surface: `SELECT graft_shingles(text, 3)` — the n-gram width must
     * be a literal (it parameterizes generated code).
     */
@@ -469,11 +477,14 @@ object TextFunctions {
     org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[ShinglesFP].getName, "graft_shingles"),
-    (exprs: Seq[Expression]) => exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
-        ShinglesFP(exprs.head, n)
-      case other => throw new IllegalArgumentException(
-        s"graft_shingles(text, n): n must be an integer literal, got $other")
+    (exprs: Seq[Expression]) => {
+      requireArity(exprs, 2, "graft_shingles(text, n)")
+      exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          ShinglesFP(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles(text, n): n must be an integer literal, got $other")
+      }
     })
 
   /** SQL surface: `SELECT graft_minhash(text, 3, 64)` — n-gram width and
@@ -485,12 +496,15 @@ object TextFunctions {
     org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[MinhashSigFP].getName, "graft_minhash"),
-    (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
-      case (org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
-            org.apache.spark.sql.catalyst.expressions.Literal(p: Int, _)) =>
-        MinhashSigFP(exprs.head, n, p)
-      case other => throw new IllegalArgumentException(
-        s"graft_minhash(text, n, perms): n and perms must be integer literals, got $other")
+    (exprs: Seq[Expression]) => {
+      requireArity(exprs, 3, "graft_minhash(text, n, perms)")
+      (exprs(1), exprs(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _),
+              org.apache.spark.sql.catalyst.expressions.Literal(p: Int, _)) =>
+          MinhashSigFP(exprs.head, n, p)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(text, n, perms): n and perms must be integer literals, got $other")
+      }
     })
 
   /** SQL surface: `SELECT graft_simhash(text, 60)`. */
@@ -500,11 +514,14 @@ object TextFunctions {
     org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[SimhashFP].getName, "graft_simhash"),
-    (exprs: Seq[Expression]) => exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(bits: Int, _) =>
-        SimhashFP(exprs.head, bits)
-      case other => throw new IllegalArgumentException(
-        s"graft_simhash(text, bits): bits must be an integer literal, got $other")
+    (exprs: Seq[Expression]) => {
+      requireArity(exprs, 2, "graft_simhash(text, bits)")
+      exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(bits: Int, _) =>
+          SimhashFP(exprs.head, bits)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash(text, bits): bits must be an integer literal, got $other")
+      }
     })
 
   /** SQL surface for the multiset variant:
@@ -516,10 +533,13 @@ object TextFunctions {
     org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles_all"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       classOf[ShinglesFP].getName, "graft_shingles_all"),
-    (exprs: Seq[Expression]) => exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
-        ShinglesFP(exprs.head, n, distinct = false)
-      case other => throw new IllegalArgumentException(
-        s"graft_shingles_all(text, n): n must be an integer literal, got $other")
+    (exprs: Seq[Expression]) => {
+      requireArity(exprs, 2, "graft_shingles_all(text, n)")
+      exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          ShinglesFP(exprs.head, n, distinct = false)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles_all(text, n): n must be an integer literal, got $other")
+      }
     })
 }

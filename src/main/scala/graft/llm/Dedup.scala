@@ -364,6 +364,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // A component with diameter > maxIter would exit here with labels still
+    // in flight — silently wrong cluster ids. Near-dup graphs are shallow
+    // (the 20-round default covers diameter-20 chains), so hitting this is
+    // a signal the input is not a near-dup pair set; fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge after $maxIter rounds: a component " +
+        s"has diameter > $maxIter; raise maxIter for deep-chain graphs")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -244,8 +244,25 @@ object Similarity {
     * the dot product is commutative term-by-term, so the similarity is
     * bit-identical to the oracle's ordered evaluation.
     */
-  def exactNearDupPairs(embeddings: DataFrame, minCos: Double): DataFrame = {
+  /** Input ceiling for the exact all-pairs path. 200k rows ≈ 2·10¹⁰ pair
+    * evaluations ≈ 10 core-hours of 64-dim dot products — the outer edge of
+    * "verification baseline" work. Beyond it the quadratic term dominates
+    * any cluster you'd give it (100× data = 10,000× compute; SCALE.md
+    * "embed_neardup"), and the LSH/IVF paths + exact verify return the same
+    * pairs at O(N·candidates). The guard makes pointing the exact form at a
+    * corpus an error instead of a cluster-week.
+    */
+  val MaxExactPairsN: Long = 200000L
+
+  def exactNearDupPairs(embeddings: DataFrame, minCos: Double,
+                        maxExactN: Long = MaxExactPairsN): DataFrame = {
     val spark = embeddings.sparkSession
+    // One cheap count (column-pruned scan) gates hours of quadratic work.
+    val n = embeddings.count()
+    require(n <= maxExactN,
+      s"exactNearDupPairs is the O(N²) exactness baseline, capped at " +
+        s"$maxExactN rows (got $n): use lshNearDupPairs/ivfNearDupPairs " +
+        s"(LSH/IVF candidates + exact verify) for corpus-scale near-dup")
     val g = math.max(2,
       math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt)
     import spark.implicits._

@@ -335,7 +335,7 @@ object LlmQueries {
        |FROM reach GROUP BY s""".stripMargin
 
   // ----------------------------------------------------- dedup: SimHash
-  private val simhashMaxDist = 4
+  private[queries] val simhashMaxDist = 4
 
   def simhashNeardup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), simhashMaxDist)
@@ -1083,6 +1083,17 @@ object LlmQueries {
        |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks2
        |        FROM documents))""".stripMargin
   }
+
+  /** Oracle for the stateless per-row curation half alone (no dedup stage) —
+    * what [[graft.streaming.Streaming.curationStream]] computes; used by the
+    * streaming-execution parity query (StreamParity.curationStreamParity).
+    */
+  val perRowCurationSql: String =
+    s"""WITH $curationSignalCtes
+       |SELECT q.doc_id, l.pred_lang, q.score_bp
+       |FROM quality q JOIN langp l ON q.doc_id = l.doc_id
+       |JOIN rep r ON q.doc_id = r.doc_id
+       |WHERE q.score_bp >= 1400 AND l.pred_lang = 'en' AND r.dup_2gram_bp < 600""".stripMargin
 
   val curationPipelineSql: String =
     s"""WITH $minhashCtes,

@@ -1,0 +1,130 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+import graft.engine.Tables
+import graft.llm.Dedup
+import graft.streaming.Streaming
+
+/** Streaming EXECUTION under the DuckDB oracle.
+  *
+  * Every topology in [[graft.streaming.Streaming]] is MemoryStream
+  * spec-tested, but specs assert against a batch recompute inside the same
+  * JVM — a "trust me" loop. These queries close it: each one runs a real
+  * `StreamingQuery` (file-stream source → `IncrementalExecution` →
+  * streaming sink, `Trigger.AvailableNow`), materializes the sink, and
+  * registers the result against the SAME batch oracle SQL the driver
+  * already replays in DuckDB. A green row here is end-to-end evidence that
+  * the incremental plans converge to the declared batch semantics — the
+  * KTable/changelog duality the reference builds by hand
+  * (AggregationsExample.scala:36-41, ProcessorApiExample.scala:44-58).
+  *
+  * Scale notes: `Trigger.AvailableNow` is the production backfill/catch-up
+  * trigger — the same checkpointed incremental execution as a live stream,
+  * self-terminating when the source is drained. The parquet sink commits
+  * per micro-batch via the streaming file-sink log (exactly-once on
+  * retry); the complete-mode aggregation goes through `foreachBatch` +
+  * idempotent overwrite, the standard converged-table sink pattern.
+  */
+object StreamParity {
+
+  /** Drain `stream` through a parquet streaming sink (append mode) and read
+    * the committed files back. The read-back carries the stream's schema, so
+    * an empty result stays a typed empty table instead of an inference error.
+    */
+  private def runAppend(spark: SparkSession, stream: DataFrame): DataFrame = {
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val q = stream.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-ck").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
+    spark.read.schema(stream.schema).parquet(out)
+  }
+
+  /** Drain an AGGREGATING `stream` in complete mode: each micro-batch's
+    * output is the full converged table, so an idempotent overwrite leaves
+    * exactly the final state — the materialized-view sink pattern.
+    */
+  private def runComplete(spark: SparkSession, stream: DataFrame): DataFrame = {
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val q = stream.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
+    spark.read.schema(stream.schema).parquet(out)
+  }
+
+  /** File-stream source over the documents fixture (schema from the batch
+    * loader). The fixture is a single FILE; the source requires its
+    * `basePath` to be a directory, so address the file through a one-match
+    * brace glob — basePath then resolves to the parent directory.
+    */
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Tables.documents(spark, dir).schema)
+      .parquet(s"$dir/{documents}.parquet")
+
+  /** File-stream source over events, with the same TIMESTAMP(NANOS)
+    * handling as the batch loader ([[Tables.events]]): read nanos as long,
+    * truncate to micros.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.table(spark, dir, "events") // post-conf schema probe
+    val s = spark.readStream.schema(batch.schema).parquet(s"$dir/{events}.parquet")
+    if (batch.schema("ts").dataType == LongType)
+      s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else s
+  }
+
+  /** The curation ingest twin ([[Streaming.curationStream]]) as a real
+    * streaming run: stateless per-row quality/lang/repetition filters over
+    * the document stream, append sink. Oracle: the per-row curation SQL.
+    */
+  def curationStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir) // ensure nanos conf set consistently per-session
+    runAppend(spark, Streaming.curationStream(documentsStream(spark, dir)))
+  }
+
+  /** The A2 running sum ([[Streaming.runningSumUpdates]]) executed as a
+    * streaming aggregation with real state-store-backed incremental
+    * execution, converged via complete mode. Oracle: the batch running-sum
+    * SQL — decimal money-sum makes the total arrival-order independent.
+    */
+  def runningSumStreamParity(spark: SparkSession, dir: String): DataFrame =
+    runComplete(spark, Streaming.runningSumUpdates(eventsStream(spark, dir)))
+
+  /** The zero-state streaming near-dup filter ([[Streaming.neardupStream]]):
+    * the incoming 5% of documents arrive as a STREAM, signed per row and
+    * stream-static-joined against the batch corpus index — identical split
+    * and parameters to the batch `neardup_incremental`, so it shares that
+    * oracle.
+    */
+  def neardupStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(graft.llm.TextAnalysis.tokens(col("text"))) > 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val index = Dedup.simhashBands(corpus.select(col("doc_id"),
+      graft.functions.TextFunctions.graftSimhash(col("text"), 60).as("sig")))
+    val incoming = documentsStream(spark, dir)
+      .filter(size(graft.llm.TextAnalysis.tokens(col("text"))) > 0 &&
+        pmod(col("doc_id"), lit(20)) === 0)
+    runAppend(spark,
+      Streaming.neardupStream(incoming, index, maxDist = LlmQueries.simhashMaxDist))
+  }
+}

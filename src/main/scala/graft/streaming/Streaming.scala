@@ -24,10 +24,15 @@ object Streaming {
   /** A2 (AggregationsExample.scala:36-38) as a streaming update query:
     * per-key running sum, one update row per micro-batch per changed key —
     * the micro-batch granularity of the reference's per-record changelog
-    * (documented divergence, SURVEY.md §4.2).
+    * (documented divergence, SURVEY.md §4.2). The sum runs in DECIMAL(18,2)
+    * and casts back to double — the same money-sum the batch twin uses:
+    * decimal addition is exact, so the converged total is independent of
+    * arrival/partition order and the DuckDB oracle replays it bit-for-bit.
     */
   def runningSumUpdates(events: DataFrame): DataFrame =
-    events.groupBy(col("user_id")).agg(sum(col("value")).as("total"))
+    events.groupBy(col("user_id"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("total"))
 
   /** S2 (KTableExample.scala:52-56) streaming form: latest-record-per-key
     * changelog view maintained incrementally. `max_by(struct(...), struct(ts,
