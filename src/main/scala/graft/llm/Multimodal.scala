@@ -9,62 +9,108 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic stub ([[StubDecoder]]) —
-  * what is real and tested is the Spark-side shape a 100 TB media pipeline
-  * needs: a binary column + metadata schema, a batched per-partition decode
-  * (`mapPartitions`, the Scala analogue of `mapInPandas` — one decoder
-  * instance per partition, streamed row batches, no per-row setup cost),
-  * and partition sizing so each task holds only its batch in memory.
+  * The IMAGE decode path is real: payloads are genuine PNG/JPEG/BMP files
+  * and [[decodeFeatures]] extracts width/height/format with the JDK's
+  * `javax.imageio` (header-only read — no full raster decode for metadata).
+  * The fixture has no media column, so [[withImageBlob]] synthesizes a
+  * deterministic tiny image per document (dimensions/format derived from
+  * md5 of the text), which the DuckDB oracle predicts arithmetically while
+  * Spark must obtain them by actually decoding the bytes — a round-trip
+  * proof the decoder is real. Audio/video frame extraction remains a
+  * deterministic byte-chunk stand-in ([[frameSample]]): the JDK ships no
+  * audio/video codecs, and what matters at 100 TB is the explode shape.
   *
-  * At scale: blobs stay columnar in parquet, the decode stage is a narrow
-  * transformation (no shuffle), and downstream feature columns are ordinary
-  * numeric columns that aggregate/join like any other.
+  * At scale: blobs stay columnar in parquet, decode stages are narrow
+  * transformations (`mapPartitions`, one decoder context per partition, no
+  * shuffle — the Scala analogue of `mapInPandas`), and feature columns are
+  * ordinary numeric columns that aggregate/join like any other.
   */
 object Multimodal {
 
   /** One media record: id + opaque payload. */
   final case class MediaRecord(doc_id: Long, blob: Array[Byte])
 
-  /** Extracted features — what a real image decoder would return. */
+  /** Extracted image features. `n_bytes` is the encoded payload size (codec
+    * output, not oracle-predictable); width/height/format come from the
+    * decoder.
+    */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
                                  height: Long, format: String)
 
-  /** Deterministic stand-in for the media decoder. A real deployment
-    * replaces `decode` with e.g. an image library call; everything else
-    * (batching, schema, partitioning) is unchanged. Features derive from
-    * md5 of the payload so tests and the SQL oracle can predict them.
+  /** First 60 bits of md5 as a non-negative long — the JVM twin of
+    * [[graft.engine.PortableHash.md5Long]] / DuckDB
+    * `('0x' || substr(md5(x),1,15))::BIGINT`.
     */
-  object StubDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val d = MessageDigest.getInstance("MD5").digest(r.blob)
-      val h = java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
-      MediaFeatures(
-        doc_id = r.doc_id,
-        n_bytes = r.blob.length.toLong,
-        width = 160 + h % 1760,           // fake 160..1919
-        height = 90 + (h / 7) % 990,      // fake 90..1079
-        format = Seq("jpeg", "png", "webp")((h % 3).toInt))
-    }
+  private def md5Long(bytes: Array[Byte]): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
   }
 
-  /** Attach a binary payload column. In the fixture there is no real media,
-    * so the document text's UTF-8 bytes stand in for the blob; with real
-    * data this is just the parquet binary column.
+  /** Attach a raw binary payload column (frame/chunk paths). In the fixture
+    * the document text's UTF-8 bytes stand in for the blob; with real data
+    * this is just the parquet binary column.
     */
   def withBlob(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
 
-  /** Batched per-partition decode — the multimodal hot path. One decoder per
-    * partition (amortized setup), rows streamed through it; no shuffle.
+  /** Synthesize a REAL image payload per document: a w×h image (w, h in
+    * 1..16, format png/jpeg/bmp — all JDK-bundled codecs) encoded by
+    * `javax.imageio`, with every parameter derived from md5(text) so the
+    * oracle can predict what the decoder must find. Batched per partition
+    * like any media ingest stage.
     */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def withImageBlob(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("blob")).as[MediaRecord]
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        // Real decoders init native contexts here, once per partition.
-        rows.map(StubDecoder.decode)
+        rows.map { case (id, text) =>
+          val h = md5Long(text.getBytes(StandardCharsets.UTF_8))
+          val w = (1 + h % 16).toInt
+          val ht = (1 + (h / 7) % 16).toInt
+          val fmt = Seq("png", "jpeg", "bmp")((h % 3).toInt)
+          val img = new java.awt.image.BufferedImage(
+            w, ht, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < ht) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((h + x * 31 + y * 17) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, fmt, out),
+            s"no $fmt encoder in this JDK")
+          MediaRecord(id, out.toByteArray)
+        }
       }
+  }
+
+  /** Batched per-partition image decode — the multimodal hot path, for real:
+    * `javax.imageio` sniffs the container from the bytes and reads
+    * width/height from the header (no full raster decode). One reader per
+    * image, streamed rows, no shuffle.
+    */
+  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.blob))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"doc ${r.doc_id}: undecodable payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            MediaFeatures(r.doc_id, r.blob.length.toLong,
+              reader.getWidth(0).toLong, reader.getHeight(0).toLong,
+              reader.getFormatName.toLowerCase)
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }
   }
 
   /** One sampled "frame" of a media payload. */

@@ -1128,15 +1128,23 @@ object LlmQueries {
        |      FROM documents)
        |WHERE i % 2 = 0""".stripMargin
 
+  /** REAL image decode under the oracle: [[Multimodal.withImageBlob]]
+    * synthesizes a genuine PNG/JPEG/BMP per document with md5-derived
+    * dimensions, and [[Multimodal.decodeFeatures]] recovers width/height/
+    * format by actually parsing the bytes with `javax.imageio`. The oracle
+    * predicts the same values arithmetically — agreement proves the decoder
+    * round-trips real codec output, not a stub.
+    */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeatures(spark, Multimodal.withBlob(Tables.documents(spark, dir)))
+    Multimodal.decodeFeatures(spark,
+        Multimodal.withImageBlob(spark, Tables.documents(spark, dir)))
       .toDF()
-      .select("doc_id", "n_bytes", "width", "height", "format")
+      .select("doc_id", "width", "height", "format")
 
   val multimodalMetaSql: String =
-    s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-       |  160 + h % 1760 AS width,
-       |  90 + (h // 7) % 990 AS height,
-       |  ['jpeg', 'png', 'webp'][(h % 3)::INT + 1] AS format
-       |FROM (SELECT doc_id, text, ${PortableHash.md5LongSql("text")} AS h FROM documents)""".stripMargin
+    s"""SELECT doc_id,
+       |  1 + h % 16 AS width,
+       |  1 + (h // 7) % 16 AS height,
+       |  ['png', 'jpeg', 'bmp'][(h % 3)::INT + 1] AS format
+       |FROM (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents)""".stripMargin
 }

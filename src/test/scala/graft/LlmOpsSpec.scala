@@ -234,12 +234,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(r.sortBy(_.doc_id).map(_.blob.toSeq).toSeq == r2.toSeq)
   }
 
-  test("multimodal decode is deterministic and batched per partition") {
-    val media = Multimodal.withBlob(docs)
+  test("multimodal decode reads real PNG/JPEG/BMP headers, batched per partition") {
+    val media = Multimodal.withImageBlob(spark, docs)
     val a = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeFeatures(spark, media.repartition(3)).collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq, "features independent of partitioning")
-    assert(a.forall(f => f.width >= 160 && f.width < 1920 && f.height >= 90 && f.height < 1080))
-    assert(a.forall(f => Set("jpeg", "png", "webp").contains(f.format)))
+    assert(a.forall(f => f.width >= 1 && f.width <= 16 && f.height >= 1 && f.height <= 16))
+    assert(a.forall(f => Set("png", "jpeg", "bmp").contains(f.format)))
+    // the fixture exercises more than one codec, so this isn't a PNG-only test
+    assert(a.map(_.format).distinct.length >= 2, "expected multiple image formats")
+    // encoded payloads are real container files, not raw text bytes
+    assert(a.forall(f => f.n_bytes > 0))
   }
 }
