@@ -187,29 +187,20 @@ object AnalyticsQueries {
     * exact count when a group has fewer than k distinct values — so the
     * DuckDB oracle replays the whole sketch bit-for-bit.
     *
-    * Scale: the shuffle is the distinct (event_type, hash) dedup (map-side
-    * combined); the per-group sort touches only distinct hashes. A
-    * production variant would keep a bounded k-heap in a custom Aggregator
-    * to avoid the full sort — the sketch math, hashing, and estimate are
-    * identical; this form favors oracle-replayable built-ins.
+    * Scale: ONE hash aggregation with a bounded buffer
+    * ([[graft.functions.KmvEstimate]]) — map-side combine reduces every
+    * partition to ≤ k hashes per group before the shuffle, no distinct
+    * stage, no per-group sort: the exchange carries k·groups longs total.
     */
   private val kmvK = 32
 
   def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = Tables.events(spark, dir)
+    val kmv = udaf(new graft.functions.KmvEstimate(kmvK))
+    Tables.events(spark, dir)
       .select(col("event_type"),
         graft.engine.PortableHash.md5Long(col("user_id").cast("string")).as("h"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("h"))
-    val kth = hashes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === kmvK).select(col("event_type"), col("h").as("m"))
-    hashes.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
-      .join(kth, Seq("event_type"), "left")
-      .select(col("event_type"),
-        when(col("nd") < kmvK, col("nd"))
-          .otherwise(floor(lit((kmvK - 1).toDouble) * lit(math.pow(2, 60)) / col("m")).cast("long"))
-          .as("est_users"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("h")).as("est_users"))
   }
 
   val approxDistinctKmvSql: String =
