@@ -35,6 +35,16 @@ object ScaleProbe {
           graft.llm.Similarity.ivfNearDupPairsMultiProbe(
             graft.engine.Tables.embeddings(spark, dir),
             k.toInt, np.toInt, minCos = 0.45).count()
+        // multi-probe cost/recall curve at the judged 8×4 config: found
+        // pairs are exact-verified, so recall = rows / rows("exact")
+        case s"annprobe=${p}" =>
+          graft.llm.Similarity.lshNearDupPairs(
+            graft.engine.Tables.embeddings(spark, dir),
+            graft.llm.Similarity.defaultPlanes, minCos = 0.45,
+            probes = p.toInt).count()
+        case "exact" =>
+          graft.llm.Similarity.exactNearDupPairs(
+            graft.engine.Tables.embeddings(spark, dir), minCos = 0.45).count()
         case other => sys.error(s"unknown probe spec: $other")
       }
       println(f"[probe] $spec rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f s")
