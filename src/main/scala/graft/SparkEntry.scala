@@ -70,6 +70,7 @@ object SparkEntry {
     "pii_count"            -> (LlmQueries.piiCount _),
     "pii_redact"           -> (LlmQueries.piiRedact _),
     "sample_stratified"    -> (LlmQueries.sampleStratified _),
+    "lm_fluency"           -> (LlmQueries.lmFluency _),
     "tfidf"                -> (LlmQueries.tfidf _),
     "top_tokens_per_lang"  -> (LlmQueries.topTokensPerLang _),
     "embed_centroids"      -> (LlmQueries.embedCentroids _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "pii_count"            -> LlmQueries.piiCountSql,
     "pii_redact"           -> LlmQueries.piiRedactSql,
     "sample_stratified"    -> LlmQueries.sampleStratifiedSql,
+    "lm_fluency"           -> LlmQueries.lmFluencySql,
     "tfidf"                -> LlmQueries.tfidfSql,
     "top_tokens_per_lang"  -> LlmQueries.topTokensPerLangSql,
     "embed_centroids"      -> LlmQueries.embedCentroidsSql,

@@ -945,6 +945,63 @@ object LlmQueries {
        |       ELSE ${PortableHash.md5LongSql("text")} END AS fp
        |FROM shs""".stripMargin
 
+  // ----------------------------------------------------- text: n-gram LM score
+  /** Corpus-model fluency score (the CCNet-style "how LM-predictable is this
+    * document" filter, re-expressed deterministically): build a bigram model
+    * over the corpus (context counts + add-V smoothing), then score each
+    * document by its average conditional bigram probability in ppm —
+    * `avg over bigrams of 10⁶·c(w1,w2)/(c(w1)+V)`, all in INTEGER
+    * arithmetic (multiply-then-`div`), so partial-aggregation order cannot
+    * perturb a single bit and DuckDB replays the score exactly. (A log-space
+    * perplexity would need a SUM of doubles — order-dependent; the ppm mean
+    * ranks documents identically for filtering purposes.)
+    *
+    * Scale: the model is DATA-SIZED (all distinct bigrams) so nothing here
+    * broadcasts except the 1-row vocabulary count; scoring is two
+    * shuffle joins (doc-bigrams ⋈ bigram counts on (w1,w2); ⋈ context
+    * counts on w1 — both sides partial-aggregated map-side) and one final
+    * per-doc agg. The fixed-point product c12·10⁶ bounds c12 < 9·10¹² —
+    * fine up to ~10¹² corpus bigram occurrences per distinct bigram.
+    */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame =
+    lmFluencyOf(Tables.documents(spark, dir))
+
+  /** Operator form over any (doc_id, text) frame (spec entry point). */
+  def lmFluencyOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), expr("(c12 * 1000000) div (c1 + v)").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_q div n_bigrams").as("fluency_ppm"))
+  }
+
+  val lmFluencySql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+      |              FROM documents),
+      |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+      |             FROM toks WHERE len(ts) >= 2)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t) AS v
+      |      FROM (SELECT unnest(ts) AS t FROM toks)),
+      |q AS (SELECT doc_id, (c12.c12 * 1000000) // (c1.c1 + v.v) AS q
+      |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(SUM(q) AS BIGINT) // count(*) AS fluency_ppm
+      |FROM q GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ text: tf-idf
   /** TF-IDF term weights per (doc, token). The weight expression is a pure
     * per-row double computation (tf · ln(N/df)) — no accumulation order, so

@@ -246,4 +246,22 @@ class LlmOpsSpec extends SparkSuite {
     // encoded payloads are real container files, not raw text bytes
     assert(a.forall(f => f.n_bytes > 0))
   }
+
+  test("lm fluency ranks self-repetitive text above unique text, partition-independent") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the cat slept"),
+      (3L, "zq wv xk jn pb md lf gr ts hw"), // every bigram unique in corpus
+      (4L, "the cat sat on the mat")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.LlmQueries.lmFluencyOf(corpus)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r._3).toMap
+    // docs built from corpus-frequent bigrams score above the all-unique doc
+    assert(byId(4L) > byId(3L), s"frequent-bigram doc must outrank unique: $byId")
+    // integer fixed-point: exact partition-independence, not just closeness
+    val out2 = graft.queries.LlmQueries.lmFluencyOf(corpus.repartition(3))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == out2.toSeq)
+  }
 }
