@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_exact"          -> (LlmQueries.dedupExact _),
     "dedup_exact_keyed"    -> (AnalyticsQueries.dedupExactKeyed _),
     "ngram_jaccard"        -> (LlmQueries.ngramJaccard _),
+    "dedup_best_keeper"    -> (LlmQueries.dedupBestKeeper _),
     "minhash_lsh"          -> (LlmQueries.minhashLsh _),
     "dup_clusters"         -> (LlmQueries.dupClusters _),
     "split_no_leakage"     -> (LlmQueries.splitNoLeakage _),
@@ -103,6 +104,7 @@ object SparkEntry {
     // against the same batch oracle SQL (queries/StreamParity.scala)
     "curation_stream_parity"    -> (StreamParity.curationStreamParity _),
     "running_sum_stream_parity" -> (StreamParity.runningSumStreamParity _),
+    "windowed_agg_stream_parity" -> (StreamParity.windowedAggStreamParity _),
     "neardup_stream_parity"     -> (StreamParity.neardupStreamParity _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
@@ -132,6 +134,7 @@ object SparkEntry {
     "dedup_exact"          -> LlmQueries.dedupExactSql,
     "dedup_exact_keyed"    -> AnalyticsQueries.dedupExactKeyedSql,
     "ngram_jaccard"        -> LlmQueries.ngramJaccardSql,
+    "dedup_best_keeper"    -> LlmQueries.dedupBestKeeperSql,
     "minhash_lsh"          -> LlmQueries.minhashLshSql,
     "dup_clusters"         -> LlmQueries.dupClustersSql,
     "split_no_leakage"     -> LlmQueries.splitNoLeakageSql,
@@ -188,6 +191,7 @@ object SparkEntry {
     // converged streaming state must equal the batch recompute
     "curation_stream_parity"    -> LlmQueries.perRowCurationSql,
     "running_sum_stream_parity" -> ReferenceQueries.runningSumSql,
+    "windowed_agg_stream_parity" -> ReferenceQueries.windowedAggSql,
     "neardup_stream_parity"     -> LlmQueries.neardupIncrementalSql,
   )
 }

@@ -334,6 +334,57 @@ object LlmQueries {
        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin
 
+  // ------------------------------------- dedup: canonical keeper per cluster
+  /** Canonical-document selection: for every duplicate cluster keep the
+    * HIGHEST-QUALITY member, not the lowest id — the curation-grade form of
+    * cluster collapse (near-dup groups usually contain one clean original
+    * and N boilerplate-damaged copies; keeping by id keeps an arbitrary
+    * one). Composes [[Dedup.duplicateClusters]] with [[qualityScoreOf]];
+    * singleton documents are their own cluster. Tie-break on lowest doc_id
+    * via lexicographic struct max — deterministic.
+    *
+    * Scale: clusters + per-row quality + one map-side-combined `max_by`
+    * aggregation — no window sort; the only new exchange is the final
+    * groupBy(cluster_id).
+    */
+  def dedupBestKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(docs, n = 3, perms = 64, bands = 16,
+        num = jaccardNum, den = jaccardDen).select("doc_a", "doc_b"))
+    qualityScoreOf(docs).select(col("doc_id"), col("score_bp"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("score_bp"))
+      .groupBy("cluster_id")
+      .agg(
+        max_by(struct(col("doc_id"), col("score_bp")),
+          struct(col("score_bp"), (-col("doc_id")).as("neg"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("k.doc_id").as("keeper_id"),
+        col("k.score_bp").as("keeper_score_bp"), col("n_members"))
+  }
+
+  val dedupBestKeeperSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashFinalSelect),
+       |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (SELECT s, d FROM ed
+       |                UNION
+       |                SELECT r.s, e.d FROM reach r JOIN ed e ON r.d = e.s),
+       |cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+       |$curationSignalCtes,
+       |m AS (SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id, q.score_bp
+       |      FROM quality q LEFT JOIN cl USING (doc_id))
+       |SELECT cluster_id, doc_id AS keeper_id, score_bp AS keeper_score_bp, n_members
+       |FROM (SELECT cluster_id, doc_id, score_bp,
+       |        count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |        row_number() OVER (PARTITION BY cluster_id ORDER BY score_bp DESC, doc_id) AS rn
+       |      FROM m)
+       |WHERE rn = 1""".stripMargin
+
   // ----------------------------------------------------- dedup: SimHash
   private[queries] val simhashMaxDist = 4
 

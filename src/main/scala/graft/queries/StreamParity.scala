@@ -85,9 +85,10 @@ object StreamParity {
     * truncate to micros.
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val batch = Tables.table(spark, dir, "events") // post-conf schema probe
-    val s = spark.readStream.schema(batch.schema).parquet(s"$dir/{events}.parquet")
-    if (batch.schema("ts").dataType == LongType)
+    Tables.events(spark, dir) // sets the nanosAsLong conf (applies to the stream source too)
+    val raw = Tables.table(spark, dir, "events") // post-conf probe: ts arrives as long nanos
+    val s = spark.readStream.schema(raw.schema).parquet(s"$dir/{events}.parquet")
+    if (raw.schema("ts").dataType == LongType)
       s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else s
   }
@@ -96,10 +97,8 @@ object StreamParity {
     * streaming run: stateless per-row quality/lang/repetition filters over
     * the document stream, append sink. Oracle: the per-row curation SQL.
     */
-  def curationStreamParity(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir) // ensure nanos conf set consistently per-session
+  def curationStreamParity(spark: SparkSession, dir: String): DataFrame =
     runAppend(spark, Streaming.curationStream(documentsStream(spark, dir)))
-  }
 
   /** The A2 running sum ([[Streaming.runningSumUpdates]]) executed as a
     * streaming aggregation with real state-store-backed incremental
@@ -108,6 +107,20 @@ object StreamParity {
     */
   def runningSumStreamParity(spark: SparkSession, dir: String): DataFrame =
     runComplete(spark, Streaming.runningSumUpdates(eventsStream(spark, dir)))
+
+  /** W5/W6 windowed aggregation as a real streaming run: event-time
+    * tumbling windows maintained in streaming state, converged via complete
+    * mode. Shares the batch `windowed_agg` oracle — the streaming window
+    * assignment must equal DuckDB's `time_bucket` exactly.
+    */
+  def windowedAggStreamParity(spark: SparkSession, dir: String): DataFrame =
+    runComplete(spark, eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total")))
 
   /** The zero-state streaming near-dup filter ([[Streaming.neardupStream]]):
     * the incoming 5% of documents arrive as a STREAM, signed per row and
