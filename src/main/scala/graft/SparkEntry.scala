@@ -105,6 +105,7 @@ object SparkEntry {
     "curation_stream_parity"    -> (StreamParity.curationStreamParity _),
     "running_sum_stream_parity" -> (StreamParity.runningSumStreamParity _),
     "windowed_agg_stream_parity" -> (StreamParity.windowedAggStreamParity _),
+    "interval_join_stream_parity" -> (StreamParity.intervalJoinStreamParity _),
     "neardup_stream_parity"     -> (StreamParity.neardupStreamParity _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "curation_stream_parity"    -> LlmQueries.perRowCurationSql,
     "running_sum_stream_parity" -> ReferenceQueries.runningSumSql,
     "windowed_agg_stream_parity" -> ReferenceQueries.windowedAggSql,
+    "interval_join_stream_parity" -> ReferenceQueries.intervalJoinSql,
     "neardup_stream_parity"     -> LlmQueries.neardupIncrementalSql,
   )
 }

@@ -122,6 +122,26 @@ object StreamParity {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total")))
 
+  /** J1 as a real stream–stream interval join ([[Streaming
+    * .intervalJoinStream]], zero grace): both sides arrive as streams,
+    * symmetric-hash-join state managed by Spark, inner results emitted
+    * eagerly (watermarks gate state CLEANUP, not inner-join emission, so
+    * the drained output equals the batch join exactly). Shares the batch
+    * `interval_join` oracle.
+    */
+  def intervalJoinStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir).filter(col("event_type") === "click")
+    val purchases = eventsStream(spark, dir).filter(col("event_type") === "purchase")
+    runAppend(spark,
+      Streaming.intervalJoinStream(clicks, purchases, tolerance = "10 MINUTES")
+        .select(
+          col("l.user_id").as("user_id"),
+          col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"),
+          col("l.ts").as("click_ts"),
+          col("r.ts").as("purchase_ts")))
+  }
+
   /** The zero-state streaming near-dup filter ([[Streaming.neardupStream]]):
     * the incoming 5% of documents arrive as a STREAM, signed per row and
     * stream-static-joined against the batch corpus index — identical split
