@@ -106,6 +106,7 @@ object SparkEntry {
     "running_sum_stream_parity" -> (StreamParity.runningSumStreamParity _),
     "windowed_agg_stream_parity" -> (StreamParity.windowedAggStreamParity _),
     "interval_join_stream_parity" -> (StreamParity.intervalJoinStreamParity _),
+    "error_parse_stream_parity"  -> (StreamParity.errorTolerantParseStreamParity _),
     "neardup_stream_parity"     -> (StreamParity.neardupStreamParity _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "running_sum_stream_parity" -> ReferenceQueries.runningSumSql,
     "windowed_agg_stream_parity" -> ReferenceQueries.windowedAggSql,
     "interval_join_stream_parity" -> ReferenceQueries.intervalJoinSql,
+    "error_parse_stream_parity"  -> ReferenceQueries.errorTolerantParseSql,
     "neardup_stream_parity"     -> LlmQueries.neardupIncrementalSql,
   )
 }

@@ -122,6 +122,23 @@ object StreamParity {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total")))
 
+  /** E2 (permissive serde) through real streaming execution: the same
+    * tolerant JSON parse + aggregate as the batch `error_tolerant_parse`,
+    * run incrementally — malformed payloads become nulls IN the stream and
+    * are filtered, never failing the query. Shares the batch oracle.
+    */
+  def errorTolerantParseStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    runComplete(spark, eventsStream(spark, dir)
+      .withColumn("parsed", graft.engine.Serde.parseJson(col("props"), schema))
+      .filter(col("parsed").isNotNull && col("parsed.k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_parsed"), sum(col("parsed.k")).as("sum_k"))
+      .select("event_type", "n_parsed", "sum_k"))
+  }
+
   /** J1 as a real stream–stream interval join ([[Streaming
     * .intervalJoinStream]], zero grace): both sides arrive as streams,
     * symmetric-hash-join state managed by Spark, inner results emitted
