@@ -65,6 +65,7 @@ object SparkEntry {
     "quality_score"        -> (LlmQueries.qualityScore _),
     "token_count"          -> (LlmQueries.tokenCount _),
     "doc_chunks"           -> (LlmQueries.docChunks _),
+    "chunk_dedup"          -> (LlmQueries.chunkDedup _),
     "decontaminate"        -> (LlmQueries.decontaminate _),
     "doc_fingerprint"      -> (LlmQueries.docFingerprint _),
     "repetition_score"     -> (LlmQueries.repetitionScore _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "quality_score"        -> LlmQueries.qualityScoreSql,
     "token_count"          -> LlmQueries.tokenCountSql,
     "doc_chunks"           -> LlmQueries.docChunksSql,
+    "chunk_dedup"          -> LlmQueries.chunkDedupSql,
     "decontaminate"        -> LlmQueries.decontaminateSql,
     "doc_fingerprint"      -> LlmQueries.docFingerprintSql,
     "repetition_score"     -> LlmQueries.repetitionScoreSql,

@@ -465,16 +465,45 @@ object LlmQueries {
         PortableHash.md5Long(concat_ws(" ", piece)).as("chunk_hash"))
   }
 
-  val docChunksSql: String =
-    s"""WITH toks AS (SELECT doc_id,
-       |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens FROM documents),
-       |t AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
-       |ks AS (SELECT doc_id, tokens, n,
-       |              unnest(range(greatest(1, (n - 8 + 23) // 24))) AS k FROM t)
-       |SELECT doc_id, k AS chunk_idx,
+  private val docChunksCtes: String =
+    """toks AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens FROM documents),
+      |t AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+      |ks AS (SELECT doc_id, tokens, n,
+      |              unnest(range(greatest(1, (n - 8 + 23) // 24))) AS k FROM t)""".stripMargin
+
+  private val docChunksSelect: String =
+    s"""SELECT doc_id, k AS chunk_idx,
        |       len(tokens[k*24+1 : k*24+32]) AS n_chunk_tok,
        |       ${PortableHash.md5LongSql("array_to_string(tokens[k*24+1 : k*24+32], ' ')")} AS chunk_hash
        |FROM ks""".stripMargin
+
+  val docChunksSql: String = s"WITH $docChunksCtes\n$docChunksSelect"
+
+  /** Cross-document repeated-substring detection (the chunk-level exact
+    * dedup signal from suffix-array substring dedup, bounded to the fixed
+    * 32-token chunk lattice): full-width chunks whose content hash occurs
+    * in more than one document — shared boilerplate headers, licenses,
+    * navigation text. Composes [[docChunks]] with one map-side-combined
+    * aggregation; at 100 TB the chunk-hash groupBy is the only exchange
+    * and carries 16-byte rows.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .filter(col("n_chunk_tok") === 32)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  val chunkDedupSql: String =
+    s"""WITH $docChunksCtes,
+       |chunks AS ($docChunksSelect)
+       |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur,
+       |       min(doc_id) AS first_doc_id
+       |FROM chunks WHERE n_chunk_tok = 32
+       |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1""".stripMargin
 
   // ------------------------------------- dedup: incremental (stream-shaped)
   /** Incremental near-dup under the oracle: documents with doc_id % 20 == 0
