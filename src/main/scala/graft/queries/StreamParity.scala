@@ -33,6 +33,22 @@ import graft.streaming.Streaming
   */
 object StreamParity {
 
+  /** Child session for the streaming runs: same SparkContext, own SQLConf,
+    * shuffle partitions right-sized to the run. Streaming has no AQE to
+    * coalesce partitions, and every state partition costs a store commit
+    * per micro-batch per stateful operator (a stream–stream join keeps 4
+    * stores per partition) — at 32 partitions the commit overhead dwarfs
+    * the actual join at test scale. 8 is the local parity size; production
+    * sets this to the cluster's width before the FIRST run of a query
+    * (state partitioning is fixed at checkpoint creation). The child
+    * session leaves the caller's conf untouched.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   /** Drain `stream` through a parquet streaming sink (append mode) and read
     * the committed files back. The read-back carries the stream's schema, so
     * an empty result stays a typed empty table instead of an inference error.
@@ -97,30 +113,36 @@ object StreamParity {
     * streaming run: stateless per-row quality/lang/repetition filters over
     * the document stream, append sink. Oracle: the per-row curation SQL.
     */
-  def curationStreamParity(spark: SparkSession, dir: String): DataFrame =
-    runAppend(spark, Streaming.curationStream(documentsStream(spark, dir)))
+  def curationStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runAppend(ss, Streaming.curationStream(documentsStream(ss, dir)))
+  }
 
   /** The A2 running sum ([[Streaming.runningSumUpdates]]) executed as a
     * streaming aggregation with real state-store-backed incremental
     * execution, converged via complete mode. Oracle: the batch running-sum
     * SQL — decimal money-sum makes the total arrival-order independent.
     */
-  def runningSumStreamParity(spark: SparkSession, dir: String): DataFrame =
-    runComplete(spark, Streaming.runningSumUpdates(eventsStream(spark, dir)))
+  def runningSumStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runComplete(ss, Streaming.runningSumUpdates(eventsStream(ss, dir)))
+  }
 
   /** W5/W6 windowed aggregation as a real streaming run: event-time
     * tumbling windows maintained in streaming state, converged via complete
     * mode. Shares the batch `windowed_agg` oracle — the streaming window
     * assignment must equal DuckDB's `time_bucket` exactly.
     */
-  def windowedAggStreamParity(spark: SparkSession, dir: String): DataFrame =
-    runComplete(spark, eventsStream(spark, dir)
+  def windowedAggStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runComplete(ss, eventsStream(ss, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total")))
+  }
 
   /** E2 (permissive serde) through real streaming execution: the same
     * tolerant JSON parse + aggregate as the batch `error_tolerant_parse`,
@@ -131,7 +153,8 @@ object StreamParity {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.LongType)))
-    runComplete(spark, eventsStream(spark, dir)
+    val ss = streamSession(spark)
+    runComplete(ss, eventsStream(ss, dir)
       .withColumn("parsed", graft.engine.Serde.parseJson(col("props"), schema))
       .filter(col("parsed").isNotNull && col("parsed.k").isNotNull)
       .groupBy(col("event_type"))
@@ -147,9 +170,10 @@ object StreamParity {
     * `interval_join` oracle.
     */
   def intervalJoinStreamParity(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir).filter(col("event_type") === "click")
-    val purchases = eventsStream(spark, dir).filter(col("event_type") === "purchase")
-    runAppend(spark,
+    val ss = streamSession(spark)
+    val clicks = eventsStream(ss, dir).filter(col("event_type") === "click")
+    val purchases = eventsStream(ss, dir).filter(col("event_type") === "purchase")
+    runAppend(ss,
       Streaming.intervalJoinStream(clicks, purchases, tolerance = "10 MINUTES")
         .select(
           col("l.user_id").as("user_id"),
@@ -166,15 +190,16 @@ object StreamParity {
     * oracle.
     */
   def neardupStreamParity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val ss = streamSession(spark)
+    val docs = Tables.documents(ss, dir)
       .filter(size(graft.llm.TextAnalysis.tokens(col("text"))) > 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
     val index = Dedup.simhashBands(corpus.select(col("doc_id"),
       graft.functions.TextFunctions.graftSimhash(col("text"), 60).as("sig")))
-    val incoming = documentsStream(spark, dir)
+    val incoming = documentsStream(ss, dir)
       .filter(size(graft.llm.TextAnalysis.tokens(col("text"))) > 0 &&
         pmod(col("doc_id"), lit(20)) === 0)
-    runAppend(spark,
+    runAppend(ss,
       Streaming.neardupStream(incoming, index, maxDist = LlmQueries.simhashMaxDist))
   }
 }
