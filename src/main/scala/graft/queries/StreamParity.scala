@@ -144,6 +144,24 @@ object StreamParity {
         col("n"), col("total")))
   }
 
+  /** W6 session windows through real streaming execution: per-user
+    * sessions closed by a 30-minute inactivity gap, maintained by the
+    * streaming session-window state (merging sessions on late-arriving
+    * members is the stateful part), converged via complete mode. Shares
+    * the batch `session_agg` oracle, whose gaps-and-islands SQL must
+    * reconstruct the identical sessions.
+    */
+  def sessionAggStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runComplete(ss, eventsStream(ss, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n"), col("total")))
+  }
+
   /** E2 (permissive serde) through real streaming execution: the same
     * tolerant JSON parse + aggregate as the batch `error_tolerant_parse`,
     * run incrementally — malformed payloads become nulls IN the stream and
