@@ -902,6 +902,33 @@ object LlmQueries {
       |       ((n_2gram - n_2gram_dist) * 10000) // greatest(n_2gram, 1) AS dup_2gram_bp
       |FROM m""".stripMargin
 
+  // ------------------------------------------- text: token frequency spectrum
+  /** Vocabulary frequency spectrum (Zipf profile): how many distinct tokens
+    * fall in each power-of-two occurrence class, and how many occurrences
+    * that class holds. Bucket 0 = hapax legomena (vocabulary growth /
+    * crawl-freshness signal); a fat high bucket = boilerplate explosion —
+    * the standard corpus-health readout before training. floor(log₂ cnt)
+    * computes EXACTLY in both engines as `length(bin(cnt)) − 1` (binary
+    * digit count) — no floating log whose 2ᵏ boundary values could round
+    * differently. Two map-side-combined aggregations; the second input is
+    * vocabulary-sized, not corpus-sized.
+    */
+  def tokenSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select((length(bin(col("cnt"))) - 1).cast("long").as("bucket"), col("cnt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("n_occur"))
+
+  val tokenSpectrumSql: String =
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+      |             FROM documents),
+      |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT CAST(len(bin(cnt)) - 1 AS BIGINT) AS bucket,
+      |       count(*) AS n_tokens, CAST(SUM(cnt) AS BIGINT) AS n_occur
+      |FROM c GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- text: PII counts
   /** PII-surface detection counts (emails, URLs, long digit runs) — the
     * standard curation signals before redaction; counts only, per-row
