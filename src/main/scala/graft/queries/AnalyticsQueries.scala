@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.engine.Tables
+import graft.engine.{Bucketing, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -236,6 +236,41 @@ object AnalyticsQueries {
     * change semantics, so the oracle is simply the PLAIN join's SQL: a
     * hash mismatch here means the salt leaked into the result.
     */
+  /** Co-located fact⋈fact join via bucketed storage
+    * ([[graft.engine.Bucketing]]) — the durable pre-shuffle that makes the
+    * 100 TB lineitem⋈orders join exchange-free: both tables are written
+    * hash-clustered into the same bucket count on the join key, so the
+    * sort-merge join reads co-located buckets directly. The ONLY exchange
+    * in this plan is the final priority rollup (PlansSpec asserts exactly
+    * one) — the join itself never shuffles, which at fact-table scale is
+    * the difference between moving terabytes and moving a summary. Batch
+    * analogue of Kafka's co-partitioned topics (JoinsExample relies on
+    * identical topic partitioning; buckets make that contract storage-
+    * durable). The oracle is the plain join — bucketing must never change
+    * results, only placement.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "b_lineitem", 8, Seq("l_orderkey"))
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "b_orders", 8, Seq("o_orderkey"))
+    Bucketing.table(spark, "b_lineitem")
+      .join(Bucketing.table(spark, "b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice).cast("double").as("revenue"))
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |       CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
       .select(col("o_custkey").as("custkey"), col("o_totalprice"))

@@ -91,6 +91,16 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("bucketed join plans exactly one exchange (the rollup, never the join)") {
+    // formatted mode renders a shuffle as "(n) Exchange" + an Arguments
+    // line carrying the partitioning
+    val n = "Arguments: hashpartitioning".r
+      .findAllIn(plans("bucketed_join")).length
+    assert(n == 1,
+      s"bucketed_join: expected 1 exchange (final rollup only), found $n — " +
+        "the co-located join degraded to a shuffle join")
+  }
+
   test("scans prune columns: no query reads the full documents schema for a projection") {
     // doc_chunks projects (doc_id, text): the scan must not read source/lang
     val scans = plans("doc_chunks").linesIterator
