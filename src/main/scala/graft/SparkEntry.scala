@@ -111,6 +111,7 @@ object SparkEntry {
     "interval_join_stream_parity" -> (StreamParity.intervalJoinStreamParity _),
     "error_parse_stream_parity"  -> (StreamParity.errorTolerantParseStreamParity _),
     "session_agg_stream_parity"  -> (StreamParity.sessionAggStreamParity _),
+    "processor_stream_parity"    -> (StreamParity.processorStreamParity _),
     "neardup_stream_parity"     -> (StreamParity.neardupStreamParity _),
     // approximate sketch — engine-specific values, rows-only check (no oracle)
     "approx_distinct_users" -> (AnalyticsQueries.approxDistinctUsers _),
@@ -204,6 +205,9 @@ object SparkEntry {
     "interval_join_stream_parity" -> ReferenceQueries.intervalJoinSql,
     "error_parse_stream_parity"  -> ReferenceQueries.errorTolerantParseSql,
     "session_agg_stream_parity"  -> ReferenceQueries.sessionAggSql,
+    "processor_stream_parity"    ->
+      """SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id""".stripMargin,
     "neardup_stream_parity"     -> LlmQueries.neardupIncrementalSql,
   )
 }

@@ -87,6 +87,27 @@ object StreamParity {
     spark.read.schema(stream.schema).parquet(out)
   }
 
+  /** Drain an update-mode `stream`, APPENDING every micro-batch's emissions
+    * to the sink — the materialized per-record/per-batch CHANGELOG, which
+    * the caller then folds to its converged state. This is how a
+    * Kafka-Streams-style update stream lands in storage.
+    */
+  private def runUpdateAppend(spark: SparkSession, stream: DataFrame): DataFrame = {
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val q = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
+    spark.read.schema(stream.schema).parquet(out)
+  }
+
   /** File-stream source over the documents fixture (schema from the batch
     * loader). The fixture is a single FILE; the source requires its
     * `basePath` to be a directory, so address the file through a one-match
@@ -142,6 +163,35 @@ object StreamParity {
           .cast("double").as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total")))
+  }
+
+  /** A3/W1 (the ProcessorApi family) through real streaming execution: a
+    * custom `StatefulProcessor` over a RocksDB `ValueState` performs the
+    * reference's per-record read-modify-write
+    * (ProcessorApiExample.scala:60-67) and emits the updated total after
+    * EVERY record — the per-record changelog granularity itself. The
+    * materialized changelog is folded to its converged state (per-key max
+    * of the monotone integer-cents prefix sums) and checked against the
+    * batch SQL total. State store: RocksDB, exercised for real.
+    */
+  def processorStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val typed = eventsStream(ss, dir).as[Streaming.Event]
+    val changelog = typed.groupByKey(_.user_id)(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new Streaming.RunningCentsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("user_id", "cents")
+    runUpdateAppend(ss, changelog)
+      .groupBy(col("user_id"))
+      .agg(max(col("cents")).as("total_cents"))
   }
 
   /** W6 session windows through real streaming execution: per-user

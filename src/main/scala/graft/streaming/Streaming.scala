@@ -92,6 +92,33 @@ object Streaming {
       }
   }
 
+  /** A3/W1 in ORACLE-CHECKABLE form: the same per-record read-modify-write
+    * as [[RunningTotalProcessor]], accumulating in integer CENTS. Every
+    * emission is a per-key prefix sum; cents are exact and event values are
+    * non-negative, so the prefix sums are monotone and `max(emissions)`
+    * per key equals the converged total REGARDLESS of arrival order —
+    * which is what lets a per-record changelog be verified against a batch
+    * SQL oracle (StreamParity.processorStreamParity). The double form
+    * keeps the reference's exact emission values; this form makes the
+    * changelog itself deterministic.
+    */
+  final class RunningCentsProcessor
+      extends StatefulProcessor[Long, Event, (Long, Long)] {
+    @transient private var cents: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cents = getHandle.getValueState[Long](
+        "total-cents-store", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[(Long, Long)] =
+      rows.map { e =>
+        val t = (if (cents.exists()) cents.get() else 0L) + math.round(e.value * 100)
+        cents.update(t)
+        (key, t)
+      }
+  }
+
   /** W2 (ProcessorApiExample.scala:44-58): stream-time punctuation. The
     * reference scans the whole store every 10 s of stream time and forwards
     * every (key, total); Spark timers are per-key, so each key registers an

@@ -26,8 +26,8 @@ import org.apache.spark.sql.execution.FormattedMode
 class PlansSpec extends SparkSuite {
 
   /** Queries whose construction itself runs a streaming job. */
-  private val streamingExecution =
-    Set("curation_stream_parity", "running_sum_stream_parity", "neardup_stream_parity")
+  private def streamingExecution(name: String): Boolean =
+    name.endsWith("_stream_parity")
 
   /** BNLJ allowlist — every entry's build side is construction-bounded,
     * never data-sized, so the "nested loop" is a constant-width broadcast
