@@ -583,4 +583,40 @@ object AnalyticsQueries {
       |                               ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM events)
       |WHERE rn = 1""".stripMargin
+
+  /** Navigation + distribution analytics (§2.10 window functions beyond
+    * ranking): per-customer order cadence via `lag` (days since the
+    * previous order) and spend quartiles via `ntile(4)`. Both windows
+    * partition on the same key, so Catalyst plans ONE hash exchange on
+    * o_custkey and runs both window frames over the shared sort — check
+    * the plan: a single Exchange feeds two Window nodes. Determinism: both
+    * orderings tie-break on the unique o_orderkey, and ntile's bucket
+    * allocation (first buckets take the remainder rows) is the same
+    * standard-SQL rule in Spark and DuckDB.
+    */
+  def orderCadence(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val bySpend = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("gap_days",
+        datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(byDate)))
+          .cast("long"))
+      .withColumn("spend_quartile", ntile(4).over(bySpend).cast("long"))
+      .select("o_custkey", "o_orderkey", "gap_days", "spend_quartile")
+  }
+
+  val orderCadenceSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day',
+      |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS gap_days,
+      |  ntile(4) OVER (PARTITION BY o_custkey
+      |                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS spend_quartile
+      |FROM orders""".stripMargin
 }

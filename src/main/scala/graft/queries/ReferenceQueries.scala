@@ -252,6 +252,48 @@ object ReferenceQueries {
   val jsonRoundtripSql: String =
     "SELECT event_id, event_type, value FROM events"
 
+  /** S8 file-format scans under the oracle: the events table is written
+    * out as CSV, JSON-lines and ORC, read back through the corresponding
+    * built-in scans, and ALL THREE read-backs are emitted tagged by
+    * format. The oracle is the parquet table × 3 formats, so any
+    * serialization asymmetry in any format — timestamp formatting, double
+    * text round-trip, null handling — breaks the hash for that format's
+    * rows. Text formats carry timestamps as explicit micro-precision
+    * strings (the session is UTC); doubles survive because Java's
+    * shortest-round-trip `Double.toString` is parsed back exactly.
+    *
+    * Scale: each write/read is a full distributed pass (no driver
+    * collect); the read-backs use the explicit schema, so nothing depends
+    * on sampling-based inference. Text formats at 100 TB cost ~3-5× parquet
+    * in bytes and give up column pruning + predicate pushdown — this query
+    * exists to prove the scans are CORRECT; parquet stays the performance
+    * default everywhere else (see Tables).
+    */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-formats").toString
+    ev.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$tmp/csv")
+    ev.write.mode("overwrite").option("timestampFormat", tsFmt).json(s"$tmp/json")
+    ev.write.mode("overwrite").orc(s"$tmp/orc")
+    val csv = spark.read.schema(ev.schema).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$tmp/csv")
+    val json = spark.read.schema(ev.schema).option("timestampFormat", tsFmt)
+      .json(s"$tmp/json")
+    val orc = spark.read.schema(ev.schema).orc(s"$tmp/orc")
+    Seq("csv" -> csv, "json" -> json, "orc" -> orc)
+      .map { case (fmt, df) => df.withColumn("fmt", lit(fmt)) }
+      .reduce(_.unionByName(_))
+      .select("fmt", "event_id", "user_id", "event_type", "value", "ts")
+  }
+
+  val formatRoundtripSql: String =
+    """SELECT f.fmt, e.event_id, e.user_id, e.event_type, e.value,
+      |       e.ts::TIMESTAMP AS ts
+      |FROM events e CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt) f""".stripMargin
+
   /** Permissive JSON parse + summarize (serdes/circe.scala:15-23 semantics
     * over the `props` JSON column): malformed rows become null and are
     * dropped, valid rows contribute. The threshold-fail handler variant is

@@ -251,6 +251,53 @@ object StreamParity {
           col("r.ts").as("purchase_ts")))
   }
 
+  /** S2/T6 — the KTable itself through real streaming execution: the
+    * orders CHANGELOG arrives as a stream, and latest-per-key
+    * materialization runs as an incremental `max_by` aggregation (the
+    * same single-state-row-per-key shape the reference's KTable store
+    * keeps, KTableExample.scala:52-56), converged via complete mode.
+    * Shares the batch `ktable_latest` oracle: the streaming state's final
+    * content must equal the batch row_number()-over-changelog view
+    * bit-for-bit. The (o_orderdate, o_orderkey) ordering struct makes
+    * "latest" arrival-order independent — the KTable converges to the
+    * same row whatever the micro-batch boundaries were.
+    */
+  def ktableLatestStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val schema = Tables.orders(ss, dir)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .schema
+    val stream = ss.readStream.schema(schema).parquet(s"$dir/{orders}.parquet")
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    runComplete(ss, stream
+      .groupBy(col("o_custkey"))
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("v"))
+      .select(col("o_custkey"), col("v.o_orderkey").as("o_orderkey"),
+        col("v.o_orderstatus").as("o_orderstatus"),
+        col("v.o_totalprice").as("o_totalprice"),
+        col("v.o_orderdate").as("o_orderdate")))
+  }
+
+  /** W6 sliding windows through real streaming execution: each event lands
+    * in its two overlapping 1-hour/30-minute windows inside the streaming
+    * state (window assignment fans out BEFORE the stateful agg), converged
+    * via complete mode. Shares the batch `sliding_agg` oracle, whose
+    * window-expansion SQL must regenerate identical window starts.
+    */
+  def slidingAggStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runComplete(ss, eventsStream(ss, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total")))
+  }
+
   /** The zero-state streaming near-dup filter ([[Streaming.neardupStream]]):
     * the incoming 5% of documents arrive as a STREAM, signed per row and
     * stream-static-joined against the batch corpus index — identical split
