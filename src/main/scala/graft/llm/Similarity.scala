@@ -291,6 +291,134 @@ object Similarity {
     */
   def defaultPlanes: Array[Array[Int]] = PortableHash.signPlanes(32, 64)
 
+  /** Squared L2 distance between two equal-length double arrays: squared
+    * differences folded left from a 0.0 accumulator — index order on both
+    * engines (Spark HOF fold here, DuckDB `list_reduce` comprehension in
+    * the oracle), so the double result is bit-identical.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC) —
+    * the memory-bound scale path: Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search" (TPAMI 2011).
+    *
+    * The 64-dim space splits into `m` orthogonal subspaces of `dsub` dims;
+    * each subspace gets its own `k`-centroid codebook (seeded with the k
+    * lowest-id vectors' subvectors, refined by one Lloyd step). Every
+    * vector is then ENCODED as m small codes — 8 bytes here vs 256 bytes
+    * of floats, the 32× compression that lets a 100 TB corpus's index live
+    * in cluster memory. Queries never decode: each query precomputes an
+    * m×k lookup table of exact subspace distances to every centroid, and a
+    * candidate's approximate distance is m integer table lookups summed.
+    *
+    * Retrieval is the standard two-stage pipeline: ADC ranks a SHORTLIST
+    * (`shortlist` candidates per query — the cheap, compressed-domain
+    * pass over all N codes), then only shortlist members are re-ranked by
+    * exact squared L2 against raw embeddings. The fixture embeddings are
+    * isotropic (within-label cosine ≈ between-label ≈ 0 — the
+    * distance-concentration worst case for ANY ANN structure), so the
+    * spec's recall floor is measured there; clustered real-world
+    * embedding corpora are the favorable case.
+    *
+    * Plan shape at scale: codebooks and LUTs are broadcast (m·k·dsub and
+    * Q·m·k doubles — KBs); the ADC join streams the CODES table (never the
+    * raw vectors) through one broadcast join + partial aggregation, and
+    * only the Q·shortlist survivors touch raw embeddings again.
+    * Determinism for the oracle: Lloyd sums floor(v·1e6) integers (exact,
+    * order-independent), assignment ties break on centroid id, LUT entries
+    * quantize to integer micros so ADC sums are exact integer arithmetic,
+    * and both rank stages tie-break on neighbor id — DuckDB replays
+    * codebook training, encoding, ADC, and the re-rank bit-for-bit.
+    */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, m: Int, dsub: Int,
+             k: Int, topK: Int, shortlist: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = spreadSmallInput(embeddings)
+    // (vec_id, m, sub): the per-subspace view of every vector
+    val sub = base.select(col("vec_id"), posexplode(array((0 until m).map { mi =>
+        transform(slice(col("embedding"), mi * dsub + 1, dsub), _.cast("double"))
+      }: _*)))
+      .toDF("vec_id", "m", "sub")
+
+    // nearest centroid per (vector, subspace): lexicographic min over
+    // (rounded distance, centroid id) — one broadcast join, one partial agg
+    def encode(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"),
+          struct(round(l2sq(col("sub"), col("c")), 6).as("d"), col("cid")).as("dc"))
+        .groupBy("vec_id", "m")
+        .agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("cid"))
+
+    val seeds: Seq[(Int, Int, Seq[Double])] = embeddings
+      .filter(col("vec_id") < k).select("vec_id", "embedding").collect().toSeq
+      .flatMap { r =>
+        val cid = r.getLong(0).toInt
+        val emb = r.getSeq[Float](1)
+        (0 until m).map(mi => (mi, cid, emb.slice(mi * dsub, (mi + 1) * dsub)
+          .map(_.toDouble)))
+      }
+    val cb0 = seeds.toDF("m", "cid", "c")
+
+    // one Lloyd refinement: quantized integer component sums (exact,
+    // partition-order independent), mean taken once on the driver;
+    // centroids that captured no vectors keep their seed (cells stay k)
+    val updated = encode(cb0).join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sub")))
+      .toDF("m", "cid", "pos", "v")
+      .groupBy("m", "cid", "pos")
+      .agg(sum(floor(col("v") * 1000000).cast("long")).as("qsum"),
+        count(lit(1)).as("n"))
+      .collect().toSeq
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2))
+          .map(r => r.getLong(3).toDouble / (r.getLong(4) * 1000000.0)).toSeq
+      }
+    val cb1 = seeds.map { case (mi, cid, c0) =>
+      (mi, cid, updated.getOrElse((mi, cid), c0))
+    }.toDF("m", "cid", "c")
+
+    val codes = encode(cb1)
+    // per-query subspace-distance lookup table, in integer micros
+    val lut = sub.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"))
+      .join(broadcast(cb1), "m")
+      .select(col("q_id"), col("m"), col("cid"),
+        floor(l2sq(col("sub"), col("c")) * 1000000).cast("long").as("lut"))
+    // ADC: m lookups summed per (query, candidate) — exact integer math
+    val adc = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("lut")).as("adc_micros"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc_micros").asc, col("n_id").asc)
+    val short = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .drop("rn")
+    // stage 2: exact squared-L2 re-rank of the shortlist against raw
+    // embeddings (cosine kept as an audit column)
+    val sides = withNorm(embeddings, "s")
+    def emb64(c: Column) = transform(c, _.cast("double"))
+    val rer = short
+      .join(sides.select(col("s_id").as("q_id"), col("s_emb").as("q_emb"),
+        col("s_norm").as("q_norm")), "q_id")
+      .join(sides.select(col("s_id").as("n_id"), col("s_emb").as("n_emb"),
+        col("s_norm").as("n_norm")), "n_id")
+      .select(col("q_id"), col("n_id"), col("adc_micros"),
+        round(l2sq(emb64(col("q_emb")), emb64(col("n_emb"))), 6).as("d2"),
+        round(cosine("q", "n"), 6).as("sim"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+    rer.withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"), col("d2"),
+        col("adc_micros"), col("sim"))
+  }
+
   /** Fan a small-but-compute-heavy input out across the cluster. A compact
     * parquet file arrives as ONE split, which serializes any downstream
     * O(N²) stage — one round-robin shuffle of the (tiny) input buys full

@@ -769,6 +769,82 @@ object LlmQueries {
        |WHERE round(${edot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 
+  // ------------------------------------- similarity: product quantization
+  /** PQ-ADC top-k ([[Similarity.pqTopK]]): 8 subspaces × 8 dims, 32
+    * centroids each (one Lloyd step), queries = every 50th vector; ADC
+    * shortlists 50 candidates per query, exact squared-L2 re-ranks to
+    * top-5 (cosine kept as audit column). The oracle replays codebook
+    * training, encoding, the per-query LUT, the integer-micros ADC sums,
+    * and the re-rank bit-for-bit.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(spark, dir),
+      pmod(col("vec_id"), lit(50)) === 0, m = pqM, dsub = pqDsub, k = pqK,
+      topK = pqTopK, shortlist = pqShortlist)
+      .select("q_id", "n_id", "rank", "d2", "adc_micros", "sim")
+
+  private val pqM = 8
+  private val pqDsub = 8
+  private val pqK = 32
+  private val pqTopK = 5
+  private val pqShortlist = 50
+
+  val annPqSql: String = {
+    // squared L2 folded in index order — bit-identical to the Spark HOF
+    // fold in Similarity.l2sq (its 0.0 seed is exact: 0.0 + x == x, and
+    // squared terms are never -0.0); ::DOUBLE is a no-op on the
+    // already-double subvector lists and the real cast on raw embeddings
+    def l2x(a: String, b: String, d: Int) =
+      s"list_reduce([($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE) " +
+        s"for i in range(1, ${d + 1})], (acc, x) -> acc + x)"
+    def l2(a: String, b: String) = l2x(a, b, pqDsub)
+    def edot(a: String, b: String) =
+      s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH sub AS (SELECT vec_id, t.m,
+       |             [embedding[t.m * $pqDsub + i]::DOUBLE for i in range(1, ${pqDsub + 1})] AS sub
+       |             FROM embeddings, range($pqM) t(m)),
+       |cb0 AS (SELECT m, vec_id::INT AS cid, sub AS c FROM sub WHERE vec_id < $pqK),
+       |a0 AS (SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                              ORDER BY round(${l2("s.sub", "c.c")}, 6) ASC, c.cid ASC) AS rn
+       |    FROM sub s JOIN cb0 c ON s.m = c.m) WHERE rn = 1),
+       |comp AS (SELECT a0.m, a0.cid, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS v
+       |         FROM a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.m = a0.m),
+       |cb1c AS (SELECT m, cid, list(comp_val ORDER BY pos) AS c FROM (
+       |    SELECT m, cid, pos,
+       |           CAST(SUM(CAST(floor(v * 1000000) AS BIGINT)) AS DOUBLE)
+       |             / (count(*) * 1000000.0) AS comp_val
+       |    FROM comp GROUP BY m, cid, pos) GROUP BY m, cid),
+       |cb1 AS (SELECT cb0.m, cb0.cid, COALESCE(cb1c.c, cb0.c) AS c
+       |        FROM cb0 LEFT JOIN cb1c ON cb0.m = cb1c.m AND cb0.cid = cb1c.cid),
+       |codes AS (SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                              ORDER BY round(${l2("s.sub", "c.c")}, 6) ASC, c.cid ASC) AS rn
+       |    FROM sub s JOIN cb1 c ON s.m = c.m) WHERE rn = 1),
+       |lut AS (SELECT s.vec_id AS q_id, c.m, c.cid,
+       |               CAST(floor(${l2("s.sub", "c.c")} * 1000000) AS BIGINT) AS lut
+       |        FROM sub s JOIN cb1 c ON s.m = c.m WHERE s.vec_id % 50 = 0),
+       |adc AS (SELECT l.q_id, cd.vec_id AS n_id, CAST(SUM(l.lut) AS BIGINT) AS adc_micros
+       |        FROM codes cd JOIN lut l ON cd.m = l.m AND cd.cid = l.cid
+       |        WHERE cd.vec_id != l.q_id GROUP BY l.q_id, cd.vec_id),
+       |short AS (SELECT q_id, n_id, adc_micros FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY adc_micros ASC, n_id ASC) AS rn
+       |    FROM adc) WHERE rn <= $pqShortlist),
+       |e AS (SELECT vec_id, embedding, sqrt(${edot("e0.embedding", "e0.embedding")}) AS nrm
+       |      FROM embeddings e0),
+       |rer AS (SELECT s.q_id, s.n_id, s.adc_micros,
+       |               round(${l2x("eq.embedding", "en.embedding", 64)}, 6) AS d2,
+       |               round(${edot("eq.embedding", "en.embedding")} / (eq.nrm * en.nrm), 6) AS sim
+       |        FROM short s JOIN e eq ON eq.vec_id = s.q_id JOIN e en ON en.vec_id = s.n_id)
+       |SELECT q_id, n_id, rank, d2, adc_micros, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY d2 ASC, n_id ASC) AS rank
+       |    FROM rer) WHERE rank <= $pqTopK""".stripMargin
+  }
+
   // ---------------------------------------------------------- text: lang id
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables.documents(spark, dir))

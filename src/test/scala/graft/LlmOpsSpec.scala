@@ -219,6 +219,42 @@ class LlmOpsSpec extends SparkSuite {
     assert(measured.map(_._5).min >= 0.40, "ivf(nprobe=2) recall below floor")
   }
 
+  test("PQ-ADC top-k is well-formed, partition-independent, and recalls the exact L2 top-k") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf1/embeddings.parquet")
+    val qPred = pmod(col("vec_id"), lit(50)) === 0
+    def rows(e: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(e, qPred, m = 8, dsub = 8, k = 32, topK = 5)
+        .select("q_id", "n_id", "rank", "d2")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val got = rows(emb)
+    // every query has exactly ranks 1..5, and exact distance is monotone in rank
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"ranks for query $q")
+      assert(rs.map(_._4).toSeq == rs.map(_._4).sorted.toSeq, s"d2 monotone for $q")
+    }
+    // the physical layout of the input must not change a single row
+    assert(rows(emb.repartition(7)).toSeq == got.toSeq, "partition-independence")
+    // recall@5 vs the exact squared-L2 top-5 (the metric PQ approximates).
+    // The fixture vectors are ISOTROPIC (no cluster structure — the
+    // distance-concentration worst case for any ANN); the floor reflects
+    // that, and precision of the re-rank stage is exact by construction.
+    val l2 = expr("aggregate(zip_with(q_emb, n_emb, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, x) -> acc + x)")
+    val qs = emb.filter(qPred).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = broadcast(qs)
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), l2.as("d"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d").asc, col("n_id").asc)))
+      .filter(col("rn") <= 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = got.map(r => (r._1, r._2)).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    info(f"PQ recall@5 vs exact L2 (isotropic fixtures): $recall%.3f (truth=${exact.size})")
+    assert(recall >= 0.7, s"PQ recall@5 below floor: $recall")
+  }
+
   test("multimodal frame sampling and resize are deterministic and partition-independent") {
     val media = Multimodal.withBlob(docs)
     val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)
