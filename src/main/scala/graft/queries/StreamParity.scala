@@ -298,6 +298,54 @@ object StreamParity {
         col("n"), col("total")))
   }
 
+  /** E1 (dead-letter split + error budget) through real streaming
+    * execution: corrupted payloads are injected into the event STREAM, the
+    * permissive parse classifies each record in-flight, and every
+    * micro-batch writes good rows and dead letters to TWO separate parquet
+    * sinks — the dead-letter-queue topology itself, one pass per batch
+    * (persist → two filtered writes). The reference's fail-after-budget
+    * policy is enforced on the materialized split before the summary.
+    * Shares the batch `error_deadletter_split` oracle.
+    */
+  def deadletterStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", LongType)))
+    val goodOut = Files.createTempDirectory("graft-dlq-good").toString
+    val deadOut = Files.createTempDirectory("graft-dlq-dead").toString
+    val parsed = eventsStream(ss, dir)
+      .withColumn("props",
+        when(pmod(col("event_id"), lit(20)) === 0, concat(lit("{broken"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("parsed", graft.engine.Serde.parseJson(col("props"), schema))
+    val bad = graft.engine.Serde.isCorrupt(col("parsed"), schema)
+    val q = parsed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.filter(!bad).write.mode("append").parquet(goodOut)
+        b.filter(bad).drop("parsed").write.mode("append").parquet(deadOut)
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dlq-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
+    val good = ss.read.schema(parsed.schema).parquet(goodOut)
+    val dead = ss.read.schema(parsed.drop("parsed").schema).parquet(deadOut)
+    val (nGood, nDead) = (good.count(), dead.count())
+    graft.engine.Errors.checkBudget(nDead, math.max(1L, (nGood + nDead) / 12))
+    good.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("parsed.k")).as("sum_k"))
+      .select(lit("good").as("side"), col("event_type"), col("n"), col("sum_k"))
+      .unionByName(dead.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("dead").as("side"), col("event_type"), col("n"),
+          lit(null).cast(LongType).as("sum_k")))
+  }
+
   /** The zero-state streaming near-dup filter ([[Streaming.neardupStream]]):
     * the incoming 5% of documents arrive as a STREAM, signed per row and
     * stream-static-joined against the batch corpus index — identical split
