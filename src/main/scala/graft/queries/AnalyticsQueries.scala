@@ -584,6 +584,33 @@ object AnalyticsQueries {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Explicit GROUPING SETS (A7 beyond rollup/cube): the lattice
+    * ((rf,ls),(rf),(ls)) is NOT a rollup prefix chain — both single-column
+    * marginals are present but the grand total is not, so this exercises
+    * the general grouping-sets expansion rather than the rollup special
+    * case. One Expand + single map-side-combined hash aggregation;
+    * `grouping_id` disambiguates rows whose key columns are null-by-
+    * aggregation (same bitmask semantics in Spark and DuckDB with the
+    * same column order).
+    */
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+
+  val groupingSetsPricingSql: String =
+    """SELECT GROUPING(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin
+
   /** Navigation + distribution analytics (§2.10 window functions beyond
     * ranking): per-customer order cadence via `lag` (days since the
     * previous order) and spend quartiles via `ntile(4)`. Both windows
