@@ -584,6 +584,37 @@ object AnalyticsQueries {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Top-k WITHIN each time window (the windowed-leaderboard shape:
+    * tumbling window → keyed aggregate → per-window rank). Two exchanges
+    * total: one for the (window × user) aggregation, one to re-group by
+    * window for ranking — the second moves only aggregated rows (one per
+    * user-window, not one per event). Money stays decimal until the final
+    * cast; rank ties break on user_id.
+    */
+  def windowedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum(dec(col("value"))).as("spend"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window")).orderBy(col("spend").desc, col("user_id").asc)
+    spend.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("spend").cast("double").as("spend"), col("rnk"))
+  }
+
+  val windowedTopkSql: String =
+    """SELECT window_start, user_id, CAST(spend AS DOUBLE) AS spend, rnk FROM (
+      |  SELECT window_start, user_id, spend,
+      |         row_number() OVER (PARTITION BY window_start
+      |                            ORDER BY spend DESC, user_id ASC) AS rnk
+      |  FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+      |               SUM(CAST(value AS DECIMAL(18,2))) AS spend
+      |        FROM events WHERE event_type = 'purchase'
+      |        GROUP BY 1, 2))
+      |WHERE rnk <= 3""".stripMargin
+
   /** Explicit GROUPING SETS (A7 beyond rollup/cube): the lattice
     * ((rf,ls),(rf),(ls)) is NOT a rollup prefix chain — both single-column
     * marginals are present but the grand total is not, so this exercises

@@ -845,6 +845,35 @@ object LlmQueries {
        |    FROM rer) WHERE rank <= $pqTopK""".stripMargin
   }
 
+  // --------------------------------------------- corpus mixture weights
+  /** Temperature-based source mixing weights (the multilingual/multi-source
+    * rebalancing step of corpus construction — upweight small sources,
+    * temper large ones): weight ∝ n^α with α = 0.5, normalized by the
+    * LARGEST source. α = 0.5 is deliberately sqrt: IEEE-754 requires sqrt
+    * correctly rounded, so the weight math is bit-identical across engines
+    * — a pow(n, 0.3) would not be. Normalizing by max (not Σ) keeps the
+    * computation order-independent: no cross-source double summation whose
+    * order could differ. Fixed-point ppm output. Plan: one map-side-
+    * combined count per source + a 1-row max folded in by broadcast.
+    */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val mx = counts.agg(max(col("n_docs")).as("n_max"))
+    counts.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"),
+        floor(lit(1000000) * sqrt(col("n_docs").cast("double"))
+          / sqrt(col("n_max").cast("double"))).cast("long").as("w_ppm"))
+  }
+
+  val sourceMixtureSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |m AS (SELECT max(n_docs) AS n_max FROM c)
+      |SELECT c.source, c.n_docs,
+      |       CAST(floor(1000000 * sqrt(CAST(c.n_docs AS DOUBLE))
+      |                  / sqrt(CAST(m.n_max AS DOUBLE))) AS BIGINT) AS w_ppm
+      |FROM c, m""".stripMargin
+
   // ---------------------------------------------------------- text: lang id
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdOf(Tables.documents(spark, dir))

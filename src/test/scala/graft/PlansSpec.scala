@@ -39,7 +39,8 @@ class PlansSpec extends SparkSuite {
     *    for cell assignment (K is a constant; corpus side streams).
     */
   private val boundedBroadcastCross = Set("tfidf", "training_corpus",
-    "lm_fluency", "ann_topk", "ivf_neardup", "ivf_multiprobe_neardup")
+    "lm_fluency", "ann_topk", "ivf_neardup", "ivf_multiprobe_neardup",
+    "source_mixture")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
