@@ -584,6 +584,36 @@ object AnalyticsQueries {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** SCD2 dimension build from a changelog (the stream–table duality made
+    * durable): each customer's order history becomes versioned rows with
+    * [valid_from, valid_to) intervals via `lead`, the current version
+    * flagged. This is how a KTable's history — not just its latest state —
+    * lands in a warehouse. One exchange on the key; `lead` shares the same
+    * sort as the interval construction. Ties on the date break on the
+    * unique order key, making version order total.
+    */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("o_custkey", "o_orderkey", "o_orderstatus",
+        "valid_from", "valid_to", "is_current")
+  }
+
+  val scd2DimensionSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+      |       o_orderdate AS valid_from,
+      |       lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to,
+      |       lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
+      |FROM orders""".stripMargin
+
   /** Top-k WITHIN each time window (the windowed-leaderboard shape:
     * tumbling window → keyed aggregate → per-window rank). Two exchanges
     * total: one for the (window × user) aggregation, one to re-group by

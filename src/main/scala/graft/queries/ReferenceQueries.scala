@@ -370,6 +370,50 @@ object ReferenceQueries {
       |SELECT 'dead' AS side, event_type, count(*) AS n, NULL::BIGINT AS sum_k
       |FROM parsed WHERE k IS NULL GROUP BY event_type""".stripMargin
 
+  /** Funnel / sequence detection (CEP-lite on the J1 machinery): a
+    * purchase "converts" when the same user clicked within the preceding
+    * 30 minutes; daily conversion rate in basis points. The
+    * preceding-click probe is a LEFT SEMI interval join — hash equi-join
+    * on user_id with the time band as join condition, so each purchase is
+    * emitted at most once (no duplicate-match inflation) and the click
+    * side never materializes into the output. Day rollups then move only
+    * per-day counts. Rate math is exact integer arithmetic (10000·conv
+    * div total) — no double division to drift across engines.
+    */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val converted = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("ts") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"),
+      "left_semi")
+    val byDay = purchases.groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val convByDay = converted.groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_converted"))
+    byDay.join(convByDay, Seq("day"), "left")
+      .select(col("day"), col("n_purchases"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"))
+      .withColumn("cvr_bp", expr("(10000 * n_converted) div n_purchases"))
+  }
+
+  val conversionFunnelSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click'),
+      |conv AS (SELECT p.event_id, p.ts FROM p WHERE EXISTS (
+      |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+      |      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes')),
+      |d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases FROM p GROUP BY 1),
+      |dc AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_converted FROM conv GROUP BY 1)
+      |SELECT d.day, d.n_purchases, COALESCE(dc.n_converted, 0) AS n_converted,
+      |       (10000 * COALESCE(dc.n_converted, 0)) // d.n_purchases AS cvr_bp
+      |FROM d LEFT JOIN dc ON d.day = dc.day""".stripMargin
+
   /** Session-window aggregation (gap W6): per-user sessions closed by a
     * 30-minute inactivity gap. `session_window` is Spark-native; the oracle
     * reconstructs identical sessions with the gaps-and-islands idiom. A
