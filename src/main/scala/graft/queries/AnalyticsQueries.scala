@@ -584,6 +584,60 @@ object AnalyticsQueries {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Count-min-sketch heavy hitters — the streaming frequent-items sketch
+    * alongside KMV (distinct), HLL (distinct) and Bloom (membership):
+    * d=4 × w=1024 counters (32 KB fixed, regardless of key cardinality),
+    * mergeable by cell-wise addition, overestimate-only error ≤ N/w per
+    * row with high probability. Cells hash from md5 (PortableHash), so the
+    * DuckDB oracle builds the IDENTICAL sketch and the overcount column —
+    * the sketch's error behavior itself — is hash-verified, same policy as
+    * the Bloom join's false positives.
+    *
+    * Plan: one map-side-combined count per (row, cell) builds the sketch
+    * (≤ 4096 cells whatever the data size — construction-bounded, hence
+    * broadcast); exact top-10 candidates come from TakeOrderedAndProject
+    * (partial per-partition top-k, no global sort); estimates are a
+    * broadcast join + min over d cells. At 100 TB the sketch build is the
+    * only data-sized pass.
+    */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    import graft.engine.PortableHash
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val js = array((0 until d).map(lit): _*)
+    def pos(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      pmod(PortableHash.md5Long(concat(lit("cms"), j, lit(":"), key)), lit(w))
+    val cells = ev.select(col("user_id"), explode(js).as("j"))
+      .withColumn("pos", pos(col("j"), col("user_id")))
+      .groupBy("j", "pos").agg(count(lit(1)).as("cell_n"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    val top = exact.orderBy(col("exact_n").desc, col("user_id").asc).limit(10)
+    top.select(col("user_id"), col("exact_n"), explode(js).as("j"))
+      .withColumn("pos", pos(col("j"), col("user_id")))
+      .join(broadcast(cells), Seq("j", "pos"))
+      .groupBy("user_id", "exact_n")
+      .agg(min(col("cell_n")).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+  }
+
+  val heavyHittersCmsSql: String = {
+    val md5pos = "(('0x' || substr(md5('cms' || %s || ':' || %s), 1, 15))::BIGINT) %% 1024"
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |cells AS (SELECT t.j, ${md5pos.format("t.j", "user_id")} AS pos, count(*) AS cell_n
+       |          FROM ev, range(4) t(j) GROUP BY 1, 2),
+       |exact AS (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY 1),
+       |top AS (SELECT user_id, exact_n FROM exact
+       |        ORDER BY exact_n DESC, user_id ASC LIMIT 10),
+       |probe AS (SELECT tp.user_id, tp.exact_n, t.j,
+       |                 ${md5pos.format("t.j", "tp.user_id")} AS pos
+       |          FROM top tp, range(4) t(j))
+       |SELECT p.user_id, p.exact_n, min(c.cell_n) AS est_n,
+       |       min(c.cell_n) - p.exact_n AS overcount
+       |FROM probe p JOIN cells c ON c.j = p.j AND c.pos = p.pos
+       |GROUP BY p.user_id, p.exact_n""".stripMargin
+  }
+
   /** SCD2 dimension build from a changelog (the stream–table duality made
     * durable): each customer's order history becomes versioned rows with
     * [valid_from, valid_to) intervals via `lead`, the current version
