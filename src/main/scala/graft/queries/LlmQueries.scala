@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.engine.{PortableHash, Tables}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -843,6 +843,61 @@ object LlmQueries {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |                                 ORDER BY d2 ASC, n_id ASC) AS rank
        |    FROM rer) WHERE rank <= $pqTopK""".stripMargin
+  }
+
+  // --------------------------------------------- tokenizer induction (BPE)
+  /** Distributed BPE training ([[Bpe]]): 3 merge rounds over the corpus
+    * word-frequency table; output is the learned merge list
+    * (round, pair, weighted count) — the artifact a tokenizer ships. The
+    * oracle replays training end-to-end: tokenize → char symbols → per-
+    * round pair counts, argmax (count desc, pair asc) and the greedy
+    * left-to-right re-encode — as three unrolled rounds of identical
+    * window SQL.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bpe.learnMerges(Tables.documents(spark, dir), rounds = 3)
+      .toDF("round", "sym_a", "sym_b", "pair_n")
+  }
+
+  val bpeTrainSql: String = {
+    // one merge round: pair counts -> argmax -> greedy re-encode (islands
+    // idiom resolves equal-symbol runs; see Bpe.mergeRound)
+    def encodeRound(r: Int, prev: String): String =
+      s"""p$r AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT sym, freq, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |    FROM $prev) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |m$r AS (SELECT s.word, s.freq, s.pos, s.sym, b.a, b.b,
+         |              COALESCE(s.sym = b.a AND
+         |                lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b,
+         |                false) AS mtch
+         |        FROM $prev s, b$r b),
+         |n$r AS (SELECT *, row_number() OVER (PARTITION BY word, mtch ORDER BY pos) AS mrn FROM m$r),
+         |g$r AS (SELECT *, CASE WHEN mtch THEN pos - mrn END AS grp FROM n$r),
+         |h$r AS (SELECT *, min(pos) OVER (PARTITION BY word, grp) AS run_start FROM g$r),
+         |i$r AS (SELECT *, mtch AND (pos - run_start) % 2 = 0 AS sel FROM h$r),
+         |j$r AS (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS consumed FROM i$r),
+         |s$r AS (SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |               CASE WHEN sel THEN a || b ELSE sym END AS sym
+         |        FROM j$r WHERE NOT consumed)""".stripMargin
+    def lastRound(r: Int, prev: String): String =
+      s"""p$r AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT sym, freq, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |    FROM $prev) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS word
+       |    FROM documents) GROUP BY 1),
+       |s0 AS (SELECT word, freq, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym FROM (
+       |    SELECT word, freq, [substr(word, i, 1) for i in range(1, len(word) + 1)] AS cs
+       |    FROM w0)),
+       |${encodeRound(1, "s0")},
+       |${encodeRound(2, "s1")},
+       |${lastRound(3, "s2")}
+       |SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b, cnt AS pair_n FROM b1
+       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM b2
+       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM b3""".stripMargin
   }
 
   // --------------------------------------------- corpus mixture weights

@@ -255,6 +255,35 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.7, s"PQ recall@5 below floor: $recall")
   }
 
+  test("distributed BPE merges equal a sequential reference implementation") {
+    import spark.implicits._
+    val fx = spark.read.parquet(s"$sf1/documents.parquet")
+    val got = graft.llm.Bpe.learnMerges(fx, rounds = 4)
+    // classic sequential BPE (Sennrich alg. 1) over the same word-freq table
+    val wf = fx.select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect()
+    var words: Seq[(Vector[String], Long)] =
+      wf.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to 4) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      ref += ((r.toLong, a, b, c))
+      words = words.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+    }
+    assert(got == ref.toSeq, s"distributed merges $got != reference $ref")
+  }
+
   test("multimodal frame sampling and resize are deterministic and partition-independent") {
     val media = Multimodal.withBlob(docs)
     val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)
