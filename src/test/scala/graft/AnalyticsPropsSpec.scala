@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticsQueries, ReferenceQueries}
+
+/** Structural invariants of the round-4 analytics operators — properties
+  * the DuckDB hash compare implies but does not state directly.
+  */
+class AnalyticsPropsSpec extends SparkSuite {
+
+  test("CMS estimates never underestimate (count-min is one-sided)") {
+    val df = AnalyticsQueries.heavyHittersCms(spark, sf1).cache()
+    assert(df.count() == 10)
+    assert(df.filter(col("est_n") < col("exact_n")).count() == 0,
+      "count-min sketch must overestimate only")
+    assert(df.filter(col("overcount") =!= col("est_n") - col("exact_n")).count() == 0)
+    df.unpersist()
+  }
+
+  test("SCD2 versions tile each customer's timeline") {
+    val df = AnalyticsQueries.scd2Dimension(spark, sf1).cache()
+    // exactly one open (current) version per customer
+    val open = df.filter(col("is_current")).groupBy("o_custkey").count()
+    assert(open.filter(col("count") =!= 1).count() == 0, "one current version per key")
+    // closed versions never extend past their successor
+    assert(df.filter(col("valid_to").isNotNull && col("valid_from") > col("valid_to"))
+      .count() == 0, "valid_from <= valid_to")
+    // every version boundary is the successor's start (tiling, no gaps):
+    // valid_to values per key = the non-first valid_from values per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+    val mismatch = df
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(!(col("valid_to") <=> col("next_from")))
+    assert(mismatch.count() == 0, "no gaps between versions")
+    df.unpersist()
+  }
+
+  test("conversion funnel rates are well-formed") {
+    val df = ReferenceQueries.conversionFunnel(spark, sf1).cache()
+    assert(df.filter(col("n_converted") > col("n_purchases")).count() == 0)
+    assert(df.filter(col("cvr_bp") < 0 || col("cvr_bp") > 10000).count() == 0)
+    df.unpersist()
+  }
+}
