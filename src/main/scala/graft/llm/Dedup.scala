@@ -375,6 +375,50 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Fixed-iteration PageRank over an undirected pair graph, in EXACT
+    * integer arithmetic so the oracle replays every round bit-for-bit:
+    * total mass 10¹² distributes as
+    * `pr₀ = S div N`, then per round
+    * `pr' = (0.15·S) div N + (85 · Σ_{u∈nbr} (pr(u) div deg(u))) div 100`.
+    * Integer floor division loses a few units of mass per round (and
+    * dangling nodes leak their mass entirely — the classic simplification);
+    * both effects are deterministic and identical in the oracle, which
+    * unrolls the same `iters` rounds as CTEs.
+    *
+    * Scale design (standard Pregel topology, same as
+    * [[duplicateClusters]]): the degree is joined into the edge relation
+    * ONCE up front; each round is then one hash join pr⋈edges (both sides
+    * partitioned on the source id — the exchange is reused across rounds)
+    * plus one map-side-combined sum per target, and a broadcast-joined
+    * 1-row N for the teleport term. Nothing data-sized ever reaches the
+    * driver; the plan is linear in `iters` (no lineage blowup at 5
+    * rounds — use checkpointing past ~20, as in duplicateClusters).
+    */
+  def pageRank(pairs: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val mass = 1000000000000L
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTotal = nodes.agg(count(lit(1)).as("n_total"))
+    val base = nodes.select(col("doc_id"))
+      .crossJoin(broadcast(nTotal)) // 1-row N fold-in, the tfidf pattern
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = base.select(col("doc_id"), col("n_total"),
+      expr(s"$mass div n_total").as("pr"))
+    for (_ <- 0 until iters) {
+      val inflow = pr.join(edgesDeg, col("doc_id") === col("s"))
+        .select(col("d"), expr("pr div deg").as("m"))
+        .groupBy("d").agg(sum(col("m")).as("m"))
+      pr = base.join(inflow, col("doc_id") === col("d"), "left")
+        .select(col("doc_id"), col("n_total"),
+          (expr(s"(15 * $mass div 100) div n_total") +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("pr"))
+    }
+    pr.select(col("doc_id"), col("pr"))
+  }
+
   /** Band-key explode for 60-bit SimHash signatures: (doc_id, sig) →
     * (doc_id, sig, band, key) with `bands` keys of `bits/bands` bits each.
     */

@@ -419,6 +419,49 @@ object Similarity {
         col("adc_micros"), col("sim"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then inside
+    * each cluster drop every vector that is near-identical (cosine ≥ tau)
+    * to a lower-id vector of the same cluster, keeping the minimum-id
+    * representative of each semantic neighborhood. The kept set is the
+    * "dominator" relaxation of the paper's sequential greedy scan: a
+    * vector is dropped iff ANY smaller-id cluster-mate is within tau
+    * (whether or not that mate was itself dropped) — order-independent,
+    * so it parallelizes as one self-join and is exactly replayable by the
+    * oracle; it prunes a (slight) superset of the greedy scan's drops.
+    *
+    * Scale design: identical topology to [[ivfNearDupPairs]] — a K-row
+    * broadcast codebook assigns cells (the deterministic K-lowest-id
+    * codebook stands in for k-means centroids so the oracle can replay
+    * assignment; swap [[kmeansIvfPairs]]' trained centroids in production),
+    * one hash exchange on cell ids co-locates each cluster, and the
+    * quadratic verify runs only within cells. Output is every vector with
+    * its cell and kept flag — the pruned corpus is `filter(kept)`.
+    */
+  def semDedup(embeddings: DataFrame, k: Int, tau: Double): DataFrame = {
+    val base = withNorm(spreadSmallInput(embeddings), "v")
+    val codebook = withNorm(embeddings.filter(col("vec_id") < k), "c")
+    val scored = base.crossJoin(broadcast(codebook))
+      .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id"),
+        round(cosine("v", "c"), 6).as("sim_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id")).orderBy(col("sim_c").desc, col("c_id").asc)
+    val assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.select(col("v_id").as("a_id"), col("v_emb").as("a_emb"),
+        col("v_norm").as("a_norm"), col("cell"))
+      .join(assigned.select(col("v_id").as("b_id"), col("v_emb").as("b_emb"),
+        col("v_norm").as("b_norm"), col("cell")), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine("a", "b"), 6) >= tau)
+      .select(col("b_id").as("v_id")).distinct()
+    assigned.select(col("v_id").as("vec_id"), col("cell"))
+      .join(dropped.select(col("v_id").as("vec_id"), lit(true).as("hit")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+  }
+
   /** Fan a small-but-compute-heavy input out across the cluster. A compact
     * parquet file arrives as ONE split, which serializes any downstream
     * O(N²) stage — one round-robin shuffle of the (tiny) input buys full

@@ -1471,4 +1471,79 @@ object LlmQueries {
        |  1 + (h // 7) % 16 AS height,
        |  ['png', 'jpeg', 'bmp'][(h % 3)::INT + 1] AS format
        |FROM (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents)""".stripMargin
+
+  // ------------------------------------------------ dedup: semantic (SemDeDup)
+  /** Cluster-then-prune semantic dedup ([[Similarity.semDedup]]); tau
+    * shares [[minCos]] — on the near-isotropic synthetic embeddings the
+    * within-cell cosine mass sits below 0.5, so 0.45 exercises real drops
+    * while staying the same "near-duplicate" bar as the pair queries.
+    */
+  def semdedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), k = ivfK, tau = minCos)
+
+  val semdedupSql: String = {
+    def ldot(a: String, b: String) =
+      s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ldot("e0.embedding", "e0.embedding")}) AS nrm
+       |           FROM embeddings e0),
+       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
+       |scored AS (SELECT e.vec_id, cb.c_id,
+       |           round(${ldot("e.embedding", "cb.c_emb")} / (e.nrm * cb.c_nrm), 6) AS sim_c
+       |           FROM e, cb),
+       |assigned AS (SELECT vec_id, c_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_c DESC, c_id ASC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |drp AS (SELECT DISTINCT b.vec_id AS vec_id
+       |        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+       |        WHERE round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+       |FROM assigned a LEFT JOIN drp d ON d.vec_id = a.vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------- graph: PageRank
+  /** PageRank over the SimHash near-dup graph ([[Dedup.pageRank]]):
+    * centrality of each document in the duplication neighborhood — the
+    * "how templated is this doc" signal that complements the binary
+    * near-dup verdict. Five unrolled integer rounds; the oracle replays
+    * the signature build, the band-free pair join, and every round's
+    * floor-divided mass exactly.
+    */
+  private val prIters = 5
+
+  def pagerankSim(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pageRank(
+      Dedup.simhashPairs(Tables.documents(spark, dir), simhashMaxDist)
+        .select("doc_a", "doc_b"),
+      Tables.documents(spark, dir).select("doc_id"), prIters)
+
+  val pagerankSimSql: String = {
+    val rounds = (1 to prIters).map { t =>
+      s"""pr$t AS (SELECT d.doc_id,
+         |  (150000000000 // nt.n_total) + (85 * coalesce(inf.m, 0)) // 100 AS pr
+         |  FROM documents d CROSS JOIN nt LEFT JOIN (
+         |    SELECT e.d AS doc_id, SUM(p.pr // dg.deg) AS m
+         |    FROM pr${t - 1} p JOIN ed e ON e.s = p.doc_id JOIN dg ON dg.s = e.s
+         |    GROUP BY e.d) inf ON inf.doc_id = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+       |              FROM documents),
+       |tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |bitsums AS (SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS s
+       |            FROM th, range(60) r(j) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+       |         FROM bitsums GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxDist),
+       |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |dg AS (SELECT s, count(*) AS deg FROM ed GROUP BY s),
+       |nt AS (SELECT count(*) AS n_total FROM documents),
+       |pr0 AS (SELECT doc_id, 1000000000000 // nt.n_total AS pr
+       |        FROM documents CROSS JOIN nt),
+       |$rounds
+       |SELECT doc_id, pr FROM pr$prIters""".stripMargin
+  }
 }

@@ -384,4 +384,43 @@ object PipelineQueries {
        |       count(DISTINCT feature) AS n_features
        |FROM feats GROUP BY 1""".stripMargin
   }
+
+  // -------------------------------------------------------- inverted_index
+  /** Search-index build: token → (document frequency, total term
+    * frequency, first-8 sorted posting sample). Scale design: term stats
+    * are ONE map-side-combined aggregate over the token explode; the
+    * posting sample is rank-limited BEFORE aggregation (row_number ≤ 8
+    * gets Spark's WindowGroupLimit pushdown, so each partition forwards at
+    * most 8 rows per token — the shuffle never carries a hot token's full
+    * posting list, the classic inverted-index skew trap); both halves are
+    * token-partitioned, so the final join reuses one exchange. Tokenizer
+    * shared with the text family ([[graft.llm.TextAnalysis.tokens]]).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.llm.TextAnalysis.tokens(col("text"))).as("token"))
+    val stats = tok.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id").asc)
+    val sample = tok.select("token", "doc_id").distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+      .groupBy("token")
+      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("sample_postings"))
+    stats.join(sample, "token")
+  }
+
+  val invertedIndexSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+      |             FROM documents),
+      |stats AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |          FROM tok GROUP BY 1),
+      |dist AS (SELECT DISTINCT token, doc_id FROM tok),
+      |ranked AS (SELECT token, doc_id,
+      |           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM dist),
+      |post AS (SELECT token, array_to_string(list(doc_id ORDER BY doc_id), ',') AS sample_postings
+      |         FROM ranked WHERE rn <= 8 GROUP BY token)
+      |SELECT token, tf, df, sample_postings FROM stats JOIN post USING (token)""".stripMargin
 }

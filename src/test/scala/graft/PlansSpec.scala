@@ -40,7 +40,10 @@ class PlansSpec extends SparkSuite {
     */
   private val boundedBroadcastCross = Set("tfidf", "training_corpus",
     "lm_fluency", "ann_topk", "ivf_neardup", "ivf_multiprobe_neardup",
-    "source_mixture")
+    "source_mixture",
+    // semdedup: the K-row cell codebook (ivf_neardup's pattern);
+    // pagerank_sim: the 1-row corpus-N fold-in (tfidf's pattern)
+    "semdedup", "pagerank_sim")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
