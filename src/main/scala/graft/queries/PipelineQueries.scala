@@ -423,4 +423,178 @@ object PipelineQueries {
       |post AS (SELECT token, array_to_string(list(doc_id ORDER BY doc_id), ',') AS sample_postings
       |         FROM ranked WHERE rn <= 8 GROUP BY token)
       |SELECT token, tf, df, sample_postings FROM stats JOIN post USING (token)""".stripMargin
+
+  // ----------------------------------------------------------- bm25_search
+  /** BM25 retrieval scoring (Robertson–Spärck Jones; k1=1.2, b=0.75) of
+    * the whole corpus against a deterministic query (the 3 highest-df
+    * tokens, ties by token asc), returning the top-10 docs. The full
+    * search stack in one plan: tf, df, doc length, and corpus stats all
+    * from the same token explode. Scale design: the query-term set and
+    * the (N, avgdl) row are construction-bounded broadcasts; per-doc
+    * score is a map-side-combined sum over ≤|q| joined postings; the
+    * global top-10 is TakeOrderedAndProject (per-partition heap + driver
+    * merge of 10-row heads — never a full sort). ln portability: same
+    * round-6 contract the tfidf query established.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.llm.TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // TakeOrdered (per-partition heap + 3-row driver merge), not a
+    // single-partition global window — vocabulary-sized input, k=3 output
+    val qterms = dfreq.orderBy(col("df").desc, col("token").asc).limit(3)
+    val stats = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+    tf.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl"))))
+          .as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val bm25SearchSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+      |             FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |qterms AS (SELECT token, df FROM (
+      |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token ASC) AS rn
+      |    FROM dfreq) WHERE rn <= 3),
+      |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |                 (SELECT sum(dl) FROM dl) AS sum_dl)
+      |SELECT doc_id, round(sum(
+      |         ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+      |         (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+      |         (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE)
+      |            + CAST(0.75 AS DOUBLE) * dl * n_docs / sum_dl))), 6) AS score
+      |FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id), stats
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------- triangle_count
+  /** Per-document triangle participation in the SimHash near-dup graph —
+    * the cohesion signal that separates tight duplicate cliques from
+    * chains (complements connected components and PageRank). Uses the
+    * degree-ordered orientation: every edge points from its lower
+    * (degree, id) endpoint to the higher, so each triangle is counted at
+    * exactly one wedge and every node's out-degree is O(√m) — the hub
+    * node that breaks naive wedge counting (deg² wedges) caps at √m
+    * out-wedges. Joins are equi-joins on node keys; everything is
+    * integer arithmetic on a composite (degree, id) ordering key.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.llm.Dedup.simhashPairs(
+        Tables.documents(spark, dir), simhashMaxDistTri)
+      .select(col("doc_a"), col("doc_b"))
+    val ed = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val deg = ed.groupBy("x").agg(count(lit(1)).as("deg"))
+    // composite orientation key: degree-major, id-minor (ids < 2^40)
+    val keyed = ed.join(deg.select(col("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("x").as("y"), col("deg").as("dy")), "y")
+      .select(col("x"), col("y"),
+        (col("dx") * lit(1099511627776L) + col("x")).as("kx"),
+        (col("dy") * lit(1099511627776L) + col("y")).as("ky"))
+    val a = keyed.filter(col("kx") < col("ky"))
+      .select(col("kx").as("ku"), col("ky").as("kv"),
+        col("x").as("u"), col("y").as("v"))
+    val tri = a.as("e1")
+      .join(a.select(col("ku"), col("kv").as("kw"), col("v").as("w")).as("e2"),
+        col("e1.ku") === col("e2.ku") && col("e1.kv") < col("e2.kw"))
+      .join(a.select(col("ku").as("kv2"), col("kv").as("kw2")).as("e3"),
+        col("e1.kv") === col("kv2") && col("e2.kw") === col("kw2"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.w").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // 5 = the ceiling of the 6-band pigeonhole guarantee in simhashPairs;
+  // the synthetic corpus has no exact dups, so the near-dup graph is
+  // sparse and the triangle set small — the query's value is the exact
+  // pipeline (orientation, wedge join, closure) under the oracle
+  private val simhashMaxDistTri = 5
+
+  val triangleCountSql: String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+       |              FROM documents),
+       |tokx AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tokx),
+       |bitsums AS (SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS s
+       |            FROM th, range(60) r(j) GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+       |         FROM bitsums GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.sig, b.sig)) <= $simhashMaxDistTri),
+       |ed AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT x, count(*) AS deg FROM ed GROUP BY x),
+       |keyed AS (SELECT ed.x, ed.y,
+       |            dx.deg * 1099511627776 + ed.x AS kx,
+       |            dy.deg * 1099511627776 + ed.y AS ky
+       |          FROM ed JOIN deg dx ON dx.x = ed.x JOIN deg dy ON dy.x = ed.y),
+       |a AS (SELECT kx AS ku, ky AS kv, x AS u, y AS v FROM keyed WHERE kx < ky),
+       |tri AS (SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+       |        FROM a e1 JOIN a e2 ON e1.ku = e2.ku AND e1.kv < e2.kv
+       |        JOIN a e3 ON e3.ku = e1.kv AND e3.kv = e2.kv),
+       |corners AS (SELECT ta AS doc_id FROM tri
+       |            UNION ALL SELECT tb FROM tri
+       |            UNION ALL SELECT tc FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- anomaly_zscore
+  /** Daily-revenue anomaly flags per event type, with the z-score test
+    * done ENTIRELY in integer arithmetic: z² ≥ 4 (|z| ≥ 2σ) rewrites to
+    * (n·y − Σy)² ≥ 4·(n·Σy² − (Σy)²), so no square root, no floating
+    * division, and the oracle replays it exactly. Scale design: the same
+    * two-level aggregation as linfit_trend (raw → daily partials → 1 row
+    * of moments per type), then the flag is a broadcast join of the
+    * per-type moment row back onto the daily relation. BIGINT headroom:
+    * daily cents < 2^40 ⇒ (n·y)² needs DECIMAL(38,0) beyond ~2^31 total
+    * cents — deviations and squares go through decimal to keep the test
+    * exact at any scale.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("y"))
+    val moments = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+    val d38 = DecimalType(38, 0)
+    daily.join(moments, "event_type")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("y").as("y_cents"),
+        (col("n") * col("y") - col("sy")).as("dev_n"),
+        ((col("n") * col("y") - col("sy")).cast(d38) *
+          (col("n") * col("y") - col("sy")).cast(d38) >=
+          lit(4).cast(d38) * (col("n") * col("syy") - col("sy") * col("sy")).cast(d38))
+          .as("is_anomaly"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |moments AS (
+      |  SELECT event_type, count(*) AS n, sum(y) AS sy, sum(y*y) AS syy
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.y AS y_cents,
+      |       m.n * d.y - m.sy AS dev_n,
+      |       ((m.n * d.y - m.sy)::DECIMAL(38,0) * (m.n * d.y - m.sy)::DECIMAL(38,0) >=
+      |        4::DECIMAL(38,0) * (m.n * m.syy - m.sy * m.sy)::DECIMAL(38,0)) AS is_anomaly
+      |FROM daily d JOIN moments m USING (event_type)""".stripMargin
 }

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{LlmQueries, PipelineQueries}
+
+/** Structural invariants of the round-5 pipeline/graph operators —
+  * properties the DuckDB hash compare implies but does not state directly,
+  * plus two independent-recomputation equivalence checks (triangle
+  * counting vs the naive 3-join, range join vs the direct theta filter)
+  * that guard the *optimized* formulations against silent drift.
+  */
+class PipelinePropsSpec extends SparkSuite {
+
+  test("dq_audit: violations never exceed checked; all 7 rules report") {
+    val df = PipelineQueries.dqAudit(spark, sf1).cache()
+    assert(df.count() == 7)
+    assert(df.filter(col("violations") > col("checked")).count() == 0)
+    assert(df.filter(col("violations") < 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("retention_cohorts: no cell exceeds its cohort's week-0 size") {
+    val df = PipelineQueries.retentionCohorts(spark, sf1).cache()
+    val base = df.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("active_users").as("cohort_size"))
+    assert(df.filter(col("week_offset") < 0).count() == 0)
+    assert(df.join(base, "cohort_week")
+      .filter(col("active_users") > col("cohort_size")).count() == 0,
+      "retention cell larger than its cohort")
+    df.unpersist()
+  }
+
+  test("gap_fill: filled series is dense and preserves each type's total") {
+    val df = PipelineQueries.gapFill(spark, sf1).cache()
+    // dense: rows per type == span days (max - min + 1)
+    val spans = df.groupBy("event_type")
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"))
+    assert(spans.filter(col("rows") =!= col("span")).count() == 0, "gaps remain")
+    // mass-preserving: the zero-fill adds nothing — recompute through the
+    // SAME day-level decimal aggregation (summing the per-day doubles in a
+    // different order/precision would differ in ulps, not in substance)
+    val filled = df.groupBy("event_type").agg(sum(col("total")).as("t"))
+    val raw = graft.engine.Tables.events(spark, sf1)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("total"))
+      .groupBy("event_type").agg(sum(col("total")).as("r"))
+    // tolerance: the two sums fold the same per-day doubles in different
+    // partition orders, so exact equality is not guaranteed — closeness is
+    assert(filled.join(raw, "event_type")
+      .filter(abs(col("t") - col("r")) > 1e-6).count() == 0)
+    df.unpersist()
+  }
+
+  test("table_diff: classifications match the snapshot construction") {
+    val df = PipelineQueries.tableDiff(spark, sf1).cache()
+    assert(df.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0,
+      "a key classified twice")
+    assert(df.filter(col("change") === "added" && col("o_orderkey") % 7 =!= 0)
+      .count() == 0, "added keys must be exactly those A dropped")
+    assert(df.filter(col("change") === "removed" && col("o_orderkey") % 5 =!= 0)
+      .count() == 0, "removed keys must be exactly those B dropped")
+    df.unpersist()
+  }
+
+  test("range_join_bucketed equals the direct theta-join per band") {
+    val df = PipelineQueries.rangeJoinBucketed(spark, sf1).cache()
+    val cents = graft.engine.Tables.events(spark, sf1)
+      .select((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("cents")).cache()
+    val bands = Seq(("p0_micro", 0L, 1000L), ("p1_small", 1000L, 4500L),
+      ("p2_mid", 4500L, 12000L), ("p3_large", 12000L, 40000L),
+      ("p4_jumbo", 40000L, 50100L))
+    for ((band, lo, hi) <- bands) {
+      val expected = cents.filter(col("cents") >= lo && col("cents") < hi)
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("cents")), lit(0L)).as("s"))
+        .head()
+      val got = df.filter(col("band") === band)
+        .select(col("n_events"), col("sum_cents")).collect()
+      if (expected.getLong(0) == 0L) assert(got.isEmpty)
+      else {
+        assert(got.length == 1)
+        assert(got(0).getLong(0) == expected.getLong(0), s"$band count")
+        assert(got(0).getLong(1) == expected.getLong(1), s"$band sum")
+      }
+    }
+    cents.unpersist(); df.unpersist()
+  }
+
+  test("fuzzy_join_edit: every probe recovers its source customer") {
+    val df = PipelineQueries.fuzzyJoinEdit(spark, sf1).cache()
+    val probes = graft.engine.Tables.customer(spark, sf1)
+      .filter(col("c_custkey") % 101 === 0).count()
+    assert(probes > 0, "fixture must yield probes")
+    // the corrupted name is distance 1 from its own source and shares the
+    // suffix block — the self match must always survive
+    assert(df.filter(col("probe_key") === col("match_key")).count() == probes)
+    assert(df.filter(col("dist") > 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("feature_hash: bucket histogram accounts for every feature instance") {
+    val df = PipelineQueries.featureHash(spark, sf1).cache()
+    val events = graft.engine.Tables.events(spark, sf1).count()
+    assert(df.agg(sum(col("n_rows"))).head().getLong(0) == 2 * events,
+      "two features per event")
+    assert(df.filter(col("bucket") < 0 || col("bucket") >= 64).count() == 0)
+    df.unpersist()
+  }
+
+  test("inverted_index: stats are consistent and samples bounded") {
+    val df = PipelineQueries.invertedIndex(spark, sf1).cache()
+    assert(df.filter(col("df") > col("tf")).count() == 0, "df <= tf")
+    assert(df.filter(size(split(col("sample_postings"), ",")) > 8).count() == 0,
+      "posting sample capped at 8")
+    val total = graft.engine.Tables.documents(spark, sf1)
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("t")).count()
+    assert(df.agg(sum(col("tf"))).head().getLong(0) == total)
+    df.unpersist()
+  }
+
+  test("semdedup: the minimum-id member of every cell is kept") {
+    val df = LlmQueries.semdedup(spark, sf1).cache()
+    val minPerCell = df.groupBy("cell").agg(min(col("vec_id")).as("vec_id"))
+    assert(df.join(minPerCell, Seq("cell", "vec_id"))
+      .filter(!col("kept")).count() == 0,
+      "a cell's minimum id can never be dominated")
+    val n = graft.engine.Tables.embeddings(spark, sf1).count()
+    assert(df.count() == n, "every vector is classified")
+    df.unpersist()
+  }
+
+  test("pagerank_sim: mass is bounded and every node keeps its teleport floor") {
+    val df = LlmQueries.pagerankSim(spark, sf1).cache()
+    val n = graft.engine.Tables.documents(spark, sf1).count()
+    assert(df.count() == n)
+    val mass = 1000000000000L
+    assert(df.agg(sum(col("pr"))).head().getLong(0) <= mass,
+      "floor division can only lose mass, never create it")
+    val teleport = (15L * mass / 100L) / n
+    assert(df.filter(col("pr") < teleport).count() == 0,
+      "teleport term is a floor for every node")
+    df.unpersist()
+  }
+
+  test("triangle_count equals the naive unoriented 3-join") {
+    val df = PipelineQueries.triangleCount(spark, sf1)
+    val pairs = graft.llm.Dedup.simhashPairs(
+        graft.engine.Tables.documents(spark, sf1), 5)
+      .select(col("doc_a"), col("doc_b")).cache()
+    // naive: a < b < c, all three edges present (no orientation trick)
+    val e = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.y") === col("e2.x"))
+      .join(e.as("e3"),
+        col("e1.x") === col("e3.x") && col("e2.y") === col("e3.y"))
+      .select(explode(array(col("e1.x"), col("e1.y"), col("e2.y"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    assert(df.exceptAll(naive).isEmpty && naive.exceptAll(df).isEmpty,
+      "degree-oriented count must equal the naive count")
+    pairs.unpersist()
+  }
+
+  test("bm25_search: top-10 scores are positive and non-increasing") {
+    val rows = PipelineQueries.bm25Search(spark, sf1).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("anomaly_zscore: the integer test agrees with the float z-score off-boundary") {
+    val df = PipelineQueries.anomalyZscore(spark, sf1).cache()
+    // recompute |z| >= 2 in floating point; away from the exact boundary
+    // the two tests must agree (the integer form IS the spec, float is audit)
+    val m = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg(col("y_cents")).as("mu"),
+        stddev_pop(col("y_cents")).as("sd"))
+    val joined = df.join(m, "event_type")
+      .withColumn("z", abs((col("y_cents") - col("mu")) / col("sd")))
+      .filter(abs(col("z") - 2.0) > 1e-6)
+    assert(joined.filter(col("is_anomaly") =!= (col("z") >= 2.0)).count() == 0)
+    df.unpersist()
+  }
+}

@@ -42,8 +42,9 @@ class PlansSpec extends SparkSuite {
     "lm_fluency", "ann_topk", "ivf_neardup", "ivf_multiprobe_neardup",
     "source_mixture",
     // semdedup: the K-row cell codebook (ivf_neardup's pattern);
-    // pagerank_sim: the 1-row corpus-N fold-in (tfidf's pattern)
-    "semdedup", "pagerank_sim")
+    // pagerank_sim: the 1-row corpus-N fold-in (tfidf's pattern);
+    // bm25_search: the 1-row (N, avgdl) stats fold-in + 3-row query terms
+    "semdedup", "pagerank_sim", "bm25_search")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
