@@ -365,4 +365,37 @@ object StreamParity {
     runAppend(ss,
       Streaming.neardupStream(incoming, index, maxDist = LlmQueries.simhashMaxDist))
   }
+
+  /** J2 (stream–table join) through real streaming execution: the order
+    * stream enriches against the static customer table — the Structured
+    * Streaming form of KStream⋈KTable (reference: JoinsExample.scala:35-45,
+    * `orders.join(customersTable, ...)`). The static side is broadcast per
+    * micro-batch (no state stores: stream–static joins are stateless), the
+    * enriched stream lands in an append sink. Shares the batch
+    * `stream_table_join` oracle verbatim.
+    */
+  def streamTableJoinStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val orders = ss.readStream.schema(Tables.orders(ss, dir).schema)
+      .parquet(s"$dir/{orders}.parquet")
+    runAppend(ss, orders
+      .join(broadcast(Tables.customer(ss, dir)),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice")))
+  }
+
+  /** T8 (flatMapValues) + A4 through real streaming execution: the token
+    * explode runs stateless on the document stream, the token counts are a
+    * streaming aggregation converged via complete mode. Shares the batch
+    * `flatmap_tokens` oracle.
+    */
+  def flatmapTokensStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runComplete(ss, documentsStream(ss, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .select("token", "n"))
+  }
 }
