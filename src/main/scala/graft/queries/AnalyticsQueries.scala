@@ -761,4 +761,38 @@ object AnalyticsQueries {
       |  ntile(4) OVER (PARTITION BY o_custkey
       |                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS spend_quartile
       |FROM orders""".stripMargin
+
+  /** Partition-pruned scan — the storage-layout twin of [[bucketedJoin]]:
+    * events land date-partitioned (the universal layout for an append-only
+    * 100 TB event store), and a date-range query then reads ONLY the
+    * matching partition directories. The plan carries the day predicates
+    * as `PartitionFilters` (directory-level pruning at planning time —
+    * zero I/O for excluded days, not even footer reads) and the residual
+    * `event_type` predicate as `PushedFilters` into the surviving files;
+    * PlansSpec asserts both. At 100 TB this is the difference between
+    * scanning 3 days and scanning 8 years. The write is part of the query
+    * only to make the demo self-contained (idempotent overwrite, same
+    * pattern as the bucketed-join setup).
+    */
+  def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_part_events").toString
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts").cast("date"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("day") >= "2024-01-10" && col("day") <= "2024-01-12" &&
+        col("event_type") === "purchase")
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+  }
+
+  val partitionPrunedScanSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) BETWEEN '2024-01-10' AND '2024-01-12'
+      |  AND event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
 }

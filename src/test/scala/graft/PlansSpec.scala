@@ -113,4 +113,16 @@ class PlansSpec extends SparkSuite {
     assert(scans.contains("struct<doc_id:bigint,text:string>"),
       s"doc_chunks scan reads more than (doc_id, text):\n$scans")
   }
+
+  test("partition_pruned_scan prunes directories AND pushes the residual filter") {
+    val p = plans("partition_pruned_scan")
+    val partLines = p.linesIterator
+      .filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(partLines.contains("day"),
+      s"day predicates must prune at the directory level, got:\n$partLines")
+    val pushedLines = p.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushedLines.contains("EqualTo(event_type,purchase)"),
+      s"event_type must push into the surviving files, got:\n$pushedLines")
+  }
 }
