@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum — the two-pass pattern that replaces the
+  * single-partition global window (`Window.orderBy(key)` with no
+  * partitionBy serializes the ENTIRE relation through one task; Spark
+  * even warns at plan time):
+  *
+  *   1. range-partition by the order key, local running sum per partition
+  *      (parallel, each task sorts only its slice);
+  *   2. per-partition totals (one tiny row per partition) get their own
+  *      exclusive running sum — partition-count-sized, so the inner global
+  *      window is bounded by parallelism, not data — and broadcast back
+  *      as offsets.
+  *
+  * `local running sum + partition offset = global running sum`, exactly,
+  * for any partition boundaries — range-partition sampling is
+  * nondeterministic in PLACEMENT but the output values are invariant to
+  * it. Sums are exact (integer/decimal input expected).
+  */
+object Prefix {
+
+  /** Adds `outCol` = sum of `value` over all rows strictly BEFORE the
+    * current row in ascending `order` (exclusive prefix sum; 0 for the
+    * first row). `order` must be globally unique for a well-defined
+    * result.
+    */
+  def exclusiveCumsum(df: DataFrame, order: Column, value: Column,
+                      outCol: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df
+      .repartitionByRange(n, order)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val localW = Window.partitionBy(col("__pid")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__psum"))
+      .select(col("__pid"),
+        coalesce(sum(col("__psum")).over(offsetW), lit(0L)).as("__offset"))
+    parts
+      .withColumn("__local", coalesce(sum(col("__v")).over(localW), lit(0L)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__pid", "__v", "__local", "__offset")
+  }
+}

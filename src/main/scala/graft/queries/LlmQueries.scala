@@ -1020,6 +1020,51 @@ object LlmQueries {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------ sequence packing
+  /** Pack documents into fixed-budget training sequences (the pretraining
+    * batch-construction step): documents in doc_id order fill 256-token
+    * sequences; a document starts in the sequence its cumulative prefix
+    * lands in, and `n_seq_spanned` says how many sequence boundaries it
+    * crosses (the contiguous-stream packing of GPT-style pretraining,
+    * where sequence k is tokens [k·B, (k+1)·B) of the concatenated
+    * corpus). Everything derives from ONE exact integer prefix sum.
+    *
+    * Scale design: the global running sum is [[graft.engine.Prefix]]'s
+    * two-pass distributed prefix sum — range-partition by doc_id, local
+    * running sums in parallel, then partition-count-sized offsets
+    * broadcast back. A naive `Window.orderBy(doc_id)` with no partition
+    * clause would drag the whole corpus through ONE task; the two-pass
+    * form's only serial step is over ~parallelism rows. Nothing but
+    * (doc_id, n_tokens) pairs ever moves.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.engine.Prefix
+      .exclusiveCumsum(toks, col("doc_id"), col("n_tokens"), "start_tok")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start_tok div $budget").as("seq_id"),
+        expr(s"start_tok % $budget").as("seq_offset"),
+        expr(s"((start_tok + n_tokens - 1) div $budget) - (start_tok div $budget)")
+          .as("n_seq_spanned"))
+      .filter(col("n_tokens") > 0)
+  }
+
+  val sequencePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |      FROM t)
+      |SELECT doc_id, n_tokens, start_tok // 256 AS seq_id,
+      |       start_tok % 256 AS seq_offset,
+      |       ((start_tok + n_tokens - 1) // 256) - (start_tok // 256) AS n_seq_spanned
+      |FROM c WHERE n_tokens > 0""".stripMargin
+
   // ------------------------------------------------ text: repetition score
   /** Gopher/RefinedWeb-style repetition signals, adapted to token space
     * (the fixture corpus is single-line, so line-level dedup is degenerate):

@@ -171,6 +171,37 @@ class PipelinePropsSpec extends SparkSuite {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("Prefix.exclusiveCumsum equals the single-window global prefix sum") {
+    val toks = graft.engine.Tables.documents(spark, sf1)
+      .select(col("doc_id"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+    val two = graft.engine.Prefix
+      .exclusiveCumsum(toks, col("doc_id"), col("n"), "cum")
+      .select("doc_id", "cum")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val one = toks
+      .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select("doc_id", "cum")
+    assert(two.exceptAll(one).isEmpty && one.exceptAll(two).isEmpty,
+      "two-pass cumsum must equal the single-window reference")
+  }
+
+  test("sequence_pack: sequences tile the token stream without gaps") {
+    val df = LlmQueries.sequencePack(spark, sf1).cache()
+    // offsets stay inside the budget; spans are consistent with lengths
+    assert(df.filter(col("seq_offset") < 0 || col("seq_offset") >= 256).count() == 0)
+    assert(df.filter(col("n_seq_spanned") =!=
+      ((col("seq_offset") + col("n_tokens") - 1) / 256).cast("long")).count() == 0,
+      "span count must follow from offset + length")
+    // total packed tokens = corpus tokens
+    val total = df.agg(sum(col("n_tokens"))).head().getLong(0)
+    val corpus = graft.engine.Tables.documents(spark, sf1)
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text")))).count()
+    assert(total == corpus)
+    df.unpersist()
+  }
+
   test("anomaly_zscore: the integer test agrees with the float z-score off-boundary") {
     val df = PipelineQueries.anomalyZscore(spark, sf1).cache()
     // recompute |z| >= 2 in floating point; away from the exact boundary
