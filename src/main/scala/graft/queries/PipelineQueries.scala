@@ -554,6 +554,41 @@ object PipelineQueries {
        |            UNION ALL SELECT tc FROM tri)
        |SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- block_profile
+  /** Blocking-key audit — the pre-flight check every blocked/banded join
+    * (LSH bands, fuzzy-join blocks, IVF cells) should run before trusting
+    * a key at scale: block-size distribution and the implied
+    * candidate-pair cost Σ s·(s−1)/2. The round-5 scaling work found
+    * exactly this failure (a low-entropy suffix key sent the fuzzy join
+    * quadratic, SCALE.md); this query is that lesson as an operator.
+    * Profiled key: the fuzzy join's 6-char name suffix over customer.
+    * Scale design: one map-side-combined count per block, then a
+    * handful of scalar aggregates over the block-count relation — the
+    * profile costs one aggregation pass regardless of table size.
+    */
+  def blockProfile(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.customer(spark, dir)
+      .groupBy(substring(col("c_name"), 13, 6).as("blk"))
+      .agg(count(lit(1)).as("s"))
+    blocks.agg(
+      count(lit(1)).as("n_blocks"),
+      max(col("s")).as("max_block"),
+      sum(col("s")).as("n_rows"),
+      // s·(s−1) is even, so integer div is exact — and stays in BIGINT
+      // (a double sum would be fold-order-dependent)
+      sum(expr("s * (s - 1) div 2")).as("candidate_pairs"),
+      sum(when(col("s") === 1, 1L).otherwise(0L)).as("singleton_blocks"))
+  }
+
+  val blockProfileSql: String =
+    """WITH blocks AS (
+      |  SELECT substr(c_name, 13, 6) AS blk, count(*) AS s
+      |  FROM customer GROUP BY 1)
+      |SELECT count(*) AS n_blocks, max(s) AS max_block, sum(s) AS n_rows,
+      |       sum(s * (s - 1) // 2) AS candidate_pairs,
+      |       sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS singleton_blocks
+      |FROM blocks""".stripMargin
+
   // -------------------------------------------------------- anomaly_zscore
   /** Daily-revenue anomaly flags per event type, with the z-score test
     * done ENTIRELY in integer arithmetic: z² ≥ 4 (|z| ≥ 2σ) rewrites to
