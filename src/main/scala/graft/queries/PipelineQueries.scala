@@ -589,6 +589,86 @@ object PipelineQueries {
       |       sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS singleton_blocks
       |FROM blocks""".stripMargin
 
+  // --------------------------------------------------------- epoch_shuffle
+  /** Deterministic per-epoch training order — pretraining reshuffles the
+    * corpus every epoch, but a reproducible run (and a resumable one)
+    * needs the permutation to be a pure function of (doc, epoch), not of
+    * `rand()`: position = rank of md5(epoch ‖ doc_id). Emitted for two
+    * epochs to show the permutations differ. Scale design: the rank is
+    * [[graft.engine.Prefix]]'s two-pass cumsum of 1 over the hash order —
+    * a global row_number window would serialize the corpus through one
+    * task; this form's only serial step is partition-count-sized. The
+    * hash is [[graft.engine.PortableHash]], so the oracle replays the
+    * permutation exactly.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def epoch(e: Int): DataFrame = {
+      val keyed = docs.withColumn("shuffle_key",
+        PortableHash.md5Long(concat(lit(s"epoch$e|"), col("doc_id"))))
+      graft.engine.Prefix
+        .exclusiveCumsum(keyed, col("shuffle_key"), lit(1L), "pos")
+        .select(col("doc_id"), lit(e.toLong).as("epoch"), col("pos"))
+    }
+    epoch(1).unionByName(epoch(2))
+  }
+
+  val epochShuffleSql: String = {
+    def h(e: Int) = PortableHash.md5LongSql(s"'epoch$e|' || doc_id")
+    s"""SELECT doc_id, 1 AS epoch,
+       |       row_number() OVER (ORDER BY ${h(1)}) - 1 AS pos
+       |FROM documents
+       |UNION ALL
+       |SELECT doc_id, 2 AS epoch,
+       |       row_number() OVER (ORDER BY ${h(2)}) - 1 AS pos
+       |FROM documents""".stripMargin
+  }
+
+  // ---------------------------------------------------------- fill_forward
+  /** Last-observation-carried-forward imputation: each user's daily
+    * purchase total, with inactive days taking the most recent prior
+    * day's value (the standard feature-table densification before
+    * training). Composes [[gapFill]]'s aggregate-sized day grid with an
+    * ignore-nulls `last` window per user. Scale design: the window is
+    * PARTITIONED by user (unlike a global sort it scales with the user
+    * count); the grid explode stays aggregate-sized; one exchange on
+    * user_id serves both the grid build and the window.
+    */
+  def fillForward(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 10 === 0)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(dec(col("value"))).cast("double").as("total"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("total"), ignoreNulls = true).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("filled"))
+  }
+
+  val fillForwardSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id % 10 = 0
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+      |       last_value(d.total IGNORE NULLS) OVER (
+      |         PARTITION BY g.user_id ORDER BY g.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM grid g LEFT JOIN daily d
+      |  ON d.user_id = g.user_id AND d.day = g.day""".stripMargin
+
   // -------------------------------------------------------- anomaly_zscore
   /** Daily-revenue anomaly flags per event type, with the z-score test
     * done ENTIRELY in integer arithmetic: z² ≥ 4 (|z| ≥ 2σ) rewrites to
