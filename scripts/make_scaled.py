@@ -109,7 +109,14 @@ COPIERS = {
 
 def main(src, out_base, ns):
     import os
+    # the name derivation (orig*32 + copy) is injective only within these
+    # bounds; silent collisions would quietly degrade the blocking-key
+    # entropy this generator exists to preserve
+    assert all(n <= 32 for n in ns), "copy counts above 32 collide in c_name"
     for n in ns:
+        src_keys = load(src, "customer").column("c_custkey")
+        assert pc.max(src_keys).as_py() * 32 + n < 10**9, \
+            "c_custkey too large: c_name derivation would collide"
         out = f"{out_base}/x{n}"
         os.makedirs(out, exist_ok=True)
         for name, copier in COPIERS.items():

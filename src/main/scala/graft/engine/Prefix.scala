@@ -25,17 +25,27 @@ object Prefix {
 
   /** Adds `outCol` = sum of `value` over all rows strictly BEFORE the
     * current row in ascending `order` (exclusive prefix sum; 0 for the
-    * first row). `order` must be globally unique for a well-defined
-    * result.
+    * first row). The `order` columns together must be globally unique for
+    * a well-defined result (pass a tiebreaker as the last column).
+    *
+    * The range-partitioned relation feeds TWO plan branches (the offsets
+    * aggregate and the final join). Range partitioning is SAMPLE-based:
+    * two independent materializations may pick different boundaries, and
+    * local sums paired with offsets from a different partitioning would
+    * be silently wrong. The eager localCheckpoint pins ONE placement that
+    * both branches read (the duplicateClusters pattern); on a cluster,
+    * swap for reliable `checkpoint` against the checkpoint dir so the
+    * snapshot survives executor loss.
     */
-  def exclusiveCumsum(df: DataFrame, order: Column, value: Column,
+  def exclusiveCumsum(df: DataFrame, order: Seq[Column], value: Column,
                       outCol: String): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
     val parts = df
-      .repartitionByRange(n, order)
+      .repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
-    val localW = Window.partitionBy(col("__pid")).orderBy(order)
+      .localCheckpoint(true)
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsetW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

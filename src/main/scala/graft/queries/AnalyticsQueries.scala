@@ -775,8 +775,13 @@ object AnalyticsQueries {
     * pattern as the bucketed-join setup).
     */
   def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    // scoped per process AND per source dir: a fixed shared path would let
+    // two concurrent drivers (or a test JVM next to a bench run, possibly
+    // at different scale factors) overwrite each other mid-scan
+    val scope = graft.engine.PortableHash.md5LongScala(dir).toHexString.take(8)
     val out = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_part_events").toString
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft_part_events_${ProcessHandle.current().pid()}_$scope").toString
     Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts").cast("date"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("day").parquet(out)

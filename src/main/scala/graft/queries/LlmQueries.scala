@@ -1042,7 +1042,7 @@ object LlmQueries {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     graft.engine.Prefix
-      .exclusiveCumsum(toks, col("doc_id"), col("n_tokens"), "start_tok")
+      .exclusiveCumsum(toks, Seq(col("doc_id")), col("n_tokens"), "start_tok")
       .select(col("doc_id"), col("n_tokens"),
         expr(s"start_tok div $budget").as("seq_id"),
         expr(s"start_tok % $budget").as("seq_offset"),

@@ -66,9 +66,12 @@ object PipelineQueries {
     // referential integrity: lineitem rows whose order does not exist.
     // One left join on the key (both scans prune to that single column),
     // then violations = null-extended rows and checked = all rows in the
-    // SAME aggregate — no second pass, no scalar cross join.
+    // SAME aggregate — no second pass, no scalar cross join. The build
+    // side dedupes its keys first: a duplicated o_orderkey (exactly what
+    // the pk_unique rule flags) would otherwise multiply matched lineitem
+    // rows and diverge from the oracle's NOT EXISTS count on dirty data.
     val orphans = li.select("l_orderkey")
-      .join(ord.select("o_orderkey"),
+      .join(ord.select("o_orderkey").distinct(),
         col("l_orderkey") === col("o_orderkey"), "left")
       .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("violations"),
         count(lit(1)).as("checked"))
@@ -124,7 +127,7 @@ object PipelineQueries {
       .select(col("user_id"),
         floor(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")) / 7)
           .as("week"))
-      .groupBy("user_id", "week").agg(count(lit(1)).as("_n")).drop("_n")
+      .distinct()
     val first = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     wk.join(first, "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
@@ -239,8 +242,13 @@ object PipelineQueries {
     * daily totals are one map-side-combined aggregate; the sufficient
     * statistics are a second aggregate over the tiny daily relation —
     * regression over a 100 TB fact table costs exactly one shuffle of
-    * (type, day) partial sums. BIGINT bounds: x < 2^15 (epoch days),
-    * y_cents daily < 2^40 ⇒ n·Σxy < 2^62 at petabyte scale.
+    * (type, day) partial sums. BIGINT bounds, honestly stated: with
+    * x < 2^15 (epoch days) and n ≤ 2^17 days, `sx·sy` is the binding
+    * term — it stays under 2^63 while daily y_cents < ~2^31 (≈ $21M/day
+    * per group). Beyond that, lift the five sums and the num/den columns
+    * to DECIMAL(38,0) exactly as [[anomalyZscore]] does (the oracle's
+    * HUGEINT mirrors it); the outputs here stay BIGINT because the
+    * driver's schema compare pins the published column types.
     */
   def linfitTrend(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
@@ -606,8 +614,11 @@ object PipelineQueries {
     def epoch(e: Int): DataFrame = {
       val keyed = docs.withColumn("shuffle_key",
         PortableHash.md5Long(concat(lit(s"epoch$e|"), col("doc_id"))))
+      // doc_id tiebreaker: 60-bit hashes collide at billion-doc scale
+      // (birthday bound), and a tied key would make both the two-pass rank
+      // and the oracle's row_number ill-defined
       graft.engine.Prefix
-        .exclusiveCumsum(keyed, col("shuffle_key"), lit(1L), "pos")
+        .exclusiveCumsum(keyed, Seq(col("shuffle_key"), col("doc_id")), lit(1L), "pos")
         .select(col("doc_id"), lit(e.toLong).as("epoch"), col("pos"))
     }
     epoch(1).unionByName(epoch(2))
@@ -616,11 +627,11 @@ object PipelineQueries {
   val epochShuffleSql: String = {
     def h(e: Int) = PortableHash.md5LongSql(s"'epoch$e|' || doc_id")
     s"""SELECT doc_id, 1 AS epoch,
-       |       row_number() OVER (ORDER BY ${h(1)}) - 1 AS pos
+       |       row_number() OVER (ORDER BY ${h(1)}, doc_id) - 1 AS pos
        |FROM documents
        |UNION ALL
        |SELECT doc_id, 2 AS epoch,
-       |       row_number() OVER (ORDER BY ${h(2)}) - 1 AS pos
+       |       row_number() OVER (ORDER BY ${h(2)}, doc_id) - 1 AS pos
        |FROM documents""".stripMargin
   }
 
@@ -676,25 +687,27 @@ object PipelineQueries {
     * division, and the oracle replays it exactly. Scale design: the same
     * two-level aggregation as linfit_trend (raw → daily partials → 1 row
     * of moments per type), then the flag is a broadcast join of the
-    * per-type moment row back onto the daily relation. BIGINT headroom:
-    * daily cents < 2^40 ⇒ (n·y)² needs DECIMAL(38,0) beyond ~2^31 total
-    * cents — deviations and squares go through decimal to keep the test
-    * exact at any scale.
+    * per-type moment row back onto the daily relation. EVERY product and
+    * the Σy² moment run in 128-bit arithmetic (Spark DECIMAL(38,0) ⇔
+    * DuckDB HUGEINT): y² alone overflows a long once daily cents pass
+    * ~2^31, and a silent wrap would flip flags while the oracle errors.
+    * Headroom: values stay exact through daily cents ~10^15.
     */
   def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg((sum(dec(col("value"))) * 100).cast("long").as("y"))
+      .withColumn("yd", col("y").cast(d38))
     val moments = daily.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy"))
-    val d38 = DecimalType(38, 0)
+      .agg(count(lit(1)).cast(d38).as("n"), sum(col("yd")).as("sy"),
+        sum(col("yd") * col("yd")).as("syy"))
     daily.join(moments, "event_type")
+      .withColumn("dev", (col("n") * col("yd") - col("sy")).cast(d38))
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("y").as("y_cents"),
-        (col("n") * col("y") - col("sy")).as("dev_n"),
-        ((col("n") * col("y") - col("sy")).cast(d38) *
-          (col("n") * col("y") - col("sy")).cast(d38) >=
+        col("dev").cast("long").as("dev_n"),
+        (col("dev") * col("dev") >=
           lit(4).cast(d38) * (col("n") * col("syy") - col("sy") * col("sy")).cast(d38))
           .as("is_anomaly"))
   }
@@ -705,11 +718,12 @@ object PipelineQueries {
       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2),
       |moments AS (
-      |  SELECT event_type, count(*) AS n, sum(y) AS sy, sum(y*y) AS syy
+      |  SELECT event_type, count(*)::HUGEINT AS n, sum(y::HUGEINT) AS sy,
+      |         sum(y::HUGEINT * y::HUGEINT) AS syy
       |  FROM daily GROUP BY 1)
       |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.y AS y_cents,
-      |       m.n * d.y - m.sy AS dev_n,
-      |       ((m.n * d.y - m.sy)::DECIMAL(38,0) * (m.n * d.y - m.sy)::DECIMAL(38,0) >=
-      |        4::DECIMAL(38,0) * (m.n * m.syy - m.sy * m.sy)::DECIMAL(38,0)) AS is_anomaly
+      |       CAST(m.n * d.y::HUGEINT - m.sy AS BIGINT) AS dev_n,
+      |       ((m.n * d.y - m.sy) * (m.n * d.y - m.sy) >=
+      |        4::HUGEINT * (m.n * m.syy - m.sy * m.sy)) AS is_anomaly
       |FROM daily d JOIN moments m USING (event_type)""".stripMargin
 }

@@ -176,7 +176,7 @@ class PipelinePropsSpec extends SparkSuite {
       .select(col("doc_id"),
         size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
     val two = graft.engine.Prefix
-      .exclusiveCumsum(toks, col("doc_id"), col("n"), "cum")
+      .exclusiveCumsum(toks, Seq(col("doc_id")), col("n"), "cum")
       .select("doc_id", "cum")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
