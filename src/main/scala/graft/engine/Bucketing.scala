@@ -26,8 +26,12 @@ object Bucketing {
     val loc = java.nio.file.Paths.get(warehouse, table)
     if (java.nio.file.Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+      // Files.walk must be closed (it holds directory handles open);
+      // leaking one per writeBucketed call adds up over a Verify loop
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)

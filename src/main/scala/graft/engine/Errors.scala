@@ -67,7 +67,10 @@ object Errors {
                   continueOn: Throwable => Boolean): Boolean =
     try { write(df); true }
     catch {
-      case t: Throwable if continueOn(t) => false
+      // NonFatal: an OutOfMemoryError/interrupt must propagate even if the
+      // allowlist predicate happens to match its message — CONTINUE-ing in
+      // a corrupted JVM is worse than failing
+      case scala.util.control.NonFatal(t) if continueOn(t) => false
       case t: Throwable => throw t
     }
 
@@ -79,7 +82,10 @@ object Errors {
     while (true) {
       try return body
       catch {
-        case t: Throwable if remaining > 0 && isTransient(t) => remaining -= 1
+        // fatal JVM errors are never "transient" — REPLACE_THREAD on an OOM
+        // would re-run the body inside a broken JVM
+        case scala.util.control.NonFatal(t) if remaining > 0 && isTransient(t) =>
+          remaining -= 1
       }
     }
     throw new IllegalStateException("unreachable")

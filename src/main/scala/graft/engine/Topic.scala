@@ -70,6 +70,10 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
     */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = backend match {
     case Topic.Kafka(servers) =>
+      // Kafka partitioning is key-hash on the broker side; a partitionBy
+      // request cannot be honored here and must not be dropped silently
+      require(partitionBy.isEmpty,
+        "partitionBy applies to file-backed topics only; Kafka topics partition by record key")
       df.write.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", name).save()

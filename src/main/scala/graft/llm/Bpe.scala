@@ -82,13 +82,20 @@ object Bpe {
   def learnMerges(docs: DataFrame, rounds: Int): Seq[(Long, String, String, Long)] = {
     var syms = charSymbols(wordFreqs(docs)).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val best = pairCounts(syms)
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = pairCounts(syms)
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()(0)
-      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r.toLong, a, b, c))
-      syms = mergeRound(syms, a, b).localCheckpoint(true)
+        .limit(1).collect()
+      // no adjacent pairs left (all words fully merged / single-symbol):
+      // stop early with the merges found instead of crashing on head-of-empty
+      if (top.isEmpty) exhausted = true
+      else {
+        val best = top(0)
+        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r.toLong, a, b, c))
+        syms = mergeRound(syms, a, b).localCheckpoint(true)
+      }
     }
     merges.toSeq
   }

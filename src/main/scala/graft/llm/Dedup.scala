@@ -51,11 +51,8 @@ object Dedup {
     * repartition there would shuffle the full text for nothing. One
     * metadata lookup (`inputFiles`), no job.
     */
-  private def spread(documents: DataFrame): DataFrame = {
-    val par = documents.sparkSession.sparkContext.defaultParallelism
-    if (documents.inputFiles.length >= par) documents
-    else documents.repartition(par)
-  }
+  private def spread(documents: DataFrame): DataFrame =
+    graft.engine.Spread.spreadSmallInput(documents)
 
   /** Inverted-index postings: one (doc_id, shingle-hash) row per distinct
     * word n-gram per document. The md5 runs post-explode in codegen.
@@ -450,6 +447,11 @@ object Dedup {
   def incrementalNeardupPairs(newDocs: DataFrame, corpusIndex: DataFrame,
                               maxDist: Int, bits: Int = 60, bands: Int = 6): DataFrame = {
     val w = bits / bands
+    // same pigeonhole bound as simhashPairs: beyond bands-1 differing bits
+    // the band join silently loses recall, contradicting the exactness
+    // contract above — fail fast instead
+    require(maxDist <= bands - 1,
+      s"$bands-band pigeonhole guarantees recall only for distance <= ${bands - 1}")
     val probe = simhashBands(
       newDocs.select(col("doc_id"),
         graft.functions.TextFunctions.graftSimhash(col("text"), bits).as("sig")),

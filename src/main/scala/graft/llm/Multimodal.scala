@@ -129,9 +129,7 @@ object Multimodal {
       .flatMap { r =>
         r.blob.grouped(chunkBytes).zipWithIndex.collect {
           case (chunk, i) if i % everyN == 0 =>
-            val d = MessageDigest.getInstance("MD5").digest(chunk)
-            val h = java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(15), 16)
-            Frame(r.doc_id, i, chunk.length.toLong, h)
+            Frame(r.doc_id, i, chunk.length.toLong, md5Long(chunk))
         }
       }
   }

@@ -35,12 +35,19 @@ object Similarity {
 
   /** Vectors with their precomputed norms (norm is reused across all pairs
     * involving the vector — compute once, not per pair).
+    *
+    * A zero norm becomes NULL (`nullif`), not 0: cosine against a
+    * zero vector is 0/0 = NaN, and Spark orders NaN ABOVE every double —
+    * a single all-zeros embedding would pass every `sim >= minCos` filter,
+    * rank #1 in every top-k, and (in semDedup) dominate its whole cell.
+    * With a NULL norm the cosine is NULL, which fails filters and sorts
+    * last under `desc` in BOTH engines (oracle mirror: `nullif(sqrt(..),0)`).
     */
   private def withNorm(embeddings: DataFrame, prefix: String): DataFrame =
     embeddings.select(
       col("vec_id").as(s"${prefix}_id"),
       col("embedding").as(s"${prefix}_emb"),
-      norm(col("embedding")).as(s"${prefix}_norm"))
+      nullif(norm(col("embedding")), lit(0d)).as(s"${prefix}_norm"))
 
   private def cosine(p: String, q: String): Column =
     dot(col(s"${p}_emb"), col(s"${q}_emb")) / (col(s"${p}_norm") * col(s"${q}_norm"))
@@ -55,7 +62,7 @@ object Similarity {
     // single-file parquet = one input split; the corpus side must be spread
     // across cores or the broadcast join runs on one task (found at 16x
     // scale: load average 1.0 on a 32-core box)
-    val all = withNorm(spreadSmallInput(embeddings), "n")
+    val all = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "n")
     val scored = broadcast(queries).join(all, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), round(cosine("q", "n"), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -120,7 +127,7 @@ object Similarity {
     * per-cell pair count, same knob as a real IVF index.
     */
   def ivfNearDupPairs(embeddings: DataFrame, k: Int, minCos: Double): DataFrame = {
-    val base = withNorm(spreadSmallInput(embeddings), "v")
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
     val codebook = withNorm(embeddings.filter(col("vec_id") < k), "c")
     val scored = base.crossJoin(broadcast(codebook))
       .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id"),
@@ -147,7 +154,7 @@ object Similarity {
     */
   def ivfNearDupPairsMultiProbe(embeddings: DataFrame, k: Int, nprobe: Int,
                                 minCos: Double): DataFrame = {
-    val base = withNorm(spreadSmallInput(embeddings), "v")
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
     val codebook = withNorm(embeddings.filter(col("vec_id") < k), "c")
     val scored = base.crossJoin(broadcast(codebook))
       .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id"),
@@ -180,7 +187,7 @@ object Similarity {
     * (assignment, update sums) stays distributed.
     */
   def kmeansIvfPairs(embeddings: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
-    val base = withNorm(spreadSmallInput(embeddings), "v")
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
 
     def assign(centroids: Seq[(Int, Array[Double])]): DataFrame = {
       val scoredCells = centroids.map { case (cid, c) =>
@@ -204,7 +211,7 @@ object Similarity {
 
     for (_ <- 0 until iters) {
       val assigned = assign(centroids)
-      centroids = assigned
+      val updated = assigned
         .select(col("cell"), posexplode(col("v_emb"))).toDF("cell", "pos", "v")
         .groupBy("cell", "pos")
         .agg(sum(floor(col("v").cast("double") * 1000000).cast("long")).as("qsum"),
@@ -216,7 +223,12 @@ object Similarity {
             .map(r => r.getLong(2).toDouble / (r.getLong(3) * 1000000.0)).toArray
           (cell, comps)
         }
-        .toSeq.sortBy(_._1)
+      // a cell that captured no vectors keeps its seed — dropping it would
+      // shrink k for every later round (pqTopK's codebook rule, mirrored
+      // in the oracle's cb0 LEFT JOIN)
+      centroids = centroids.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
     }
 
     val finalAssign = assign(centroids)
@@ -336,7 +348,7 @@ object Similarity {
              k: Int, topK: Int, shortlist: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val base = spreadSmallInput(embeddings)
+    val base = graft.engine.Spread.spreadSmallInput(embeddings)
     // (vec_id, m, sub): the per-subspace view of every vector
     val sub = base.select(col("vec_id"), posexplode(array((0 until m).map { mi =>
         transform(slice(col("embedding"), mi * dsub + 1, dsub), _.cast("double"))
@@ -439,7 +451,7 @@ object Similarity {
     * its cell and kept flag — the pruned corpus is `filter(kept)`.
     */
   def semDedup(embeddings: DataFrame, k: Int, tau: Double): DataFrame = {
-    val base = withNorm(spreadSmallInput(embeddings), "v")
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
     val codebook = withNorm(embeddings.filter(col("vec_id") < k), "c")
     val scored = base.crossJoin(broadcast(codebook))
       .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id"),
@@ -462,15 +474,4 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
   }
 
-  /** Fan a small-but-compute-heavy input out across the cluster. A compact
-    * parquet file arrives as ONE split, which serializes any downstream
-    * O(N²) stage — one round-robin shuffle of the (tiny) input buys full
-    * parallelism for the expensive part. No effect on results. Gated on
-    * the scan's file count (metadata only): many-file corpora already fan
-    * out and must not pay a pointless full shuffle.
-    */
-  private def spreadSmallInput(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= par) df else df.repartition(par)
-  }
 }

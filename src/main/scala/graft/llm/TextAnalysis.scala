@@ -51,9 +51,20 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Stopword-hit count for a language marker list (word-boundary regex). */
+  /** Escape a literal for BOTH Java regex (Spark) and RE2 (DuckDB oracle):
+    * backslash every non-alphanumeric. `Pattern.quote`'s \Q...\E would work
+    * only on the Java side.
+    */
+  private[graft] def escapeRegex(s: String): String =
+    s.replaceAll("([^A-Za-z0-9])", "\\\\$1")
+
+  /** Stopword-hit count for a language marker list (word-boundary regex).
+    * Words are regex-escaped: a marker like `c++` must count as a literal,
+    * not blow up as a dangling quantifier.
+    */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("\\b(" + words.map(escapeRegex).mkString("|") + ")\\b"), lit(0)))
 
   /** Language markers used by the n-gram/stopword language-ID heuristic.
     * Order is the deterministic tie-break priority.

@@ -577,7 +577,7 @@ object LlmQueries {
   private def dot(a: String, b: String) = dotSql.format(a, b)
 
   val annTopkSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
        |           FROM embeddings e0),
        |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
        |           round(${dot("q", "n")} / (q.nrm * n.nrm), 6) AS sim
@@ -595,7 +595,7 @@ object LlmQueries {
       .select("a_id", "b_id", "sim")
 
   val embedNeardupSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
        |           FROM embeddings e0)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |       round(${dot("a", "b")} / (a.nrm * b.nrm), 6) AS sim
@@ -613,7 +613,7 @@ object LlmQueries {
       .mkString(",\n    ")
     val projDot =
       "list_reduce([e.embedding[i]::DOUBLE * pl.v[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
        |           FROM embeddings e0),
        |pl(p, v) AS (VALUES
        |    $planeRows),
@@ -650,7 +650,7 @@ object LlmQueries {
       .mkString(",\n    ")
     val projDot =
       "list_reduce([e.embedding[i]::DOUBLE * pl.v[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dot("e0", "e0")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
        |           FROM embeddings e0),
        |pl(p, v) AS (VALUES
        |    $planeRows),
@@ -684,7 +684,7 @@ object LlmQueries {
   val ivfNeardupSql: String = {
     def ldot(a: String, b: String) =
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ldot("e0.embedding", "e0.embedding")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
        |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
        |scored AS (SELECT e.vec_id, cb.c_id,
@@ -710,7 +710,7 @@ object LlmQueries {
   val ivfMultiprobeNeardupSql: String = {
     def ldot(a: String, b: String) =
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ldot("e0.embedding", "e0.embedding")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
        |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
        |scored AS (SELECT e.vec_id, cb.c_id,
@@ -737,7 +737,7 @@ object LlmQueries {
       s"list_reduce([$a[i] * $b[i] for i in range(1, 65)], (acc, x) -> acc + x)"
     def edot(a: String, b: String) =
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${edot("e0.embedding", "e0.embedding")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${edot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
        |cb0 AS (SELECT vec_id::INT AS cell, [x::DOUBLE for x in embedding] AS c
        |        FROM embeddings WHERE vec_id < $ivfK),
@@ -750,11 +750,13 @@ object LlmQueries {
        |    FROM s0) WHERE rn = 1),
        |comp AS (SELECT a0.cell, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS v
        |         FROM a0 JOIN e ON e.vec_id = a0.vec_id),
-       |cb1 AS (SELECT cell, list(comp_val ORDER BY pos) AS c FROM (
+       |cb1u AS (SELECT cell, list(comp_val ORDER BY pos) AS c FROM (
        |    SELECT cell, pos,
        |           CAST(SUM(CAST(floor(v::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
        |             / (count(*) * 1000000.0) AS comp_val
        |    FROM comp GROUP BY cell, pos) GROUP BY cell),
+       |cb1 AS (SELECT cb0.cell, coalesce(cb1u.c, cb0.c) AS c
+       |        FROM cb0 LEFT JOIN cb1u ON cb1u.cell = cb0.cell),
        |cb1n AS (SELECT cell, c, sqrt(${ldot("c", "c")}) AS cn FROM cb1),
        |s1 AS (SELECT e.vec_id, cb.cell,
        |       round(${edot("e.embedding", "cb.c")} / (e.nrm * cb.cn), 6) AS sim
@@ -833,7 +835,7 @@ object LlmQueries {
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |                                 ORDER BY adc_micros ASC, n_id ASC) AS rn
        |    FROM adc) WHERE rn <= $pqShortlist),
-       |e AS (SELECT vec_id, embedding, sqrt(${edot("e0.embedding", "e0.embedding")}) AS nrm
+       |e AS (SELECT vec_id, embedding, nullif(sqrt(${edot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |      FROM embeddings e0),
        |rer AS (SELECT s.q_id, s.n_id, s.adc_micros,
        |               round(${l2x("eq.embedding", "en.embedding", 64)}, 6) AS d2,
@@ -954,7 +956,10 @@ object LlmQueries {
   }
 
   val langIdSql: String = {
-    def re(words: Seq[String]) = s"'\\b(${words.mkString("|")})\\b'"
+    // mirror the Spark side's literal-escaping (TextAnalysis.escapeRegex) so
+    // a marker containing regex metachars stays a literal in BOTH engines
+    def re(words: Seq[String]) =
+      s"'\\b(${words.map(TextAnalysis.escapeRegex).mkString("|")})\\b'"
     val m = TextAnalysis.langMarkers.toMap
     s"""SELECT doc_id, lang AS labeled_lang,
        |  len(regexp_extract_all(text, ${re(m("en"))})) AS s_en,
@@ -990,7 +995,8 @@ object LlmQueries {
   }
 
   val qualityScoreSql: String = {
-    val en = TextAnalysis.langMarkers.toMap.apply("en").mkString("|")
+    val en = TextAnalysis.langMarkers.toMap.apply("en")
+      .map(TextAnalysis.escapeRegex).mkString("|")
     s"""SELECT doc_id, n_chars,
        |  len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_ws,
        |  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word,
@@ -1421,8 +1427,10 @@ object LlmQueries {
     * used by the curation flagship and the training-corpus composition.
     */
   private def curationSignalCtes: String = {
-    val en = TextAnalysis.langMarkers.toMap.apply("en").mkString("|")
-    def re(words: Seq[String]) = s"'\\b(${words.mkString("|")})\\b'"
+    val en = TextAnalysis.langMarkers.toMap.apply("en")
+      .map(TextAnalysis.escapeRegex).mkString("|")
+    def re(words: Seq[String]) =
+      s"'\\b(${words.map(TextAnalysis.escapeRegex).mkString("|")})\\b'"
     val m = TextAnalysis.langMarkers.toMap
     s"""quality AS (SELECT doc_id,
        |  least(n_chars, 1000) * 2
@@ -1529,7 +1537,7 @@ object LlmQueries {
   val semdedupSql: String = {
     def ldot(a: String, b: String) =
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
-    s"""WITH e AS (SELECT vec_id, embedding, sqrt(${ldot("e0.embedding", "e0.embedding")}) AS nrm
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
        |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
        |scored AS (SELECT e.vec_id, cb.c_id,
