@@ -366,6 +366,36 @@ object StreamParity {
       Streaming.neardupStream(incoming, index, maxDist = LlmQueries.simhashMaxDist))
   }
 
+  /** W1 with a MAP-shaped store through real streaming execution:
+    * [[Streaming.TypeCountsProcessor]] holds per-user counters per event
+    * type in `MapState` (RocksDB-backed) and emits the updated count after
+    * every record; the materialized changelog folds to its converged state
+    * (per-(user, type) max of the monotone prefix counts) and is checked
+    * against the plain batch count. Complements
+    * [[processorStreamParity]] (ValueState) with the second state
+    * primitive the reference's store API maps to.
+    */
+  def mapStateStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val typed = eventsStream(ss, dir).as[Streaming.Event]
+    val changelog = typed.groupByKey(_.user_id)(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new Streaming.TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("user_id", "event_type", "n")
+    runUpdateAppend(ss, changelog)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+  }
+
   /** J2 (stream–table join) through real streaming execution: the order
     * stream enriches against the static customer table — the Structured
     * Streaming form of KStream⋈KTable (reference: JoinsExample.scala:35-45,

@@ -119,6 +119,35 @@ object Streaming {
       }
   }
 
+  /** W1 with a MAP-shaped store: per-user counters per event type held in
+    * a `MapState[String, Long]` — the reference's KeyValueStore whose
+    * value is itself a map (the common "counters per dimension" processor
+    * shape). Each record increments its type's entry and emits the updated
+    * (user, type, n): every emission is a per-(user, type) prefix count,
+    * monotone, so `max(emissions)` per (user, type) equals the converged
+    * count regardless of arrival order — the same changelog-foldability
+    * argument as [[RunningCentsProcessor]], which is what lets the DuckDB
+    * batch oracle check a real MapState execution
+    * (StreamParity.mapStateStreamParity). State per key is bounded by the
+    * type cardinality, not the stream length.
+    */
+  final class TypeCountsProcessor
+      extends StatefulProcessor[Long, Event, (Long, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type-counts-store", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[(Long, String, Long)] =
+      rows.map { e =>
+        val n = (if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L) + 1L
+        counts.updateValue(e.event_type, n)
+        (key, e.event_type, n)
+      }
+  }
+
   /** W2 (ProcessorApiExample.scala:44-58): stream-time punctuation. The
     * reference scans the whole store every 10 s of stream time and forwards
     * every (key, total); Spark timers are per-key, so each key registers an
