@@ -396,6 +396,37 @@ object StreamParity {
       .agg(max(col("n")).as("n"))
   }
 
+  /** W1 with a LIST-shaped store through real streaming execution:
+    * [[Streaming.RecentEventsProcessor]] maintains each user's 3 most
+    * recent events by event time in a RocksDB-backed `ListState`; the
+    * per-key version counter makes the changelog foldable (row with the
+    * max version per user = converged buffer), and the buffer's
+    * (ts, event_id)-ordering makes that converged state a pure function
+    * of the input set — checked against a batch window-rank oracle.
+    * Completes the Value/Map/List state-primitive triad under the oracle.
+    */
+  def listStateStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val typed = eventsStream(ss, dir).as[Streaming.Event]
+    val changelog = typed.groupByKey(_.user_id)(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new Streaming.RecentEventsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING))
+      .toDF("user_id", "version", "recent_ids")
+    val folded = runUpdateAppend(ss, changelog)
+    val latest = folded.groupBy(col("user_id")).agg(max(col("version")).as("version"))
+    folded.join(latest, Seq("user_id", "version"))
+      .select("user_id", "recent_ids")
+  }
+
   /** J2 (stream–table join) through real streaming execution: the order
     * stream enriches against the static customer table — the Structured
     * Streaming form of KStream⋈KTable (reference: JoinsExample.scala:35-45,

@@ -148,6 +148,46 @@ object Streaming {
       }
   }
 
+  /** W1 with a LIST-shaped store: the 3 most recent events per user BY
+    * EVENT TIME, held in a `ListState` (the reference's windowed-buffer
+    * store shape). Keeping the buffer ordered by (ts, event_id) — not by
+    * arrival — makes the converged buffer a pure function of the input
+    * SET, so it is batch-checkable; a per-key version counter (monotone)
+    * lets the changelog fold to "the last emission per key" with a plain
+    * max, the same trick as the other processors. Emissions carry the
+    * buffer as one comma-joined id string (deterministic order). State
+    * per key: ≤ 3 entries + a long.
+    */
+  final class RecentEventsProcessor
+      extends StatefulProcessor[Long, Event, (Long, Long, String)] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var version: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long)]("recent-events-store",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      version = getHandle.getValueState[Long]("recent-version",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[(Long, Long, String)] =
+      rows.map { e =>
+        val cur = buf.get().toSeq
+        // microsecond precision: Timestamp.getTime is millis, and a
+        // millis-collapsed tie would rank by id where the oracle (micro-
+        // second timestamps) still ranks by time
+        val micros = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+        val next = ((micros, e.event_id) +: cur)
+          .sortBy { case (t, id) => (-t, -id) }.take(3)
+        buf.clear()
+        buf.appendList(next.toArray)
+        val v = (if (version.exists()) version.get() else 0L) + 1L
+        version.update(v)
+        (key, v, next.map(_._2).mkString(","))
+      }
+  }
+
   /** W2 (ProcessorApiExample.scala:44-58): stream-time punctuation. The
     * reference scans the whole store every 10 s of stream time and forwards
     * every (key, total); Spark timers are per-key, so each key registers an
