@@ -562,6 +562,34 @@ object PipelineQueries {
        |            UNION ALL SELECT tc FROM tri)
        |SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- sql_udf_surface
+  /** The custom-Expression SQL surface under the oracle: the session
+    * registers graft's native codegen expressions
+    * ([[graft.functions.GraftExtensions]] — `graft_simhash`, `graft_dot`,
+    * ...) and this query is plain SQL TEXT using them, planned by Catalyst
+    * like any built-in. The oracle replays `graft_simhash` through the
+    * md5 bitsum construction — the SQL-registered kernel must produce the
+    * identical 60-bit signatures the DataFrame form does.
+    */
+  def sqlUdfSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.install(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_udf_v")
+    spark.sql(
+      """SELECT doc_id, graft_simhash(text, 60) AS sig
+        |FROM documents_udf_v
+        |WHERE size(filter(split(text, ' '), t -> length(t) > 0)) > 0""".stripMargin)
+  }
+
+  val sqlUdfSurfaceSql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+      |              FROM documents),
+      |tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+      |bitsums AS (SELECT doc_id, j, SUM(((h >> j) % 2) * 2 - 1) AS s
+      |            FROM th, range(60) r(j) GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+      |FROM bitsums GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------- block_profile
   /** Blocking-key audit — the pre-flight check every blocked/banded join
     * (LSH bands, fuzzy-join blocks, IVF cells) should run before trusting

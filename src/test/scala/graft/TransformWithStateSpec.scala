@@ -110,4 +110,55 @@ class TransformWithStateSpec extends SparkSuite {
     assert(byUser(1L).contains(12.0) || byUser(1L).contains(12.5))
     assert(byUser.get(2L).forall(_.subsetOf(Set(7.5, 8.5))))
   }
+
+  test("TypeCountsProcessor MapState counters survive across micro-batches (W1)") {
+    import org.apache.spark.sql.{Encoders => E}
+    val ms = MemoryStream[Event](spark)
+    val changelog = ms.toDS().groupByKey(_.user_id)(E.scalaLong)
+      .transformWithState(new Streaming.TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())(
+        E.tuple(E.scalaLong, E.STRING, E.scalaLong))
+    val q = changelog.toDF("user_id", "event_type", "n")
+      .writeStream.format("memory").queryName("tws_map").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-map").toString)
+      .start()
+    ms.addData(Seq(Event(1, ts(1), 1, "click", 0, "{}"),
+      Event(2, ts(2), 1, "view", 0, "{}"), Event(3, ts(3), 2, "click", 0, "{}")))
+    q.processAllAvailable()
+    // second batch increments an EXISTING map entry — proves the map value
+    // was restored from the store, not re-initialized
+    ms.addData(Seq(Event(4, ts(4), 1, "click", 0, "{}")))
+    q.processAllAvailable(); q.stop()
+    val em = spark.table("tws_map").as[(Long, String, Long)].collect().toSeq
+    assert(em.contains((1L, "click", 2L)), s"cross-batch increment missing: $em")
+    val converged = em.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).max).toMap
+    assert(converged == Map((1L, "click") -> 2L, (1L, "view") -> 1L, (2L, "click") -> 1L))
+  }
+
+  test("RecentEventsProcessor ListState buffer is event-time-ordered and arrival-order-proof (W1)") {
+    import org.apache.spark.sql.{Encoders => E}
+    val ms = MemoryStream[Event](spark)
+    val changelog = ms.toDS().groupByKey(_.user_id)(E.scalaLong)
+      .transformWithState(new Streaming.RecentEventsProcessor,
+        TimeMode.None(), OutputMode.Update())(
+        E.tuple(E.scalaLong, E.scalaLong, E.STRING))
+    val q = changelog.toDF("user_id", "version", "recent_ids")
+      .writeStream.format("memory").queryName("tws_list").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-list").toString)
+      .start()
+    ms.addData(Seq(Event(1, ts(10), 1, "p", 0, "{}"),
+      Event(2, ts(5), 1, "p", 0, "{}")))
+    q.processAllAvailable()
+    // batch 2: one OLDER out-of-order event and one newer — the buffer must
+    // order by event time (4 newest, then 1, then late-arriving 3; 2 evicted)
+    ms.addData(Seq(Event(3, ts(7), 1, "p", 0, "{}"),
+      Event(4, ts(20), 1, "p", 0, "{}")))
+    q.processAllAvailable(); q.stop()
+    val em = spark.table("tws_list").as[(Long, Long, String)].collect().toSeq
+    val converged = em.maxBy(_._2)
+    assert(converged._3 == "4,1,3",
+      s"expected event-time order 4,1,3 got ${converged._3} (emissions: $em)")
+  }
 }
