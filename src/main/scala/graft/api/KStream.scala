@@ -61,12 +61,19 @@ final case class KStream(df: DataFrame, keyCol: String, tsCol: String) {
     copy(df = df.unionByName(other.df))
 
   /** Split into sub-streams by predicate (Kafka Streams `split`/`branch`).
-    * Each branch is a filter over the same parent plan; Spark will reuse the
-    * scan via plan/cache reuse rather than re-reading per branch when
-    * materialized together.
+    * FIRST-match routing, like the reference: a record lands in the first
+    * branch whose predicate matches and in no later branch (overlapping
+    * predicates would otherwise double-count downstream; a null earlier
+    * predicate counts as not-matched). Each branch is a filter over the
+    * same parent plan; Spark reuses the scan when they materialize
+    * together.
     */
   def branch(predicates: Column*): Seq[KStream] =
-    predicates.map(p => copy(df = df.filter(p)))
+    predicates.zipWithIndex.map { case (p, i) =>
+      val notEarlier = predicates.take(i)
+        .foldLeft(lit(true))((acc, q) => acc && !coalesce(q, lit(false)))
+      copy(df = df.filter(notEarlier && p))
+    }
 
   /** Side-effecting observation (Kafka Streams `peek`,
     * BasicStreams.scala:55,59). In batch this is a no-op pass-through (the
@@ -171,8 +178,15 @@ final case class KStream(df: DataFrame, keyCol: String, tsCol: String) {
     * a latest-per-key view; small tables should be broadcast by the caller
     * (`broadcast(table.df)`) or left to AQE.
     */
-  def joinTable(table: KTable, joinType: String = "inner"): DataFrame =
+  def joinTable(table: KTable, joinType: String = "inner"): DataFrame = {
+    // a composite-key table joined on keyCols.head alone would silently be
+    // a partial-key join (each stream row multiplied by every co-keyed
+    // table row) — the KTable invariant is ALL key columns, always
+    require(table.keyCols.length == 1,
+      s"stream key is single-column; composite table key ${table.keyCols} " +
+        "cannot be enrichment-joined — use KTable.join for table-table joins")
     df.join(table.df, df(keyCol) === table.df(table.keyCol), joinType)
+  }
 }
 
 /** Grouped stream — Kafka Streams `KGroupedStream` (AggregationsExample.scala:35). */

@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * `CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE)` bit-for-bit.
   */
 object CentsSum extends Aggregator[Double, Long, Double] {
-  private[functions] def cents(v: Double): Long =
+  private[graft] def cents(v: Double): Long =
     new java.math.BigDecimal(java.lang.Double.toString(v))
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()

@@ -23,9 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Distinct word n-gram shingles of `text`, first-occurrence order. */
-  def shingles(text: UTF8String, n: Int): ArrayData = {
-    if (text == null) return new GenericArrayData(Array.empty[Any])
+  /** Whitespace tokenization shared by every text kernel below: split on
+    * single spaces, compact out empties. Returns (tokens, count) — the
+    * array may be over-sized past `count`. ONE definition: the kernels'
+    * documented bit-identity with the composed forms and the DuckDB
+    * oracle's `list_filter(string_split(...))` all assume this exact
+    * tokenization, so it must never drift between kernels.
+    */
+  private def tokenize(text: UTF8String): (Array[String], Int) = {
     val parts = text.toString.split(" ", -1)
     var m = 0
     val toks = new Array[String](parts.length)
@@ -34,6 +39,13 @@ object TextKernels {
       if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
       i += 1
     }
+    (toks, m)
+  }
+
+  /** Distinct word n-gram shingles of `text`, first-occurrence order. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val (toks, m) = tokenize(text)
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](math.max(8, (m - n + 1) * 2))
     val sb = new java.lang.StringBuilder
@@ -62,14 +74,7 @@ object TextKernels {
     */
   def shinglesAll(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val parts = text.toString.split(" ", -1)
-    var m = 0
-    val toks = new Array[String](parts.length)
-    var i = 0
-    while (i < parts.length) {
-      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
-      i += 1
-    }
+    val (toks, m) = tokenize(text)
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](m - n + 1)
     val sb = new java.lang.StringBuilder
@@ -96,14 +101,7 @@ object TextKernels {
     */
   def shingleCounts(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val parts = text.toString.split(" ", -1)
-    var m = 0
-    val toks = new Array[String](parts.length)
-    var i = 0
-    while (i < parts.length) {
-      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
-      i += 1
-    }
+    val (toks, m) = tokenize(text)
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val counts = new java.util.LinkedHashMap[String, Integer](math.max(8, (m - n + 1) * 2))
     val sb = new java.lang.StringBuilder
@@ -167,14 +165,7 @@ object TextKernels {
     val mins = new Array[Long](perms)
     java.util.Arrays.fill(mins, Long.MaxValue)
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val parts = text.toString.split(" ", -1)
-    var m = 0
-    val toks = new Array[String](parts.length)
-    var i = 0
-    while (i < parts.length) {
-      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
-      i += 1
-    }
+    val (toks, m) = tokenize(text)
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.HashSet[String](math.max(8, (m - n + 1) * 2))
     val sb = new java.lang.StringBuilder
@@ -216,14 +207,7 @@ object TextKernels {
     val mins = new Array[Long](perms)
     java.util.Arrays.fill(mins, Long.MaxValue)
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val parts = text.toString.split(" ", -1)
-    var m = 0
-    val toks = new Array[String](parts.length)
-    var i = 0
-    while (i < parts.length) {
-      if (!parts(i).isEmpty) { toks(m) = parts(i); m += 1 }
-      i += 1
-    }
+    val (toks, m) = tokenize(text)
     if (m < n) return new GenericArrayData(Array.empty[Any])
     // per-shingle state: base hash + occurrences seen so far
     val state = new java.util.HashMap[String, Array[Long]](math.max(8, (m - n + 1) * 2))

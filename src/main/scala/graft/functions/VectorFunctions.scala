@@ -53,7 +53,12 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val (lt, rt) = (elemType(left), elemType(right))
-    val n = math.min(x.numElements(), y.numElements())
+    // ragged inputs → null, matching the composed aggregate(zip_with(...))
+    // form (zip_with null-pads the shorter side, nullifying the fold) —
+    // truncating would return a finite-but-wrong similarity for a
+    // malformed embedding row
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -80,13 +85,16 @@ case class DotProductFP(left: Expression, right: Expression) extends BinaryExpre
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (${getterJava(elemType(left), a, i)}) * (${getterJava(elemType(right), b, i)});
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (${getterJava(elemType(left), a, i)}) * (${getterJava(elemType(right), b, i)});
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -265,16 +273,30 @@ object VectorFunctions {
   /** SQL surface: `SELECT graft_dot(a.embedding, b.embedding)` — injected via
     * SparkSessionExtensions (`.withExtensions(new GraftExtensions)`).
     */
+  /** Arity gate (TextFunctions.requireArity's twin): a wrong argument
+    * count must surface as a usable usage error, not an
+    * IndexOutOfBoundsException from exprs(i).
+    */
+  private def requireArity(exprs: Seq[Expression], n: Int, usage: String): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$usage: expected $n arguments, got ${exprs.length}")
+
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProductFP].getName, "graft_dot"),
-    (exprs: Seq[Expression]) => DotProductFP(exprs.head, exprs(1)))
+    (exprs: Seq[Expression]) => {
+      requireArity(exprs, 2, "graft_dot(a, b)")
+      DotProductFP(exprs.head, exprs(1))
+    })
 
   /** SQL surface: `SELECT graft_quant8(embedding)`. */
   val registrationQuant8: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_quant8"),
     new ExpressionInfo(classOf[Quant8FP].getName, "graft_quant8"),
-    (exprs: Seq[Expression]) => Quant8FP(exprs.head))
+    (exprs: Seq[Expression]) => {
+      requireArity(exprs, 1, "graft_quant8(embedding)")
+      Quant8FP(exprs.head)
+    })
 }
 
 /** Int8 quantization summary of an embedding — the vector-store

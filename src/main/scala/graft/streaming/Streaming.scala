@@ -113,7 +113,12 @@ object Streaming {
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[(Long, Long)] =
       rows.map { e =>
-        val t = (if (cents.exists()) cents.get() else 0L) + math.round(e.value * 100)
+        // CentsSum.cents, NOT math.round(v*100): the binary product of a
+        // value like 8.115 rounds the other way, diverging from the
+        // oracle's CAST(v AS DECIMAL(18,2)) * 100 (latent on 2-decimal
+        // fixtures, wrong on the first 3-decimal value)
+        val t = (if (cents.exists()) cents.get() else 0L) +
+          graft.functions.CentsSum.cents(e.value)
         cents.update(t)
         (key, t)
       }
@@ -265,14 +270,19 @@ object Streaming {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[TableUpdate] = {
-      val newest = rows.maxBy(e => (e.ts.getTime, e.event_id))
+      // microsecond precision (same fix as RecentEventsProcessor): the
+      // fixtures carry sub-millisecond timestamps, and a millis-collapsed
+      // tie here would pick a different "latest" than the batch
+      // max_by(struct(ts, event_id)) reduction this processor mirrors
+      def micros(e: Event): Long = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+      val newest = rows.maxBy(e => (micros(e), e.event_id))
       val cur = if (latest.exists()) Some(latest.get()) else None
       val advanced = cur.forall { case (t, id, _) =>
-        newest.ts.getTime > t || (newest.ts.getTime == t && newest.event_id > id)
+        micros(newest) > t || (micros(newest) == t && newest.event_id > id)
       }
       if (!advanced) Iterator.empty
       else {
-        latest.update((newest.ts.getTime, newest.event_id, newest.value))
+        latest.update((micros(newest), newest.event_id, newest.value))
         val wasVisible = visible.exists() && visible.get()
         if (pred(newest.value)) {
           visible.update(true)
@@ -349,12 +359,19 @@ object Streaming {
     graft.llm.Dedup.incrementalNeardupPairs(docs, corpusIndex, maxDist)
 
   /** Session configs streaming stateful ops need: RocksDB state store
-    * (transformWithState requires it; also W1 parity) and a low
-    * shuffle-partition count for local runs.
+    * (transformWithState requires it; also W1 parity) and a right-sized
+    * shuffle-partition count — every state partition costs a store commit
+    * per micro-batch per stateful operator, so a local run at the 200
+    * default pays ~25× the commit overhead of the actual work. Returns a
+    * CHILD session (own SQLConf): the caller's session is untouched.
+    * Production sets `partitions` to the cluster's width before a query's
+    * FIRST run — state partitioning is fixed at checkpoint creation.
     */
-  def sessionForStreaming(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+  def sessionForStreaming(spark: SparkSession, partitions: Int = 8): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s
   }
 }
