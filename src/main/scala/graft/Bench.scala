@@ -32,7 +32,8 @@ object Bench {
       }
       finally
         // drop per-query persisted subplans (dedup postings etc.): plans are
-        // rebuilt per call, so blocks from 2x57 runs would only accumulate
+        // rebuilt per call, so blocks from ~500 runs (all queries × 1 warm
+        // + 3 measured passes) would only accumulate
         spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }

@@ -26,8 +26,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release per-query persisted subplans (dedup postings etc.) so 44
-      // sequential queries don't accumulate storage-memory pressure
+      // release per-query persisted subplans (dedup postings etc.) so the
+      // 100+ sequential queries don't accumulate storage-memory pressure
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -72,10 +72,10 @@ object KTableApp {
   }
 }
 
-/** JoinsExample.scala:35-66 — two typed order streams, interval join ±5 s
-  * with no grace, combiner, then stream–table join against the user table
-  * (the reference declared but never wired the user join — completed here,
-  * SURVEY.md J2).
+/** JoinsExample.scala:35-66 — two typed order streams, interval join
+  * (±10 minutes here; the reference demos ±5 s) with no grace, combiner,
+  * then stream–table join against the user table (the reference declared
+  * but never wired the user join — completed here, SURVEY.md J2).
   */
 object JoinsApp {
   def run(spark: SparkSession, dir: String = ExampleSession.sfDir): DataFrame = {
@@ -88,8 +88,8 @@ object JoinsApp {
         greatest(col("l_ts"), col("r_ts")).as("ts"))
     val users = KTable(Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_key"), col("c_name")), "user_key")
+    // joinTable already joins on user_id === user_key — no manual filter
     KStream(combined, "user_id", "ts").joinTable(users.copy(df = broadcast(users.df)))
-      .where(col("user_id") === col("user_key"))
       .select("user_id", "electronic_id", "appliance_id", "c_name")
   }
   def main(args: Array[String]): Unit = {
@@ -161,13 +161,16 @@ object ErrorHandlingApp {
     // exact corrupt count via a dedicated action — the accumulator variant
     // re-counts under multiple actions (see Errors.permissiveParse docs)
     val corrupt = Errors.corruptCount(payloads, "props", schema)
+    // budget gate FIRST: the reference's skip-N-then-fail policy stops the
+    // pipeline before any downstream work runs — sinking and only then
+    // failing would commit output despite an exceeded budget
+    Errors.checkBudget(corrupt, maxErrors)
     val (parsed, _) = Serde.parseOrDeadLetter(payloads, "props", schema)
     val out = parsed.select(col("id"), col("parsed.k").as("k"))
     Errors.runWithRestarts(Errors.messageContains("transient"), maxRestarts = 2) {
       Errors.guardedSink(out, _.count(),
         continueOn = Errors.messageContains("RecordTooLarge"))
     }
-    Errors.checkBudget(corrupt, maxErrors)
     out
   }
   def main(args: Array[String]): Unit = {

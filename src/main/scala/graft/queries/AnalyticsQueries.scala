@@ -250,15 +250,21 @@ object AnalyticsQueries {
     * results, only placement.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // table names scoped per process + source dir (the partitionPrunedScan
+    // rule): fixed names in the shared warehouse dir would let a concurrent
+    // driver's DROP+rewrite race this one's join mid-read, or worse, feed
+    // it rows from a different scale factor
+    val scope = s"p${ProcessHandle.current().pid()}_" +
+      graft.engine.PortableHash.md5LongScala(dir).toHexString.take(8)
     Bucketing.writeBucketed(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      "b_lineitem", 8, Seq("l_orderkey"))
+      s"b_lineitem_$scope", 8, Seq("l_orderkey"))
     Bucketing.writeBucketed(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      "b_orders", 8, Seq("o_orderkey"))
-    Bucketing.table(spark, "b_lineitem")
-      .join(Bucketing.table(spark, "b_orders"),
+      s"b_orders_$scope", 8, Seq("o_orderkey"))
+    Bucketing.table(spark, s"b_lineitem_$scope")
+      .join(Bucketing.table(spark, s"b_orders_$scope"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),

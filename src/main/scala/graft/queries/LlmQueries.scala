@@ -139,22 +139,11 @@ object LlmQueries {
         TextAnalysis.longDigitRe, "<NUM>")
     val cur = perRowCuration(keep)
       .select(col("doc_id"), redacted.as("clean"), col("pred_lang"), col("score_bp"))
-    val (chunk, overlap) = (32, 8)
-    val stride = chunk - overlap
-    val nChunks = greatest(lit(1L),
-      expr(s"(n_tok - $overlap + ${stride - 1}) div $stride"))
-    val piece = slice(col("toks"), col("k") * stride + 1, lit(chunk))
-    cur
-      .withColumn("toks", TextAnalysis.tokens(col("clean")))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .filter(col("n_tok") > 0)
-      .select(col("doc_id"), col("pred_lang"), col("score_bp"), col("toks"),
-        posexplode(sequence(lit(0L), nChunks - 1)))
-      .withColumnRenamed("col", "k")
-      .select(col("doc_id"), col("k").as("chunk_idx"),
-        size(piece).cast("long").as("n_chunk_tok"),
-        PortableHash.md5Long(concat_ws(" ", piece)).as("chunk_hash"),
-        col("pred_lang"), col("score_bp"))
+    // chunking IS the library operator — one shared definition (chunkWindows)
+    chunkWindows(
+      cur.select(col("doc_id"), TextAnalysis.tokens(col("clean")).as("toks"),
+        col("pred_lang"), col("score_bp")),
+      Seq("pred_lang", "score_bp"))
   }
 
   val trainingCorpusSql: String = {
@@ -447,22 +436,34 @@ object LlmQueries {
     * md5 arithmetic, replayed exactly by the oracle's list slicing.
     * Scale: explode + codegen'd slice/hash per row, no shuffle at all.
     */
-  def docChunks(spark: SparkSession, dir: String): DataFrame = {
-    val (chunk, overlap) = (32, 8)
-    val stride = chunk - overlap
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkWindows(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")), Nil)
+
+  /** The chunk geometry and window explode shared by [[docChunks]] and
+    * [[trainingCorpus]] — ONE definition, so the two can never silently
+    * diverge (the SQL side is likewise factored into [[docChunksCtes]]).
+    * Input: (doc_id, toks, extra...); output: (doc_id, chunk_idx,
+    * n_chunk_tok, chunk_hash, extra...).
+    */
+  private val chunkSize = 32
+  private val chunkOverlap = 8
+
+  private def chunkWindows(withToks: DataFrame, extra: Seq[String]): DataFrame = {
+    val stride = chunkSize - chunkOverlap
     val nChunks = greatest(lit(1L),
-      expr(s"(n_tok - $overlap + ${stride - 1}) div $stride"))
-    val piece = slice(col("toks"), col("k") * stride + 1, lit(chunk))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      expr(s"(n_tok - $chunkOverlap + ${stride - 1}) div $stride"))
+    val piece = slice(col("toks"), col("k") * stride + 1, lit(chunkSize))
+    withToks
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .filter(col("n_tok") > 0)
-      .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0L), nChunks - 1)))
+      .select(col("doc_id") +: col("toks") +: extra.map(col) :+
+        posexplode(sequence(lit(0L), nChunks - 1)): _*)
       .withColumnRenamed("col", "k")
-      .select(col("doc_id"), col("k").as("chunk_idx"),
-        size(piece).cast("long").as("n_chunk_tok"),
-        PortableHash.md5Long(concat_ws(" ", piece)).as("chunk_hash"))
+      .select(col("doc_id") +: col("k").as("chunk_idx") +:
+        size(piece).cast("long").as("n_chunk_tok") +:
+        PortableHash.md5Long(concat_ws(" ", piece)).as("chunk_hash") +:
+        extra.map(col): _*)
   }
 
   private val docChunksCtes: String =

@@ -36,16 +36,12 @@ object ReferenceQueries {
       .peek("pre")
       .filter(col("props").contains("\"k\""))
       .withValue("k",
-        expr("substring(props, instr(props, ':') + 1)")
-          .pipe(c => trim(c, " }"))
+        trim(expr("substring(props, instr(props, ':') + 1)"), " }")
           .cast(LongType))
       .filter(col("k") > 50)
       .peek("post")
       .df.select("event_id", "user_id", "k")
 
-  private implicit class Piper[A](private val a: A) extends AnyVal {
-    def pipe[B](f: A => B): B = f(a)
-  }
 
   val basicFilterExtractSql: String =
     """SELECT event_id, user_id,
@@ -273,7 +269,12 @@ object ReferenceQueries {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "value", "ts")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-formats").toString
+    // stable scoped path + overwrite, not a fresh temp dir per call: the
+    // bench invokes every query 4x, and an unscoped fresh dir per run
+    // accumulates full-table CSV/JSON/ORC copies in /tmp indefinitely
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_formats_${ProcessHandle.current().pid()}_" +
+        graft.engine.PortableHash.md5LongScala(dir).toHexString.take(8)).toString
     ev.write.mode("overwrite").option("header", "true")
       .option("timestampFormat", tsFmt).csv(s"$tmp/csv")
     ev.write.mode("overwrite").option("timestampFormat", tsFmt).json(s"$tmp/json")

@@ -96,8 +96,12 @@ object StreamParity {
     val out = Files.createTempDirectory("graft-stream-out").toString
     val q = stream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
+      // per-batch directory keyed by batchId, overwritten on write: a
+      // micro-batch REPLAY after a failure (foreachBatch is at-least-once)
+      // rewrites its own directory instead of appending duplicate rows —
+      // the idempotent-sink discipline exactly-once requires of foreachBatch
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
       }
       .option("checkpointLocation",
         Files.createTempDirectory("graft-stream-ck").toString)
@@ -105,7 +109,8 @@ object StreamParity {
       .start()
     q.awaitTermination()
     require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
-    spark.read.schema(stream.schema).parquet(out)
+    spark.read.schema(stream.schema.add("batch", "long"))
+      .option("basePath", out).parquet(out).drop("batch")
   }
 
   /** File-stream source over the documents fixture (schema from the batch
@@ -320,10 +325,13 @@ object StreamParity {
       .withColumn("parsed", graft.engine.Serde.parseJson(col("props"), schema))
     val bad = graft.engine.Serde.isCorrupt(col("parsed"), schema)
     val q = parsed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      // same idempotent per-batch layout as runUpdateAppend: a replayed
+      // micro-batch overwrites its own batch= directory in BOTH sinks
+      // instead of double-counting rows in the budget check below
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch.persist()
-        b.filter(!bad).write.mode("append").parquet(goodOut)
-        b.filter(bad).drop("parsed").write.mode("append").parquet(deadOut)
+        b.filter(!bad).write.mode("overwrite").parquet(s"$goodOut/batch=$id")
+        b.filter(bad).drop("parsed").write.mode("overwrite").parquet(s"$deadOut/batch=$id")
         b.unpersist()
         ()
       }
@@ -333,8 +341,10 @@ object StreamParity {
       .start()
     q.awaitTermination()
     require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
-    val good = ss.read.schema(parsed.schema).parquet(goodOut)
-    val dead = ss.read.schema(parsed.drop("parsed").schema).parquet(deadOut)
+    val good = ss.read.schema(parsed.schema.add("batch", "long"))
+      .option("basePath", goodOut).parquet(goodOut).drop("batch")
+    val dead = ss.read.schema(parsed.drop("parsed").schema.add("batch", "long"))
+      .option("basePath", deadOut).parquet(deadOut).drop("batch")
     val (nGood, nDead) = (good.count(), dead.count())
     graft.engine.Errors.checkBudget(nDead, math.max(1L, (nGood + nDead) / 12))
     good.groupBy(col("event_type"))
