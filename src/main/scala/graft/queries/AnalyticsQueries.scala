@@ -768,6 +768,47 @@ object AnalyticsQueries {
       |                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS spend_quartile
       |FROM orders""".stripMargin
 
+  /** TPC-H Q5-shaped star join ("local supplier volume"): revenue per
+    * nation from line items where the customer and the supplier share the
+    * nation, rolled up through the full dimension chain
+    * region ← nation ← {customer, supplier} ← orders ← lineitem. The
+    * five-way join is the canonical snowflake topology: every dimension
+    * side (region, nation, customer, supplier) is broadcast — the fact
+    * table never reshuffles for any of them; the only exchanges are
+    * orders⋈lineitem on the order key (AQE-planned) and the final
+    * aggregation. The c_nationkey = s_nationkey equality is the join
+    * ORDER stressor — Catalyst must apply it as a post-join filter on
+    * broadcast sides, not a cartesian.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"), col("r_name"))
+    Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice).cast("double").as("revenue"))
+  }
+
+  val q5LocalSupplierSql: String =
+    s"""SELECT r_name, n_name, count(*) AS n_items,
+       |       CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin
+
   /** Partition-pruned scan — the storage-layout twin of [[bucketedJoin]]:
     * events land date-partitioned (the universal layout for an append-only
     * 100 TB event store), and a date-range query then reads ONLY the
