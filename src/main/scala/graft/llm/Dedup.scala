@@ -144,6 +144,99 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
+  /** Asymmetric containment dedup: pairs where ≥ num/den of `inner`'s
+    * distinct n-gram shingles also appear in `outer` — the signal Jaccard
+    * misses when a short document is wholly quoted inside a long one
+    * (J = |A∩B|/|A∪B| is dragged down by the long side's size, but
+    * C(A,B) = |A∩B|/|A| is 1.0 for a verbatim inclusion). Reference
+    * semantics: the same dedup family as `ngramJaccardPairs`
+    * (suffix-/substring-style containment, cf. the reference's record
+    * normalization passes), re-expressed as an inverted-index join.
+    *
+    * Scale: identical topology to the Jaccard join — 16-byte postings
+    * shuffle, never documents; the pair aggregation only materializes pairs
+    * that actually share a shingle. Both directions are emitted (A-in-B and
+    * B-in-A are distinct facts) from ONE join by evaluating the threshold
+    * against each side's size — the join itself still enumerates each
+    * unordered pair once (`doc_a < doc_b`), not twice.
+    */
+  def containmentPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val posts = shinglePostings(documents, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shingleSizes(documents, n)
+    val common = posts.as("a")
+      .join(posts.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
+    // one row per (contained, container) direction that clears the threshold
+    val aInB = common.filter(col("n_common") * den >= col("size_a") * num)
+      .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+        col("n_common"), col("size_a").as("size_in"), col("size_b").as("size_out"))
+    val bInA = common.filter(col("n_common") * den >= col("size_b") * num)
+      .select(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+        col("n_common"), col("size_b").as("size_in"), col("size_a").as("size_out"))
+    aInB.unionByName(bInA)
+  }
+
+  /** Rolling-window postings for substring-span dedup: one row per w-token
+    * window at every start position (stride 1), hash computed post-explode
+    * in codegen. The multiset kernel keeps windows in document order, so
+    * `pos` IS the start token index.
+    */
+  def windowPostings(documents: DataFrame, w: Int): DataFrame =
+    spread(documents)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.shinglesAll(col("text"), w)))
+      .select(col("doc_id"), col("pos").cast("long").as("p"),
+        PortableHash.md5Long(col("col")).as("h"))
+
+  /** Duplicated-span detection — the distributed re-expression of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): find every maximal token span covered
+    * by w-token windows whose content occurs ≥ 2 times in the corpus
+    * (cross-document boilerplate or in-document repetition), and report
+    * per-document span counts and duplicated-token totals.
+    *
+    * Mechanics: rolling w-windows at stride 1 → window-hash occurrence
+    * counts (one map-side-combined aggregation) → positions of duplicated
+    * windows → per-doc gaps-and-islands merge (windows at starts p, p'
+    * merge when p' − p ≤ w, i.e. coverage overlaps or touches) → maximal
+    * spans [min p, max p + w).
+    *
+    * Scale: the only corpus-wide exchange carries 16-byte (hash) rows —
+    * ~n_tokens per doc, same order as the Jaccard postings; the islands
+    * window partitions by doc_id, so no global sort. A 100 TB corpus
+    * shuffles its token count in hashes, map-side pre-aggregated.
+    */
+  def duplicatedSpans(documents: DataFrame, w: Int): DataFrame = {
+    // posts feed both the occurrence count and the position lookup: persist
+    // so the window construction + md5 runs once (same pattern as the
+    // Jaccard postings; Verify/Bench clearCache() between queries)
+    val posts = windowPostings(documents, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupHashes = posts.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occur"))
+      .filter(col("n_occur") >= 2)
+    // data-dependent size: boilerplate-free corpora yield a tiny dup set,
+    // template-heavy ones a huge one — AQE picks the join strategy
+    val dupPos = posts.join(dupHashes, "h").select(col("doc_id"), col("p"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = dupPos
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("p") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + w).as("e"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_tokens"))
+  }
+
   /** MinHash signatures: sig_i = min over shingle hashes h of
     * (a_i*(h mod P)+b_i) mod P — computed PER ROW by the
     * [[graft.functions.MinhashSigFP]] kernel (one pass over the document,

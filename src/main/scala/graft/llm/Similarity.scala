@@ -70,6 +70,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** k-NN majority-vote classification: for each held-out query vector, the
+    * k nearest NON-query vectors by cosine vote with their labels; the
+    * predicted label is the most-voted (ties: higher best similarity, then
+    * lower label — fully deterministic). This is similarity search put to
+    * work: the same broadcast-queries × streamed-corpus topology as
+    * [[bruteForceTopK]], so at 100 TB the corpus side is one codegen scan
+    * and the only shuffle carries k×|queries| vote rows.
+    */
+  def knnClassify(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val queries = withNorm(embeddings.filter(queryPred), "q")
+    val corpus = withNorm(
+      graft.engine.Spread.spreadSmallInput(embeddings.filter(!queryPred)), "n")
+    val labels = embeddings.select(col("vec_id").as("n_id"), col("label"))
+    val scored = broadcast(queries).join(corpus)
+      .select(col("q_id"), col("n_id"), round(cosine("q", "n"), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    val topk = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // labels attach AFTER the top-k cut: the joined side is k×|queries|
+    // rows, and AQE broadcasts whichever side is small at runtime
+    val votes = topk.join(labels, "n_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("best_sim").desc, col("label").asc)
+    votes.withColumn("r", row_number().over(w2)).filter(col("r") === 1)
+      .select(col("q_id").as("vec_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Sign-plane bucket id for one LSH table: planes `t*width .. t*width+width-1`
     * contribute bits 0..width-1.
     */

@@ -438,6 +438,45 @@ object AnalyticsQueries {
       |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  /** Global decile + percent-rank of customers by total order spend — the
+    * whole-relation ranking window (`ntile`/`percent_rank` with no
+    * PARTITION BY), which naively serializes the entire relation through
+    * ONE task (`Window.orderBy` warns at plan time). Here the global rank
+    * is computed scale-correctly with [[graft.engine.Prefix.exclusiveCumsum]]:
+    * range-partition by the order key, per-partition local rank, tiny
+    * per-partition offsets broadcast back — two passes, full parallelism.
+    * ntile's bucket arithmetic (`first N mod k buckets get ⌈N/k⌉ rows`) and
+    * percent_rank's `(rank−1)/(N−1)` are then pure per-row expressions over
+    * (rank, N), with N a broadcast 1-row aggregate (the tfidf pattern).
+    * The oracle runs DuckDB's native ntile/percent_rank windows — equality
+    * proves the distributed rank IS the global window semantics.
+    */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("total"))
+    val ranked = graft.engine.Prefix.exclusiveCumsum(
+      totals, Seq(col("total").desc, col("o_custkey").asc), lit(1L), "rank0")
+    val n1 = totals.agg(count(lit(1)).as("n_cust"))
+    ranked.crossJoin(broadcast(n1))
+      .withColumn("decile", expr(
+        "CASE WHEN rank0 + 1 <= (n_cust % 10) * (n_cust div 10 + 1) " +
+          "THEN rank0 div (n_cust div 10 + 1) + 1 " +
+          "ELSE (n_cust % 10) + (rank0 - (n_cust % 10) * (n_cust div 10 + 1)) div (n_cust div 10) + 1 END"))
+      .withColumn("pr", when(col("n_cust") > 1,
+        round(col("rank0").cast("double") / (col("n_cust") - 1), 6)).otherwise(lit(0d)))
+      .select(col("o_custkey"), col("total").cast("double").as("total"),
+        col("decile"), col("pr"))
+  }
+
+  val spendDecilesSql: String =
+    """WITH totals AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |                FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, CAST(total AS DOUBLE) AS total,
+      |       ntile(10) OVER (ORDER BY total DESC, o_custkey) AS decile,
+      |       round(percent_rank() OVER (ORDER BY total DESC, o_custkey), 6) AS pr
+      |FROM totals""".stripMargin
+
   /** Broadcast Bloom-filter pruned join — the 100 TB pattern for filtering
     * a huge fact table by a selective dimension whose KEY SET is too big to
     * broadcast: broadcast a fixed-size bit array instead (here 16 Kbit =

@@ -68,6 +68,70 @@ object LlmQueries {
        |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE ${jaccardFilterSql("n_common", "sa.n_sh", "sb.n_sh")}""".stripMargin
 
+  // -------------------------------------------- dedup: asymmetric containment
+  private val containNum = 9
+  private val containDen = 10 // threshold 0.9
+
+  /** Containment dedup C(A,B) = |A∩B|/|A| ≥ 0.9 — catches short documents
+    * quoted verbatim inside long ones, which symmetric Jaccard misses (the
+    * union in the denominator is dominated by the long side). Same
+    * inverted-index topology as [[ngramJaccard]]; both containment
+    * directions are evaluated from one pair enumeration.
+    */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), 3, containNum, containDen)
+
+  val containmentDedupSql: String =
+    s"""WITH ${shingleCtes(3)},
+       |post AS (SELECT doc_id, unnest([${PortableHash.md5LongSql("s")} for s in sh]) AS h FROM shs),
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b, n_common, sa.n_sh AS size_a, sb.n_sh AS size_b
+       |          FROM common JOIN sizes sa ON doc_a = sa.doc_id
+       |                      JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a AS inner_id, doc_b AS outer_id, n_common,
+       |       size_a AS size_in, size_b AS size_out
+       |FROM pairs WHERE n_common * $containDen >= size_a * $containNum
+       |UNION ALL
+       |SELECT doc_b AS inner_id, doc_a AS outer_id, n_common,
+       |       size_b AS size_in, size_a AS size_out
+       |FROM pairs WHERE n_common * $containDen >= size_b * $containNum""".stripMargin
+
+  // --------------------------------------------- dedup: duplicated spans
+  private val spanW = 16
+
+  /** Duplicated-span detection (suffix-array substring dedup re-expressed
+    * distributed — [[graft.llm.Dedup.duplicatedSpans]]): per document, the
+    * maximal token spans covered by 16-token windows occurring ≥ 2× in the
+    * corpus, with span counts and duplicated-token totals. The oracle
+    * replays the rolling hashes, the duplicate set, and the
+    * gaps-and-islands merge exactly.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(spark, dir), spanW)
+
+  val spanDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |        list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens FROM documents),
+       |t AS (SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) >= $spanW),
+       |wins AS (SELECT doc_id, tokens, unnest(range(0, n - $spanW + 1)) AS p FROM t),
+       |posts AS (SELECT doc_id, p,
+       |          ${PortableHash.md5LongSql(s"array_to_string(tokens[p+1 : p+$spanW], ' ')")} AS h
+       |          FROM wins),
+       |dups AS (SELECT h FROM posts GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, p FROM posts JOIN dups USING (h)),
+       |marked AS (SELECT doc_id, p,
+       |           CASE WHEN p - lag(p) OVER w <= $spanW THEN 0 ELSE 1 END AS ns
+       |           FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |sp AS (SELECT doc_id, p,
+       |       sum(ns) OVER (PARTITION BY doc_id ORDER BY p) AS span_id FROM marked),
+       |spans AS (SELECT doc_id, span_id, min(p) AS s, max(p) + $spanW AS e
+       |          FROM sp GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_dup_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+       |FROM spans GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------- dedup: MinHash + LSH
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, dir), n = 3, perms = 64, bands = 16,
@@ -587,6 +651,37 @@ object LlmQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------- similarity: k-NN classification
+  /** k-NN majority vote over the embeddings' label column: a bounded
+    * held-out query set (vec_id < 50 — construction-bounded like
+    * [[annTopk]]'s, so the broadcast side can never be data-sized),
+    * classified by each query's 5 nearest non-query neighbors
+    * ([[graft.llm.Similarity.knnClassify]]). The oracle replays scoring,
+    * top-k cut, and the vote tie-break exactly. For a DATA-SIZED holdout
+    * (e.g. a 5% split) the brute scoring pass must be replaced by the
+    * bucketed neighbor search (`ivf_neardup` / `ann_lsh` topology) — the
+    * vote/tie-break stage here is unchanged by that swap.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnClassify(Tables.embeddings(spark, dir),
+      col("vec_id") < 50, k = 5)
+
+  val knnClassifySql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, label, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
+       |           FROM embeddings e0),
+       |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, n.label,
+       |           round(${dot("q", "n")} / (q.nrm * n.nrm), 6) AS sim
+       |           FROM e q JOIN e n ON q.vec_id < 50 AND n.vec_id >= 50),
+       |topk AS (SELECT q_id, label, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 5),
+       |votes AS (SELECT q_id, label, count(*) AS votes, max(sim) AS best_sim
+       |          FROM topk GROUP BY q_id, label)
+       |SELECT q_id AS vec_id, label AS pred_label, votes FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY votes DESC, best_sim DESC, label ASC) AS r
+       |  FROM votes) WHERE r = 1""".stripMargin
 
   // ------------------------------------- similarity: exact near-dup pairs
   private val minCos = 0.45

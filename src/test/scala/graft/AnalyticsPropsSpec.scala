@@ -18,6 +18,26 @@ class AnalyticsPropsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("distributed spend deciles equal the single-window ntile/percent_rank") {
+    import spark.implicits._
+    // the two-pass Prefix rank must reproduce Spark's own global window
+    // semantics exactly (the oracle proves DuckDB parity; this proves
+    // Spark-window parity, so all three agree)
+    val got = AnalyticsQueries.spendDeciles(spark, sf1)
+      .select("o_custkey", "total", "decile", "pr")
+      .as[(Long, Double, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total").desc, col("o_custkey").asc)
+    val want = graft.engine.Tables.orders(spark, sf1)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("total"))
+      .select(col("o_custkey"), col("total").cast("double").as("total"),
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .as[(Long, Double, Long, Double)].collect().toSet
+    assert(got == want, "two-pass global rank != Spark's global window")
+  }
+
   test("SCD2 versions tile each customer's timeline") {
     val df = AnalyticsQueries.scd2Dimension(spark, sf1).cache()
     // exactly one open (current) version per customer

@@ -42,6 +42,58 @@ class LlmOpsSpec extends SparkSuite {
       canon(Dedup.ngramJaccardPairs(docsFx, 3, 1, 2)))
   }
 
+  test("containment flags a short doc quoted inside a long one; jaccard does not") {
+    val quoted = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "intro words first alpha beta gamma delta epsilon zeta eta theta iota kappa and a very different long tail after it"),
+      (12L, "unrelated content entirely different vocabulary here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(quoted, n = 3, num = 9, den = 10)
+      .select("inner_id", "outer_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L)), s"expected only 10-in-11, got $pairs")
+    // symmetric jaccard at the same strictness misses the inclusion
+    val j = Dedup.ngramJaccardPairs(quoted, n = 3, num = 9, den = 10).count()
+    assert(j == 0, "jaccard 0.9 should not fire on an asymmetric inclusion")
+  }
+
+  test("duplicated spans merge overlapping windows into one maximal span") {
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val spanDocs = Seq(
+      (21L, shared + " " + (1 to 10).map(i => s"aa$i").mkString(" ")),
+      (22L, shared + " " + (1 to 10).map(i => s"bb$i").mkString(" ")),
+      (23L, (1 to 30).map(i => s"cc$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(spanDocs, w = 16)
+      .select("doc_id", "n_dup_spans", "dup_tokens")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, ns, nt) => d -> (ns, nt) }.toMap
+    // 20 shared tokens -> duplicated 16-windows at starts 0..4, merging to
+    // ONE span covering [0, 20); doc 23 has no duplicated window at all
+    assert(out == Map(21L -> (1L, 20L), 22L -> (1L, 20L)), s"got $out")
+  }
+
+  test("knn classify takes the majority label with deterministic tie-breaks") {
+    def vec(xs: Float*): Array[Float] = xs.toArray
+    val emb = Seq(
+      (100L, vec(1f, 0f), 9),       // query (pred below selects id 100)
+      (1L, vec(0.9f, 0.1f), 1), (2L, vec(0.8f, 0.2f), 1), (3L, vec(0.7f, 0.3f), 1),
+      (4L, vec(0.1f, 0.9f), 2), (5L, vec(0f, 1f), 2),
+      (6L, vec(-1f, 0f), 3)         // far away, outside k=5
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, col("vec_id") === 100, k = 5)
+      .select("vec_id", "pred_label", "votes").as[(Long, Int, Long)].collect()
+    assert(out.toSeq == Seq((100L, 1, 3L)), s"3 label-1 votes beat 2 label-2: ${out.toSeq}")
+    // 2-2 vote tie: best_sim decides (label 1's nearest neighbor is closer)
+    val tied = Seq(
+      (100L, vec(1f, 0f), 9),
+      (1L, vec(0.95f, 0.05f), 1), (2L, vec(0.6f, 0.4f), 1),
+      (4L, vec(0.7f, 0.3f), 2), (5L, vec(0.65f, 0.35f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.knnClassify(tied, col("vec_id") === 100, k = 4)
+      .select("pred_label").as[Int].collect()
+    assert(t.toSeq == Seq(1), "tie at 2-2 votes resolves to the closer best_sim")
+  }
+
   test("minhash LSH agrees with exact jaccard at high threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 1, 2)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -44,7 +44,10 @@ class PlansSpec extends SparkSuite {
     // semdedup: the K-row cell codebook (ivf_neardup's pattern);
     // pagerank_sim: the 1-row corpus-N fold-in (tfidf's pattern);
     // bm25_search: the 1-row (N, avgdl) stats fold-in + 3-row query terms
-    "semdedup", "pagerank_sim", "bm25_search")
+    "semdedup", "pagerank_sim", "bm25_search",
+    // knn_classify: the bounded (vec_id < 50) query-vector set — ann_topk's
+    // brute-scoring pattern; spend_deciles: the 1-row customer-count fold-in
+    "knn_classify", "spend_deciles")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
