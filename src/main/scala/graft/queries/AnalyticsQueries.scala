@@ -438,6 +438,109 @@ object AnalyticsQueries {
       |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  /** Trailing 7-day spend before each purchase (inclusive) — the RANGE
+    * frame window (`RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW` over
+    * epoch seconds), the canonical sliding time-window feature for a
+    * training pipeline (recency features, velocity checks). Distinct from
+    * [[cumulativeSpend]]'s ROWS frame: the frame is VALUE-determined, so
+    * rows sharing a timestamp share a frame and the result is
+    * tie-order-independent by construction. Decimal money math keeps the
+    * windowed sums exact. Scale: one hash exchange on user_id +
+    * per-partition sort — Spark maintains the range frame with two
+    * pointers over the sorted run, O(n) per partition.
+    */
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-604800L, 0L)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_sec", col("ts").cast("long"))
+      .select(col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("spend_7d"))
+  }
+
+  val trailingSpendSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  /** Per-source winsorization of document lengths at exact interpolated
+    * p05/p95 — outlier capping before length-sensitive curation stages.
+    * The quantiles are EXACT but never sort documents: n_chars is
+    * integer-valued, so the per-group distribution is its VALUE HISTOGRAM
+    * — one map-side-combined `groupBy(source, n_chars)` (the only
+    * corpus-sized exchange), then cumulative counts over histogram rows
+    * (bounded by distinct values per source, not docs) locate the two
+    * bracketing values for each quantile position `(total−1)·p`, and the
+    * interpolation is per-row arithmetic. Contrast `value_quantiles`
+    * (Spark's `percentile`, which buffers per-group values): this form's
+    * window runs over the tiny histogram, so a source with billions of
+    * docs costs the same as one with thousands. The capped frame joins
+    * the 2-value-per-source quantile table back via broadcast.
+    */
+  def winsorizeChars(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val h = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(wTot))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact interpolated quantile from the histogram: pos = (total-1)·p;
+    // lo = value covering index ⌊pos⌋, hi = value covering ⌊pos⌋+1
+    // (absent when pos is integral at the top — coalesce to lo)
+    def quant(p: Double, name: String): DataFrame = {
+      val pos = (col("total") - 1).cast("double") * lit(p)
+      val k = floor(pos).cast("long")
+      val lo = h.filter(k >= col("cum") - col("c") && k < col("cum"))
+        .select(col("source"), col("n_chars").cast("double").as("lo"),
+          (pos - floor(pos)).as("frac"))
+      val hi = h.filter(k + 1 >= col("cum") - col("c") && k + 1 < col("cum"))
+        .select(col("source"), col("n_chars").cast("double").as("hi"))
+      lo.join(hi, Seq("source"), "left")
+        .select(col("source"),
+          round(col("lo") + (coalesce(col("hi"), col("lo")) - col("lo")) * col("frac"), 6)
+            .as(name))
+    }
+    val quants = quant(0.05, "p05").join(quant(0.95, "p95"), "source")
+    docs.join(broadcast(quants), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("p05"), col("p95"),
+        round(least(greatest(col("n_chars").cast("double"), col("p05")), col("p95")), 6)
+          .as("capped"))
+  }
+
+  val winsorizeCharsSql: String = {
+    def quantCtes(p: String, name: String): String =
+      s"""${name}lo AS (SELECT source, n_chars::DOUBLE AS lo,
+         |  (total - 1)::DOUBLE * $p - floor((total - 1)::DOUBLE * $p) AS frac
+         |  FROM h WHERE CAST(floor((total - 1)::DOUBLE * $p) AS BIGINT) >= cum - c
+         |          AND CAST(floor((total - 1)::DOUBLE * $p) AS BIGINT) < cum),
+         |${name}hi AS (SELECT source, n_chars::DOUBLE AS hi
+         |  FROM h WHERE CAST(floor((total - 1)::DOUBLE * $p) AS BIGINT) + 1 >= cum - c
+         |          AND CAST(floor((total - 1)::DOUBLE * $p) AS BIGINT) + 1 < cum),
+         |$name AS (SELECT source, round(lo + (coalesce(hi, lo) - lo) * frac, 6) AS $name
+         |  FROM ${name}lo LEFT JOIN ${name}hi USING (source))""".stripMargin
+    s"""WITH hist AS (SELECT source, n_chars, count(*) AS c
+       |              FROM documents GROUP BY 1, 2),
+       |h AS (SELECT source, n_chars, c,
+       |      sum(c) OVER (PARTITION BY source ORDER BY n_chars
+       |                   ROWS UNBOUNDED PRECEDING) AS cum,
+       |      sum(c) OVER (PARTITION BY source) AS total FROM hist),
+       |${quantCtes("0.05", "p05")},
+       |${quantCtes("0.95", "p95")}
+       |SELECT doc_id, source, n_chars, p05, p95,
+       |       round(least(greatest(n_chars::DOUBLE, p05), p95), 6) AS capped
+       |FROM documents JOIN p05 USING (source) JOIN p95 USING (source)""".stripMargin
+  }
+
   /** Global decile + percent-rank of customers by total order spend — the
     * whole-relation ranking window (`ntile`/`percent_rank` with no
     * PARTITION BY), which naively serializes the entire relation through

@@ -1236,6 +1236,39 @@ object LlmQueries {
       |       count(*) AS n_tokens, CAST(SUM(cnt) AS BIGINT) AS n_occur
       |FROM c GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- text: encoding quality
+  /** Encoding-health signals per document — the mojibake/corruption filter
+    * that runs before any text op at corpus scale: U+FFFD replacement
+    * characters (the scar a bad transcode leaves), raw C0 control
+    * characters (excluding tab/LF/CR, which are legitimate text), and the
+    * non-ASCII rate in basis points. Pure per-row regex counts in codegen,
+    * integer floor division only — no exchange until whatever aggregates
+    * downstream.
+    */
+  def encodingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.regexCount(t, "�").cast("long").as("n_repl"),
+      TextAnalysis.regexCount(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").cast("long").as("n_ctrl"),
+      TextAnalysis.regexCount(t, "[^\\x00-\\x7F]").cast("long").as("n_non_ascii"),
+      length(t).cast("long").as("len_chars"))
+      .withColumn("non_ascii_bp", expr(
+        "CASE WHEN len_chars > 0 THEN (n_non_ascii * 10000) div len_chars ELSE 0 END"))
+  }
+
+  val encodingQualitySql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_repl,
+       |  CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_ctrl,
+       |  CAST(len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS BIGINT) AS n_non_ascii,
+       |  CAST(len(text) AS BIGINT) AS len_chars,
+       |  CASE WHEN len(text) > 0
+       |       THEN (CAST(len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS BIGINT) * 10000)
+       |            // CAST(len(text) AS BIGINT)
+       |       ELSE 0 END AS non_ascii_bp
+       |FROM documents""".stripMargin
+
   // ------------------------------------------------------- text: PII counts
   /** PII-surface detection counts (emails, URLs, long digit runs) — the
     * standard curation signals before redaction; counts only, per-row

@@ -38,6 +38,41 @@ class AnalyticsPropsSpec extends SparkSuite {
     assert(got == want, "two-pass global rank != Spark's global window")
   }
 
+  test("histogram winsorization quantiles equal Spark's percentile, caps bound rows") {
+    import spark.implicits._
+    val df = AnalyticsQueries.winsorizeChars(spark, sf1).cache()
+    // capped is clamped into [p05, p95] on every row
+    assert(df.filter(col("capped") < col("p05") || col("capped") > col("p95")).count() == 0)
+    assert(df.filter(col("p05") > col("p95")).count() == 0)
+    // the histogram-derived quantiles ARE the (n-1)p interpolated exact
+    // quantiles: cross-check against Spark's value-buffering percentile
+    val got = df.select("source", "p05", "p95").distinct()
+      .as[(String, Double, Double)].collect().map { case (s, a, b) => s -> (a, b) }.toMap
+    val want = graft.engine.Tables.documents(spark, sf1)
+      .groupBy("source")
+      .agg(round(expr("percentile(n_chars, 0.05)"), 6).as("p05"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
+      .as[(String, Double, Double)].collect().map { case (s, a, b) => s -> (a, b) }.toMap
+    assert(got == want, s"histogram quantiles != percentile(): $got vs $want")
+    df.unpersist()
+  }
+
+  test("trailing 7-day spend bounds: at least the row's own value, at most the user total") {
+    val ev = graft.engine.Tables.events(spark, sf1)
+      .filter(col("event_type") === "purchase")
+    val out = AnalyticsQueries.trailingSpend(spark, sf1)
+    val joined = out.join(ev.select(col("event_id"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double").as("own")),
+      "event_id")
+    assert(joined.filter(col("spend_7d") < col("own")).count() == 0,
+      "a frame always contains its own row")
+    val totals = ev.groupBy("user_id")
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("tot"))
+    assert(out.join(totals, "user_id").filter(col("spend_7d") > col("tot")).count() == 0,
+      "a frame never exceeds the user's all-time total")
+  }
+
   test("SCD2 versions tile each customer's timeline") {
     val df = AnalyticsQueries.scd2Dimension(spark, sf1).cache()
     // exactly one open (current) version per customer

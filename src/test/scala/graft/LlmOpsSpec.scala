@@ -94,6 +94,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(t.toSeq == Seq(1), "tie at 2-2 votes resolves to the closer best_sim")
   }
 
+  test("encoding-quality regexes count replacement/control/non-ASCII correctly") {
+    val rows = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad � transcode � here"),
+      (3L, "ctrl\u0001chars\u0007but\ttab\nnewline ok"),
+      (4L, "café résumé")
+    ).toDF("doc_id", "text")
+    import graft.llm.TextAnalysis
+    val out = rows.select(col("doc_id"),
+      TextAnalysis.regexCount(col("text"), "�").as("n_repl"),
+      TextAnalysis.regexCount(col("text"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_ctrl"),
+      TextAnalysis.regexCount(col("text"), "[^\\x00-\\x7F]").as("n_non_ascii"))
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((0, 0, 0)))
+    assert(out(2L) == ((2, 0, 2)), "U+FFFD counts as both replacement and non-ASCII")
+    assert(out(3L) == ((0, 2, 0)), "tab/newline are NOT control noise; \\x01 and \\x07 are")
+    assert(out(4L) == ((0, 0, 3)), "three accented characters")
+  }
+
   test("minhash LSH agrees with exact jaccard at high threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 1, 2)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
