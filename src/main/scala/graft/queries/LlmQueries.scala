@@ -68,6 +68,66 @@ object LlmQueries {
        |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE ${jaccardFilterSql("n_common", "sa.n_sh", "sb.n_sh")}""".stripMargin
 
+  // ------------------------------------------------ dedup: novelty signal
+  /** Marginal n-gram novelty per document: the fraction (basis points) of
+    * a doc's distinct 3-gram shingles whose GLOBAL first occurrence
+    * (lowest doc_id) is this document — the "what does this doc add that
+    * the corpus before it didn't have" signal used to order/prioritize
+    * curation and to report dedup yield. Scale: two map-side-combined
+    * aggregations over 16-byte posting rows (h → min doc, then min-doc →
+    * count); no corpus-sized join anywhere — the final left join is
+    * aggregate-sized on both sides.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  /** Operator form over any (doc_id, text) frame (spec entry point). */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val posts = Dedup.shinglePostings(docs, 3)
+    val novel = posts.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    val sizes = Dedup.shingleSizes(docs, 3).filter(col("n_sh") > 0)
+    sizes.select(col("doc_id"), col("n_sh").cast("long").as("n_sh"))
+      .join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_bp", expr("(n_novel * 10000) div n_sh"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH ${shingleCtes(3)},
+       |post AS (SELECT doc_id, unnest([${PortableHash.md5LongSql("s")} for s in sh]) AS h FROM shs),
+       |first AS (SELECT h, min(doc_id) AS doc_id FROM post GROUP BY h),
+       |novel AS (SELECT doc_id, count(*) AS n_novel FROM first GROUP BY 1),
+       |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shs WHERE len(sh) > 0)
+       |SELECT s.doc_id, n_sh, coalesce(n_novel, 0) AS n_novel,
+       |       (coalesce(n_novel, 0) * 10000) // n_sh AS novelty_bp
+       |FROM sizes s LEFT JOIN novel USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------- dedup: per-source rates
+  /** Per-source duplication report — the corpus-health readout that drives
+    * source weighting decisions: document counts, distinct normalized
+    * fingerprints, and the exact-dup rate in basis points. Two stacked
+    * map-side-combined aggregations; nothing else.
+    */
+  def dupStats(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    Tables.documents(spark, dir)
+      .select(col("source"), md5(norm).as("fp"))
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_rate_bp", expr("((n_docs - n_distinct) * 10000) div n_docs"))
+  }
+
+  val dupStatsSql: String =
+    """WITH fps AS (SELECT source,
+      |             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+      |             count(*) AS c
+      |             FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+      |       (CAST(sum(c) AS BIGINT) - count(*)) * 10000 // CAST(sum(c) AS BIGINT) AS dup_rate_bp
+      |FROM fps GROUP BY source""".stripMargin
+
   // -------------------------------------------- dedup: asymmetric containment
   private val containNum = 9
   private val containDen = 10 // threshold 0.9

@@ -94,6 +94,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(t.toSeq == Seq(1), "tie at 2-2 votes resolves to the closer best_sim")
   }
 
+  test("ngram novelty credits first occurrence by doc order, zero for pure repeats") {
+    val out = graft.queries.LlmQueries.ngramNoveltyOf(docs)
+      .select("doc_id", "n_novel", "novelty_bp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1 (8 tokens -> 6 shingles) is first: everything novel
+    assert(out(1L) == ((6L, 10000L)))
+    // doc 2 shares 5 of its 6 shingles with doc 1 -> one novel shingle
+    assert(out(2L) == ((1L, 1666L)))
+    // doc 5 has < 3 tokens -> no shingles -> excluded
+    assert(!out.contains(5L))
+  }
+
+  test("dup_stats reconciles per-source counts and bounds the rate") {
+    val df = graft.queries.LlmQueries.dupStats(spark, sf1).cache()
+    val totalDocs = spark.read.parquet(s"$sf1/documents.parquet").count()
+    assert(df.agg(sum("n_docs")).as[Long].head() == totalDocs,
+      "per-source doc counts must tile the corpus")
+    assert(df.filter(col("dup_rate_bp") < 0 || col("dup_rate_bp") > 10000).count() == 0)
+    assert(df.filter(col("n_distinct") > col("n_docs")).count() == 0)
+    df.unpersist()
+  }
+
   test("encoding-quality regexes count replacement/control/non-ASCII correctly") {
     val rows = Seq(
       (1L, "clean ascii text"),
