@@ -438,6 +438,37 @@ object AnalyticsQueries {
       |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  /** Partial-aggregate MERGE made explicit — the incremental-pipeline
+    * contract at 100 TB: per-(day, type) partial states (count, decimal
+    * sum, min, max) as a first aggregation, then a second aggregation that
+    * merges partials into per-type totals WITHOUT touching raw events
+    * again. The oracle recomputes directly from raw events, so a green row
+    * PROVES merge(partials) ≡ full recompute — the algebraic property that
+    * lets a production pipeline maintain daily partial tables and serve
+    * any rollup from them (backfills touch one day, not the corpus).
+    * Decimal sums make the merge exact under any grouping; avg is derived
+    * AFTER the merge (sum/count — never averaged averages).
+    */
+  def partialMergeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sumv"),
+        min(col("value")).as("minv"), max(col("value")).as("maxv"))
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("sumv")).cast("double").as("total"),
+        min(col("minv")).as("min_value"),
+        max(col("maxv")).as("max_value"))
+      .withColumn("avg_value", round(col("total") / col("n"), 6))
+  }
+
+  val partialMergeRollupSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(value) AS min_value, max(value) AS max_value,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Trailing 7-day spend before each purchase (inclusive) — the RANGE
     * frame window (`RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW` over
     * epoch seconds), the canonical sliding time-window feature for a
