@@ -100,6 +100,28 @@ object Similarity {
       .select(col("q_id").as("vec_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** Semantic contamination scan: every non-eval vector whose cosine
+    * against ANY eval vector (by predicate; must be construction-bounded —
+    * the eval side broadcasts) reaches `minCos`, with the best-matching
+    * eval id as evidence (ties: lower eval id). The per-corpus-vector
+    * reduction is a `max_by` aggregation — map-side combinable, no window
+    * sort; the corpus side streams through one codegen scoring pass and
+    * never shuffles un-aggregated.
+    */
+  def semanticContamination(embeddings: DataFrame, evalPred: Column,
+                            minCos: Double): DataFrame = {
+    val evalSide = withNorm(embeddings.filter(evalPred), "q")
+    val corpus = withNorm(
+      graft.engine.Spread.spreadSmallInput(embeddings.filter(!evalPred)), "n")
+    broadcast(evalSide).join(corpus)
+      .select(col("n_id").as("corpus_id"), col("q_id").as("eval_id"),
+        round(cosine("q", "n"), 6).as("sim"))
+      .filter(col("sim") >= minCos)
+      .groupBy(col("corpus_id"))
+      .agg(max_by(col("eval_id"), struct(col("sim"), -col("eval_id"))).as("eval_id"),
+        max(col("sim")).as("sim"))
+  }
+
   /** Sign-plane bucket id for one LSH table: planes `t*width .. t*width+width-1`
     * contribute bits 0..width-1.
     */

@@ -549,6 +549,36 @@ object LlmQueries {
        |SELECT train_id, eval_id, count(*) AS n_shared
        |FROM tr JOIN ev USING (h) GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------- dedup: semantic decontamination
+  private val semDecontamCos = 0.45
+
+  /** Semantic decontamination — the paraphrase-robust complement to the
+    * 8-gram [[decontaminate]]: a rewritten eval item shares no 8-gram with
+    * its source, but its EMBEDDING stays close. Flags every corpus vector
+    * whose cosine against ANY held-out eval vector (vec_id < 50, the
+    * construction-bounded eval set) clears the threshold, with the best
+    * matching eval item as evidence. Scale: the eval side broadcasts by
+    * construction (same law as `decontaminate` — the 100 TB corpus side
+    * NEVER shuffles); scoring is one codegen pass; the per-corpus-vector
+    * max is a map-side-combinable `max_by` aggregation, no window sort.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticContamination(Tables.embeddings(spark, dir),
+      col("vec_id") < 50, semDecontamCos)
+
+  val semanticDecontaminateSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
+       |           FROM embeddings e0),
+       |scored AS (SELECT n.vec_id AS corpus_id, q.vec_id AS eval_id,
+       |           round(${dot("q", "n")} / (q.nrm * n.nrm), 6) AS sim
+       |           FROM e q JOIN e n ON q.vec_id < 50 AND n.vec_id >= 50)
+       |SELECT corpus_id, eval_id, sim FROM (
+       |  SELECT corpus_id, eval_id, sim,
+       |         row_number() OVER (PARTITION BY corpus_id
+       |                            ORDER BY sim DESC, eval_id ASC) AS r
+       |  FROM scored WHERE sim >= $semDecontamCos)
+       |WHERE r = 1""".stripMargin
+
   // ------------------------------------------------- text: document chunking
   /** Deterministic document chunking — fixed token windows with overlap
     * (32-token chunks, 8-token overlap, stride 24), the standard pre-
@@ -696,7 +726,9 @@ object LlmQueries {
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), col("vec_id") < 10, k = 5)
       .select("q_id", "n_id", "sim", "rank")
 
-  private val dotSql =
+  // a def, not a val: SQL vals earlier in the object call dot() during
+  // object initialization, and a forward val reference would be null
+  private def dotSql =
     "list_reduce([%s.embedding[i]::DOUBLE * %s.embedding[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
 
   private def dot(a: String, b: String) = dotSql.format(a, b)

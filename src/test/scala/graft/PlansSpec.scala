@@ -45,9 +45,10 @@ class PlansSpec extends SparkSuite {
     // pagerank_sim: the 1-row corpus-N fold-in (tfidf's pattern);
     // bm25_search: the 1-row (N, avgdl) stats fold-in + 3-row query terms
     "semdedup", "pagerank_sim", "bm25_search",
-    // knn_classify: the bounded (vec_id < 50) query-vector set — ann_topk's
-    // brute-scoring pattern; spend_deciles: the 1-row customer-count fold-in
-    "knn_classify", "spend_deciles")
+    // knn_classify / semantic_decontaminate: the bounded (vec_id < 50)
+    // query/eval vector set — ann_topk's brute-scoring pattern;
+    // spend_deciles: the 1-row customer-count fold-in
+    "knn_classify", "semantic_decontaminate", "spend_deciles")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
