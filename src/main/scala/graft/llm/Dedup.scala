@@ -31,13 +31,18 @@ object Dedup {
     * Output: one row per distinct normalized document with the kept id
     * (lowest) and the copy count.
     */
-  def exact(documents: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+  /** md5 fingerprint of case/punctuation-normalized text — THE exact-dedup
+    * identity, shared by [[exact]] and the per-source duplication report
+    * (`dup_stats`) so the two can never disagree on what "duplicate" means.
+    */
+  def normFingerprint: org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+
+  def exact(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), md5(norm).as("fingerprint"))
+      .select(col("doc_id"), normFingerprint.as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
-  }
 
   /** Fan the (compact) documents input across all cores before the
     * CPU-heavy shingle construction: a small parquet file arrives as ONE
@@ -73,6 +78,19 @@ object Dedup {
     * j = c/(sa+sb-c) ≥ num/den  ⇔  den*c ≥ num*(sa+sb-c).
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    sizedPairCounts(documents, n)
+      .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+  }
+
+  /** Shared pair-enumeration core for the exact set-overlap family
+    * ([[ngramJaccardPairs]], [[containmentPairs]]): inverted-index
+    * self-join → per-pair shared-shingle counts → both docs' sizes
+    * attached. One definition so the two operators can never silently
+    * diverge in topology. Output: (doc_a < doc_b, n_common, size_a,
+    * size_b) for every pair sharing ≥ 1 shingle.
+    */
+  private def sizedPairCounts(documents: DataFrame, n: Int): DataFrame = {
     // the postings subplan feeds both sides of the self-join — persist so
     // the shingle construction runs once, not twice. MEMORY_AND_DISK: a
     // spilled block beats recomputing the explode. Long-lived sessions
@@ -88,8 +106,6 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
-      .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
-      .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
   /** Exact n-gram Jaccard with prefix filtering (PPJoin-style): provably
@@ -161,15 +177,11 @@ object Dedup {
     * unordered pair once (`doc_a < doc_b`), not twice.
     */
   def containmentPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val posts = shinglePostings(documents, n)
+    // the two direction legs below both read `common` — persist it, or the
+    // Union would execute the expensive pair-enumeration join twice (the
+    // pair frame is candidates-only, far smaller than the join that built it)
+    val common = sizedPairCounts(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shingleSizes(documents, n)
-    val common = posts.as("a")
-      .join(posts.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
     // one row per (contained, container) direction that clears the threshold
     val aInB = common.filter(col("n_common") * den >= col("size_a") * num)
       .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),

@@ -591,7 +591,9 @@ object AnalyticsQueries {
       .agg(sum(dec(col("o_totalprice"))).as("total"))
     val ranked = graft.engine.Prefix.exclusiveCumsum(
       totals, Seq(col("total").desc, col("o_custkey").asc), lit(1L), "rank0")
-    val n1 = totals.agg(count(lit(1)).as("n_cust"))
+    // count the CHECKPOINTED rank frame, not `totals` — counting totals
+    // would re-run the whole orders scan + aggregation for one scalar
+    val n1 = ranked.agg(count(lit(1)).as("n_cust"))
     ranked.crossJoin(broadcast(n1))
       .withColumn("decile", expr(
         "CASE WHEN rank0 + 1 <= (n_cust % 10) * (n_cust div 10 + 1) " +

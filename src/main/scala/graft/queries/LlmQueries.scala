@@ -39,10 +39,16 @@ object LlmQueries {
     Dedup.exact(Tables.documents(spark, dir))
       .select("fingerprint", "keeper_id", "n_copies")
 
+  /** Oracle twin of [[graft.llm.Dedup.normFingerprint]] — one definition
+    * for every query that hashes normalized text.
+    */
+  private def normFpSql =
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
   val dedupExactSql: String =
-    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
-      |       min(doc_id) AS keeper_id, count(*) AS n_copies
-      |FROM documents GROUP BY 1""".stripMargin
+    s"""SELECT $normFpSql AS fingerprint,
+       |       min(doc_id) AS keeper_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
 
   // ------------------------------------------- dedup: exact n-gram Jaccard
   /** PPJoin-style prefix-filtered inverted-index join — the plan you'd run
@@ -110,9 +116,8 @@ object LlmQueries {
     * map-side-combined aggregations; nothing else.
     */
   def dupStats(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     Tables.documents(spark, dir)
-      .select(col("source"), md5(norm).as("fp"))
+      .select(col("source"), Dedup.normFingerprint.as("fp"))
       .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"))
@@ -120,10 +125,8 @@ object LlmQueries {
   }
 
   val dupStatsSql: String =
-    """WITH fps AS (SELECT source,
-      |             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
-      |             count(*) AS c
-      |             FROM documents GROUP BY 1, 2)
+    s"""WITH fps AS (SELECT source, $normFpSql AS fp, count(*) AS c
+       |             FROM documents GROUP BY 1, 2)
       |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
       |       (CAST(sum(c) AS BIGINT) - count(*)) * 10000 // CAST(sum(c) AS BIGINT) AS dup_rate_bp
       |FROM fps GROUP BY source""".stripMargin

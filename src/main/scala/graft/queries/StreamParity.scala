@@ -70,16 +70,21 @@ object StreamParity {
   /** Drain an AGGREGATING `stream` in complete mode: each micro-batch's
     * output is the full converged table, so an idempotent overwrite leaves
     * exactly the final state — the materialized-view sink pattern.
+    * `fixedCk`/`fixedOut` pin the checkpoint and sink across CALLS — the
+    * restart-recovery parity runs this twice against one checkpoint.
     */
-  private def runComplete(spark: SparkSession, stream: DataFrame): DataFrame = {
-    val out = Files.createTempDirectory("graft-stream-out").toString
+  private def runComplete(spark: SparkSession, stream: DataFrame,
+                          fixedCk: Option[String] = None,
+                          fixedOut: Option[String] = None): DataFrame = {
+    val out = fixedOut.getOrElse(
+      Files.createTempDirectory("graft-stream-out").toString)
     val q = stream.writeStream
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(out)
       }
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-stream-ck").toString)
+      .option("checkpointLocation", fixedCk.getOrElse(
+        Files.createTempDirectory("graft-stream-ck").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -493,25 +498,11 @@ object StreamParity {
     def arrive(parity: Int): Unit = ev
       .filter(pmod(col("event_id"), lit(2)) === parity)
       .write.mode("append").parquet(src)
-    def phase(): Unit = {
-      val stream = Streaming.runningSumUpdates(
-        ss.readStream.schema(ev.schema).parquet(src))
-      val q = stream.writeStream
-        .outputMode("complete")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(out)
-        }
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
-    }
+    def phase(): DataFrame = runComplete(ss,
+      Streaming.runningSumUpdates(ss.readStream.schema(ev.schema).parquet(src)),
+      fixedCk = Some(ck), fixedOut = Some(out))
     arrive(0); phase() // first run drains the initial half and stops
-    arrive(1); phase() // restart from the checkpoint over the late files
-    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", LongType),
-      org.apache.spark.sql.types.StructField("total",
-        org.apache.spark.sql.types.DoubleType)))).parquet(out)
+    arrive(1)
+    phase() // restart from the SAME checkpoint over the late files
   }
 }
