@@ -113,6 +113,64 @@ object Multimodal {
     }
   }
 
+  /** Extracted audio features. `n_bytes` IS oracle-predictable for WAV:
+    * the JDK writer emits the canonical 44-byte RIFF header + PCM data.
+    */
+  final case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Long,
+                                 channels: Long, n_frames: Long, duration_ms: Long)
+
+  /** Synthesize a REAL audio payload per document: 16-bit PCM WAV (the one
+    * container the JDK both writes and parses — `javax.sound.sampled`, no
+    * external codecs) with sample rate / channels / frame count all derived
+    * from md5(text), so the oracle predicts what the decoder must find.
+    * The image twin of this proof is [[withImageBlob]].
+    */
+  def withAudioBlob(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val h = md5Long(text.getBytes(StandardCharsets.UTF_8))
+          val rate = Seq(8000, 16000, 44100)((h % 3).toInt)
+          val channels = (1 + (h / 7) % 2).toInt
+          val frames = (1 + (h / 11) % 256).toInt
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, channels, true, false)
+          val data = new Array[Byte](frames * channels * 2)
+          var i = 0
+          while (i < data.length) { data(i) = ((h + i * 31) & 0xff).toByte; i += 1 }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          MediaRecord(id, out.toByteArray)
+        }
+      }
+  }
+
+  /** Batched per-partition audio header decode — `AudioSystem` sniffs the
+    * container and reads format + frame count from the RIFF header (no
+    * sample decode). Same narrow no-shuffle shape as [[decodeFeatures]];
+    * duration is integer milliseconds (frames·1000 div rate) so the column
+    * is engine-portable.
+    */
+  def decodeAudioFeatures(spark: SparkSession,
+                          media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(r.blob))
+        val f = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val rate = f.getSampleRate.toLong
+        AudioFeatures(r.doc_id, r.blob.length.toLong, rate,
+          f.getChannels.toLong, frames, frames * 1000L / rate)
+      }
+    }
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Long, frame_hash: Long)
 

@@ -1749,6 +1749,30 @@ object LlmQueries {
        |  ['png', 'jpeg', 'bmp'][(h % 3)::INT + 1] AS format
        |FROM (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents)""".stripMargin
 
+  /** Audio twin of [[multimodalMeta]]: REAL WAV payloads (synthesized with
+    * md5-derived rate/channels/frames) parsed back by `javax.sound.sampled`
+    * — the oracle predicts every decoded field arithmetically, including
+    * the container size (canonical 44-byte RIFF header + PCM data), so a
+    * hash match proves the decoder actually ran.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioFeatures(spark,
+        Multimodal.withAudioBlob(spark, Tables.documents(spark, dir)))
+      .toDF()
+
+  val multimodalAudioSql: String =
+    s"""SELECT doc_id,
+       |  44 + frames * ch * 2 AS n_bytes,
+       |  rate AS sample_rate,
+       |  ch AS channels,
+       |  frames AS n_frames,
+       |  frames * 1000 // rate AS duration_ms
+       |FROM (SELECT doc_id,
+       |        [8000, 16000, 44100][(h % 3)::INT + 1]::BIGINT AS rate,
+       |        1 + (h // 7) % 2 AS ch,
+       |        1 + (h // 11) % 256 AS frames
+       |      FROM (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents))""".stripMargin
+
   // ------------------------------------------------ dedup: semantic (SemDeDup)
   /** Cluster-then-prune semantic dedup ([[Similarity.semDedup]]); tau
     * shares [[minCos]] — on the near-isotropic synthetic embeddings the
