@@ -740,6 +740,67 @@ object PipelineQueries {
           .as("is_anomaly"))
   }
 
+  // -------------------------------------------------------- robust_anomaly
+  /** Median/MAD outlier flags per event type — the ROBUST twin of
+    * [[anomalyZscore]]: mean/σ move with the outliers they're hunting,
+    * the median and the median-absolute-deviation don't. Flags events
+    * with |cents − median| > 3·MAD, entirely in exact integer cents.
+    *
+    * Both medians (value, then deviation) come from the VALUE-HISTOGRAM
+    * quantile pattern (`winsorize_chars`): the only corpus-sized exchanges
+    * are two map-side-combined groupBys — (type, cents) then (type, dev) —
+    * and the rank windows run over histogram rows, bounded by value
+    * cardinality, never by event count. The lower median (0-based index
+    * (n−1) div 2) keeps everything integer: no interpolation, no floats,
+    * bit-exact replay. The per-type (median, MAD) rows broadcast back.
+    */
+  def robustAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    def hist(df: DataFrame, valCol: String): DataFrame = {
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col(valCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      df.groupBy(col("event_type"), col(valCol)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("total", sum(col("c")).over(wTot))
+    }
+    def lowerMedian(h: DataFrame, valCol: String, out: String): DataFrame =
+      h.filter(expr("(total - 1) div 2") >= col("cum") - col("c") &&
+               expr("(total - 1) div 2") < col("cum"))
+        .select(col("event_type"), col(valCol).as(out))
+    val med = lowerMedian(hist(ev, "cents"), "cents", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("cents") - col("med")).as("dev"))
+    val mad = lowerMedian(hist(dev, "dev"), "dev", "mad")
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .filter(abs(col("cents") - col("med")) > col("mad") * 3)
+      .select("event_id", "event_type", "cents", "med", "mad")
+  }
+
+  val robustAnomalySql: String = {
+    def histCte(src: String, valCol: String, name: String): String =
+      s"""${name}h AS (SELECT event_type, $valCol, count(*) AS c FROM $src GROUP BY 1, 2),
+         |$name AS (SELECT event_type, $valCol, c,
+         |  sum(c) OVER (PARTITION BY event_type ORDER BY $valCol
+         |               ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(c) OVER (PARTITION BY event_type) AS total FROM ${name}h)""".stripMargin
+    s"""WITH ev AS (SELECT event_id, event_type,
+       |            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+       |${histCte("ev", "cents", "h1")},
+       |med AS (SELECT event_type, cents AS med FROM h1
+       |        WHERE (total - 1) // 2 >= cum - c AND (total - 1) // 2 < cum),
+       |dv AS (SELECT e.event_type, abs(cents - med) AS dev FROM ev e JOIN med USING (event_type)),
+       |${histCte("dv", "dev", "h2")},
+       |mad AS (SELECT event_type, dev AS mad FROM h2
+       |        WHERE (total - 1) // 2 >= cum - c AND (total - 1) // 2 < cum)
+       |SELECT event_id, e.event_type, cents, med, mad
+       |FROM ev e JOIN med USING (event_type) JOIN mad USING (event_type)
+       |WHERE abs(cents - med) > mad * 3""".stripMargin
+  }
+
   val anomalyZscoreSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -20,6 +20,28 @@ class PipelinePropsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("robust_anomaly: flags exactly the rows beyond 3 MAD, MAD from the true median") {
+    val flagged = PipelineQueries.robustAnomaly(spark, sf1).cache()
+    assert(flagged.count() > 0, "fixture should contain cents outliers")
+    // every flagged row satisfies its own evidence columns
+    assert(flagged.filter(
+      org.apache.spark.sql.functions.abs(col("cents") - col("med")) <= col("mad") * 3)
+      .count() == 0)
+    // completeness: using the evidence fences, every event beyond 3 MAD
+    // must appear in the flagged set (nothing silently dropped)
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables.events(spark, sf1)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+    val fences = flagged.select("event_type", "med", "mad").distinct()
+    val beyond = ev.join(fences, "event_type")
+      .filter(abs(col("cents") - col("med")) > col("mad") * 3)
+    assert(beyond.join(flagged.select("event_id"), Seq("event_id"), "left_anti")
+      .count() == 0, "an event beyond the fence was not flagged")
+    flagged.unpersist()
+  }
+
   test("retention_cohorts: no cell exceeds its cohort's week-0 size") {
     val df = PipelineQueries.retentionCohorts(spark, sf1).cache()
     val base = df.filter(col("week_offset") === 0)
