@@ -819,6 +819,59 @@ object AnalyticsQueries {
        |GROUP BY p.user_id, p.exact_n""".stripMargin
   }
 
+  /** Join-cardinality estimation from mergeable sketches — what a planner
+    * at 100 TB does BEFORE committing to a join: |A ⋈ B| = Σ_k a(k)·b(k)
+    * is estimated as the INNER PRODUCT of the two sides' count-min rows
+    * (min over the d hash rows; one-sided overestimate, collisions only
+    * add). Each side's sketch is d×w=4×1024 cells (32 KB, cell-wise
+    * mergeable across partitions/partitions-of-days), so the estimate
+    * costs two map-side-combined passes and a 4096-row join — no shuffle
+    * of the fact tables against each other. The exact size (two keyed
+    * counts joined, aggregate-sized) rides along so the ESTIMATION ERROR
+    * itself is oracle-verified, same discipline as `heavy_hitters_cms`.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    import graft.engine.PortableHash
+    val js = array((0 until d).map(lit): _*)
+    def pos(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      pmod(PortableHash.md5Long(concat(lit("cms"), j, lit(":"), key)), lit(w))
+    def cells(df: DataFrame, n: String) = df.select(explode(js).as("j"), col("k"))
+      .withColumn("pos", pos(col("j"), col("k")))
+      .groupBy("j", "pos").agg(count(lit(1)).as(n))
+    val a = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+    val b = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
+    val est = cells(a, "na").join(cells(b, "nb"), Seq("j", "pos"))
+      .groupBy(col("j")).agg(sum(col("na") * col("nb")).as("ip"))
+      .agg(min(col("ip")).as("est_size"))
+    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca") * col("cb")).as("exact_size"))
+    exact.crossJoin(est)
+      .select(col("exact_size"), col("est_size"),
+        (col("est_size") - col("exact_size")).as("overcount"))
+  }
+
+  val joinSizeEstimateSql: String = {
+    val md5pos = "(('0x' || substr(md5('cms' || %s || ':' || %s), 1, 15))::BIGINT) %% 1024"
+    s"""WITH a AS (SELECT o_orderkey AS k FROM orders),
+       |b AS (SELECT l_orderkey AS k FROM lineitem),
+       |ca AS (SELECT t.j, ${md5pos.format("t.j", "k")} AS pos, count(*) AS na
+       |       FROM a, range(4) t(j) GROUP BY 1, 2),
+       |cb AS (SELECT t.j, ${md5pos.format("t.j", "k")} AS pos, count(*) AS nb
+       |       FROM b, range(4) t(j) GROUP BY 1, 2),
+       |ip AS (SELECT ca.j, sum(ca.na * cb.nb) AS ip FROM ca
+       |       JOIN cb ON ca.j = cb.j AND ca.pos = cb.pos GROUP BY 1),
+       |est AS (SELECT min(ip) AS est_size FROM ip),
+       |ex AS (SELECT sum(na.cnt * nb.cnt) AS exact_size
+       |       FROM (SELECT k, count(*) AS cnt FROM a GROUP BY 1) na
+       |       JOIN (SELECT k, count(*) AS cnt FROM b GROUP BY 1) nb USING (k))
+       |SELECT exact_size::BIGINT AS exact_size, est_size::BIGINT AS est_size,
+       |       (est_size - exact_size)::BIGINT AS overcount
+       |FROM ex, est""".stripMargin
+  }
+
   /** SCD2 dimension build from a changelog (the stream–table duality made
     * durable): each customer's order history becomes versioned rows with
     * [valid_from, valid_to) intervals via `lead`, the current version

@@ -9,6 +9,15 @@ import graft.queries.{AnalyticsQueries, ReferenceQueries}
   */
 class AnalyticsPropsSpec extends SparkSuite {
 
+  test("join-size estimate never underestimates (sketch inner product is one-sided)") {
+    import spark.implicits._
+    val Array((exact, est, over)) = AnalyticsQueries.joinSizeEstimate(spark, sf1)
+      .as[(Long, Long, Long)].collect()
+    assert(exact > 0, "fixture join is non-empty")
+    assert(est >= exact, "collisions only ADD to the inner product")
+    assert(over == est - exact)
+  }
+
   test("CMS estimates never underestimate (count-min is one-sided)") {
     val df = AnalyticsQueries.heavyHittersCms(spark, sf1).cache()
     assert(df.count() == 10)

@@ -48,7 +48,9 @@ class PlansSpec extends SparkSuite {
     // knn_classify / semantic_decontaminate: the bounded (vec_id < 50)
     // query/eval vector set — ann_topk's brute-scoring pattern;
     // spend_deciles: the 1-row customer-count fold-in
-    "knn_classify", "semantic_decontaminate", "spend_deciles")
+    "knn_classify", "semantic_decontaminate", "spend_deciles",
+    // join_size_estimate: the final 1-row exact × 1-row estimate cross
+    "join_size_estimate")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
