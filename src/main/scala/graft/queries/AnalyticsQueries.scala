@@ -1075,4 +1075,79 @@ object AnalyticsQueries {
       |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) BETWEEN '2024-01-10' AND '2024-01-12'
       |  AND event_type = 'purchase'
       |GROUP BY 1""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model fit (what follows what, and how often). One
+    * user-keyed exchange carries the whole cost: `lag` orders each user's
+    * events by (ts, event_id) — the unique-id tie-break that makes the
+    * order total — then transition counting is a map-side-combined
+    * aggregate on a k² domain (k = #event types), and the row-normalizing
+    * window runs over those ≤ k² aggregated rows, not the fact table.
+    * Probabilities in exact basis points (`div`), no doubles anywhere.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowW = org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
+    trans
+      .withColumn("row_total", sum(col("n")).over(rowW))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(10000 * n) div row_total").as("prob_bp"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH t AS (SELECT event_type,
+      |             lag(event_type) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS prev_type
+      |           FROM events),
+      |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+      |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |       (10000 * n) // SUM(n) OVER (PARTITION BY prev_type) AS prob_bp
+      |FROM c""".stripMargin
+
+  /** CDC / MERGE apply: a keyed changelog (latest order per customer,
+    * status 'F' acting as the delete tombstone) merged into a base
+    * snapshot — the batch form of Kafka Streams' table materialization
+    * with deletes (reference: tombstone semantics,
+    * `ProcessorApiExample.scala:44-58`). The changelog collapses FIRST via
+    * one map-side-combined `max_by` (latest-per-key without a window
+    * sort), so the merge join moves one row per touched key — at 100 TB
+    * the join is snapshot-partitioned and the collapsed delta is tiny next
+    * to it. Upserts override the balance, absent keys pass through,
+    * tombstoned keys drop.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val last = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(
+        struct(col("o_orderstatus"), col("o_totalprice"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+      .select(col("o_custkey"), col("last.o_orderstatus").as("last_status"),
+        col("last.o_totalprice").as("last_total"),
+        col("last.o_orderdate").as("last_update"))
+    Tables.customer(spark, dir)
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("last_status").isNull || col("last_status") =!= "F")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("last_total"), col("c_acctbal")).as("balance"),
+        col("last_update"))
+  }
+
+  val cdcApplySql: String =
+    """WITH l AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders),
+      |last AS (SELECT o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |         FROM l WHERE rn = 1)
+      |SELECT c.c_custkey, c.c_name,
+      |       COALESCE(last.o_totalprice, c.c_acctbal) AS balance,
+      |       last.o_orderdate AS last_update
+      |FROM customer c LEFT JOIN last ON c.c_custkey = last.o_custkey
+      |WHERE last.o_custkey IS NULL OR last.o_orderstatus <> 'F'""".stripMargin
 }

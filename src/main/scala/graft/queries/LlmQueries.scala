@@ -1847,4 +1847,111 @@ object LlmQueries {
        |$rounds
        |SELECT doc_id, pr FROM pr$prIters""".stripMargin
   }
+
+  // ------------------------------------------------------- PMI collocations
+
+  /** Bigram collocation mining by pointwise-mutual-information LIFT:
+    * lift(w1,w2) = N·c(w1,w2) / (c(w1)·c(w2)), the exact integer core of
+    * PMI (PMI = log lift — the log is monotone, so ranking by lift IS
+    * ranking by PMI, and staying in integer basis points keeps the oracle
+    * hash-exact where a float log could drift in the last ulp). Corpus
+    * cost: two map-side-combined counts (bigrams, unigrams); the corpus
+    * token count folds in as a broadcast 1-row aggregate (the `tfidf`
+    * pattern); unigram-count joins run on aggregated vocab-sized
+    * relations, never documents; the final top-100 is a TakeOrdered
+    * (per-partition heaps, no global sort), made deterministic by the
+    * (lift, w1, w2) total order. Arithmetic runs in DECIMAL(38,0) /
+    * HUGEINT so 10000·N·c12 cannot overflow signed-64 at corpus scale.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.engine.Spread.spreadSmallInput(Tables.documents(spark, dir))
+    val uni = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTokens = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
+    val bi = docs
+      .select(explode(TextAnalysis.shinglesAll(col("text"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 3)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(nTokens)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr("CAST(10000 AS DECIMAL(38,0)) * n_tokens * c12 div (c1 * c2)")
+          .as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+      |              FROM documents),
+      |uni AS (SELECT w, count(*) AS c
+      |        FROM (SELECT unnest(tokens) AS w FROM toks WHERE len(tokens) > 0) GROUP BY 1),
+      |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+      |bgl AS (SELECT CASE WHEN len(tokens) >= 2
+      |               THEN [array_to_string(tokens[i:i+1], ' ')
+      |                     for i in range(1, len(tokens))]
+      |               ELSE [] END AS bgs FROM toks),
+      |bc AS (SELECT string_split(s, ' ')[1] AS w1, string_split(s, ' ')[2] AS w2,
+      |              count(*) AS c12
+      |       FROM (SELECT unnest(bgs) AS s FROM bgl)
+      |       GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+      |       CAST((10000::HUGEINT * nt.n_tokens * c12) // (u1.c * u2.c) AS BIGINT) AS lift_bp
+      |FROM bc JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w CROSS JOIN nt
+      |ORDER BY lift_bp DESC, w1, w2 LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------- source overlap
+
+  /** Pairwise cross-source corpus overlap — the pre-mix audit a corpus
+    * builder runs before weighting sources (how much of source B is
+    * already inside source A?). Containment over distinct 3-gram shingle
+    * sets: |Sa ∩ Sb| / min(|Sa|,|Sb|) in exact basis points. Scale shape:
+    * the only corpus-sized exchange is the distinct (source, shingle-hash)
+    * projection (map-side-combined, text never moves — 60-bit portable
+    * hashes do); the self-join keys on the shingle hash, where postings
+    * per hash are bounded by the SOURCE COUNT (≤ s rows, not document
+    * frequency), so candidate pairs are ≤ s²/2 per distinct shingle and
+    * the join cannot quadratically blow up the way a doc-level pair join
+    * would. Sizes and the pair intersection are aggregate-sized relations.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.engine.Spread.spreadSmallInput(Tables.documents(spark, dir))
+    val ss = docs
+      .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
+      .select(col("source"), PortableHash.md5Long(col("s")).as("h"))
+      .distinct()
+      .persist()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.as("a").join(ss.as("b"), "h")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(10000 * n_common) div least(n_a, n_b)").as("containment_bp"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH toks AS (SELECT source, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+       |              FROM documents),
+       |shs AS (SELECT source,
+       |        CASE WHEN len(tokens) >= 3
+       |             THEN list_distinct([array_to_string(tokens[i:i+2], ' ')
+       |                                 for i in range(1, len(tokens) - 1)])
+       |             ELSE [] END AS sh FROM toks),
+       |ss AS (SELECT DISTINCT source, ${PortableHash.md5LongSql("s")} AS h
+       |       FROM (SELECT source, unnest(sh) AS s FROM shs)),
+       |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+       |      FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, n_common,
+       |       (10000 * n_common) // least(x.n, y.n) AS containment_bp
+       |FROM i JOIN sizes x ON src_a = x.source JOIN sizes y ON src_b = y.source""".stripMargin
 }

@@ -18,6 +18,48 @@ class AnalyticsPropsSpec extends SparkSuite {
     assert(over == est - exact)
   }
 
+  test("markov transition rows are proper distributions in basis points") {
+    import spark.implicits._
+    val df = AnalyticsQueries.markovTransitions(spark, sf1).cache()
+    assert(df.count() > 0)
+    // each (prev, next) cell: 0 < prob_bp <= 10000
+    assert(df.filter(col("prob_bp") <= 0 || col("prob_bp") > 10000).isEmpty)
+    // integer division loses < 1 bp per cell: each row's cells sum into
+    // (10000 - k, 10000] where k = #cells in the row
+    val rows = df.groupBy("prev_type")
+      .agg(sum("prob_bp").as("s"), count(lit(1)).as("k"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (p, s, k) =>
+      assert(s <= 10000 && s > 10000 - k, s"row $p: sum=$s cells=$k")
+    }
+    df.unpersist()
+  }
+
+  test("cdc_apply: tombstones drop, upserts override, absent keys pass through") {
+    import spark.implicits._
+    val out = AnalyticsQueries.cdcApply(spark, sf1).cache()
+    val orders = graft.engine.Tables.orders(spark, sf1).cache()
+    val cust = graft.engine.Tables.customer(spark, sf1)
+    // latest order per customer, batch-recomputed independently
+    val latest = orders
+      .groupBy(col("o_custkey"))
+      .agg(max_by(struct(col("o_orderstatus"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("l"))
+      .select(col("o_custkey"), col("l.o_orderstatus").as("st"),
+        col("l.o_totalprice").as("tp")).cache()
+    val dropped = latest.filter(col("st") === "F").select(col("o_custkey"))
+    // no tombstoned key survives
+    assert(out.join(dropped, col("c_custkey") === col("o_custkey"), "left_semi").isEmpty)
+    // absent keys pass through with the snapshot balance
+    val untouched = cust.join(latest, col("c_custkey") === col("o_custkey"), "left_anti")
+    val passthrough = out.join(untouched.select(col("c_custkey"), col("c_acctbal")), "c_custkey")
+    assert(passthrough.filter(col("balance") =!= col("c_acctbal")).isEmpty)
+    // row count = customers - tombstoned customers present in the snapshot
+    val nTomb = cust.join(dropped, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(out.count() == cust.count() - nTomb)
+    out.unpersist(); orders.unpersist(); latest.unpersist()
+  }
+
   test("CMS estimates never underestimate (count-min is one-sided)") {
     val df = AnalyticsQueries.heavyHittersCms(spark, sf1).cache()
     assert(df.count() == 10)

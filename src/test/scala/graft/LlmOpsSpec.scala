@@ -437,4 +437,37 @@ class LlmOpsSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == out2.toSeq)
   }
+
+  test("PMI collocations: top-100 is lift-ordered, supported, and duplicate-free") {
+    val out = graft.queries.LlmQueries.pmiCollocations(spark, sf1).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    val lifts = out.map(_.getLong(5))
+    assert(lifts.forall(_ > 0))
+    assert(lifts.sameElements(lifts.sorted(Ordering[Long].reverse)), "ordered by lift desc")
+    assert(out.forall(_.getLong(2) >= 3), "min bigram support")
+    val pairs = out.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == pairs.length, "one row per bigram")
+    // lift is exact integer arithmetic: c12 <= min(c1, c2) always
+    assert(out.forall(r => r.getLong(2) <= math.min(r.getLong(3), r.getLong(4))))
+  }
+
+  test("source overlap: containment bounds hold and hashing loses nothing at fixture scale") {
+    val out = graft.queries.LlmQueries.sourceOverlap(spark, sf1).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("containment_bp") < 0 || col("containment_bp") > 10000).isEmpty)
+    assert(out.filter(col("n_common") > least(col("n_a"), col("n_b"))).isEmpty)
+    assert(out.filter(col("src_a") >= col("src_b")).isEmpty, "canonical pair order")
+    // recompute one pair's intersection on RAW shingle strings (no hash):
+    // the 60-bit portable hash must be collision-free on the fixture
+    import graft.llm.TextAnalysis
+    val ss = graft.engine.Tables.documents(spark, sf1)
+      .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
+      .distinct().cache()
+    val Array(pair) = out.orderBy(col("src_a"), col("src_b")).limit(1).collect()
+    val (sa, sb) = (pair.getString(0), pair.getString(1))
+    val raw = ss.filter(col("source") === sa).select(col("s"))
+      .intersect(ss.filter(col("source") === sb).select(col("s"))).count()
+    assert(raw == pair.getLong(4), s"hashed intersection $sa/$sb == raw string intersection")
+    out.unpersist(); ss.unpersist()
+  }
 }

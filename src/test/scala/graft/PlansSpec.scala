@@ -50,7 +50,9 @@ class PlansSpec extends SparkSuite {
     // spend_deciles: the 1-row customer-count fold-in
     "knn_classify", "semantic_decontaminate", "spend_deciles",
     // join_size_estimate: the final 1-row exact × 1-row estimate cross
-    "join_size_estimate")
+    "join_size_estimate",
+    // pmi_collocations: the 1-row corpus-token-count fold-in (tfidf's pattern)
+    "pmi_collocations")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
