@@ -801,6 +801,107 @@ object PipelineQueries {
        |WHERE abs(cents - med) > mad * 3""".stripMargin
   }
 
+  // ------------------------------------------------------ entity resolution
+  /** End-to-end entity resolution — the record-linkage flagship composing
+    * the library's stages: deterministic dirty-record synthesis (every 7th
+    * customer gains a 1-edit name variant, the `pii_redact` injection
+    * pattern), blocking on a stable name substring, edit-distance ≤ 1
+    * verify on block collisions only (`fuzzy_join_edit`'s
+    * candidates-then-verify topology), connected components
+    * ([[graft.llm.Dedup.duplicateClusters]] — one shuffle per round), and
+    * canonical-record survival per entity via map-side-combined `min_by`
+    * (no window sort). Singleton records are their own entity.
+    *
+    * Scale: the only quadratic surface is WITHIN a block, and
+    * `block_profile` is the pre-flight audit that bounds it; everything
+    * downstream of the verify join moves pair/label rows, never records.
+    */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val base = cust.select(col("c_custkey").as("rec_id"), col("c_name").as("name"))
+    val variants = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("rec_id"),
+        concat(substring(col("c_name"), 1, 9), lit("X"),
+          substring(col("c_name"), 11, 8)).as("name"))
+    val recs = base.union(variants)
+    val blocked = recs.withColumn("blk", substring(col("name"), 13, 6))
+    val pairs = blocked.as("a").join(blocked.as("b"), "blk")
+      .filter(col("a.rec_id") < col("b.rec_id") &&
+        levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.rec_id").as("doc_a"), col("b.rec_id").as("doc_b"))
+    val clusters = graft.llm.Dedup.duplicateClusters(pairs)
+    recs.join(clusters, col("rec_id") === col("doc_id"), "left")
+      .select(col("rec_id"), col("name"),
+        coalesce(col("cluster_id"), col("rec_id")).as("entity_id"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        min_by(col("name"), col("rec_id")).as("canonical_name"))
+  }
+
+  val entityResolutionSql: String =
+    """WITH RECURSIVE recs AS (
+      |  SELECT c_custkey AS rec_id, c_name AS name FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, substr(c_name, 1, 9) || 'X' || substr(c_name, 11, 8)
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |b AS (SELECT rec_id, name, substr(name, 13, 6) AS blk FROM recs),
+      |pairs AS (SELECT a.rec_id AS s, b2.rec_id AS d FROM b a JOIN b b2
+      |          ON a.blk = b2.blk AND a.rec_id < b2.rec_id
+      |          AND levenshtein(a.name, b2.name) <= 1),
+      |ed AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+      |reach(s, d) AS (SELECT s, d FROM ed
+      |                UNION
+      |                SELECT r.s, e.d FROM reach r JOIN ed e ON r.d = e.s),
+      |lab AS (SELECT s AS rec_id, least(s, min(d)) AS entity_id FROM reach GROUP BY s),
+      |lbl AS (SELECT r.rec_id, r.name, COALESCE(l.entity_id, r.rec_id) AS entity_id
+      |        FROM recs r LEFT JOIN lab l USING (rec_id))
+      |SELECT entity_id, count(*) AS n_records, arg_min(name, rec_id) AS canonical_name
+      |FROM lbl GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------- z-order layout
+  /** Z-order (Morton-curve) data layout audit — the multi-dimensional
+    * data-skipping story: interleaving the bits of two query dimensions
+    * (customer bucket × day bucket) and range-partitioning on the result
+    * gives every output file a TIGHT min/max envelope in BOTH dimensions,
+    * so a point or range predicate on EITHER column prunes most files from
+    * the scan (single-column sorting gives this for one dimension and
+    * destroys it for the other). The query computes the per-file (z >> 8)
+    * min/max envelopes a writer's footer stats would carry; PlansSpec-side
+    * property: the z-layout's average x-span is a fraction of a date-sorted
+    * layout's. At 100 TB this is `repartitionByRange(zCol)` before the
+    * parquet write — one exchange at write time buys every future scan's
+    * pruning.
+    */
+  private val zorderBits = 8
+
+  private def zInterleave(x: Column, y: Column): Column =
+    (0 until zorderBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % 256).as("x"),
+        (datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long") % 256).as("y"))
+      .withColumn("z", zInterleave(col("x"), col("y")))
+      .groupBy(expr("z div 256").as("z_file"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+
+  val zorderLayoutSql: String = {
+    val terms = (0 until 8).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    s"""WITH c AS (SELECT o_custkey % 256 AS x,
+       |           date_diff('day', DATE '1995-01-01', o_orderdate::DATE) % 256 AS y
+       |           FROM orders),
+       |z AS (SELECT x, y, $terms AS z FROM c)
+       |SELECT z // 256 AS z_file, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+       |       min(y) AS min_y, max(y) AS max_y
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   val anomalyZscoreSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,

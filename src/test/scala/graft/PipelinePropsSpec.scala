@@ -237,4 +237,45 @@ class PipelinePropsSpec extends SparkSuite {
     assert(joined.filter(col("is_anomaly") =!= (col("z") >= 2.0)).count() == 0)
     df.unpersist()
   }
+
+  test("entity_resolution: variants absorb into base entities, canonicals are clean") {
+    val out = PipelineQueries.entityResolution(spark, sf1).cache()
+    val cust = graft.engine.Tables.customer(spark, sf1)
+    val nCust = cust.count()
+    // every variant merged into its base: exactly one entity per customer
+    assert(out.count() == nCust)
+    val dirty = out.filter(col("n_records") === 2)
+    assert(dirty.count() == cust.filter(col("c_custkey") % 7 === 0).count())
+    // the surviving canonical is always the CLEAN record (no injected 'X')
+    assert(out.filter(substring(col("canonical_name"), 10, 1) === "X").isEmpty)
+    assert(out.filter(col("n_records") > 2 || col("n_records") < 1).isEmpty)
+    out.unpersist()
+  }
+
+  test("z-order files have tight envelopes in BOTH dims; date-sort does not") {
+    val z = PipelineQueries.zorderLayout(spark, sf1).cache()
+    // 8-bit interleave of two 8-bit dims: z div 256 has 256 possible files
+    assert(z.count() <= 256)
+    import spark.implicits._
+    val zSpans = z.select(
+      (col("max_x") - col("min_x")).as("xs"),
+      (col("max_y") - col("min_y")).as("ys")).as[(Long, Long)].collect()
+    val avgX = zSpans.map(_._1).sum.toDouble / zSpans.length
+    val avgY = zSpans.map(_._2).sum.toDouble / zSpans.length
+    // a z >> 8 prefix fixes the top 4 bits of each dim: spans are < 2^4 = 16
+    assert(zSpans.forall { case (xs, ys) => xs < 16 && ys < 16 },
+      s"every file envelope fits the 16x16 Morton cell")
+    // the same file count laid out date-sorted: x-envelopes cover ~everything
+    val orders = graft.engine.Tables.orders(spark, sf1)
+      .select((col("o_custkey") % 256).as("x"), col("o_orderdate"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderdate"))
+    val dateFiles = orders
+      .withColumn("f", ntile(256).over(w))
+      .groupBy("f").agg((max("x") - min("x")).as("xs"))
+      .as[(Int, Long)].collect()
+    val avgDateX = dateFiles.map(_._2).sum.toDouble / dateFiles.length
+    assert(avgX * 4 < avgDateX,
+      s"z-order avg x-span $avgX (y $avgY) must be >=4x tighter than date-sorted $avgDateX")
+    z.unpersist()
+  }
 }
