@@ -79,7 +79,19 @@ object Bpe {
     * Ties in the argmax break on (a, b) lexicographically — deterministic
     * and replayed identically by the oracle's ORDER BY ... LIMIT 1.
     */
-  def learnMerges(docs: DataFrame, rounds: Int): Seq[(Long, String, String, Long)] = {
+  def learnMerges(docs: DataFrame, rounds: Int): Seq[(Long, String, String, Long)] =
+    learnAndEncode(docs, rounds)._1
+
+  /** Train AND keep the trained tokenizer's output: the merges plus the
+    * final (word, freq, pos, sym) relation with every merge applied — the
+    * per-word ENCODING under the learned vocabulary. The relation stays
+    * vocab-sized throughout (word types, not corpus tokens), so applying
+    * the tokenizer to a 100 TB corpus is: encode the vocabulary here, then
+    * one join of corpus tokens against the per-word symbol counts
+    * ([[graft.queries.LlmQueries.bpeEncode]]) — the merges never touch a
+    * corpus-sized relation.
+    */
+  def learnAndEncode(docs: DataFrame, rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     var syms = charSymbols(wordFreqs(docs)).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
@@ -97,6 +109,6 @@ object Bpe {
         syms = mergeRound(syms, a, b).localCheckpoint(true)
       }
     }
-    merges.toSeq
+    (merges.toSeq, syms)
   }
 }

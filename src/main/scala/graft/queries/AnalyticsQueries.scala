@@ -837,16 +837,22 @@ object AnalyticsQueries {
     val js = array((0 until d).map(lit): _*)
     def pos(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
       pmod(PortableHash.md5Long(concat(lit("cms"), j, lit(":"), key)), lit(w))
-    def cells(df: DataFrame, n: String) = df.select(explode(js).as("j"), col("k"))
-      .withColumn("pos", pos(col("j"), col("k")))
-      .groupBy("j", "pos").agg(count(lit(1)).as(n))
-    val a = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
-    val b = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k"))
-    val est = cells(a, "na").join(cells(b, "nb"), Seq("j", "pos"))
+    // each side collapses to per-key counts ONCE (map-side-combined); the
+    // sketch cells and the exact join both derive from that shared keyed
+    // relation, so the fact tables are scanned once and the d-way md5
+    // expansion runs over DISTINCT KEYS, not raw rows
+    def keyed(df: DataFrame, cnt: String) =
+      df.groupBy(col("k")).agg(count(lit(1)).as(cnt)).persist()
+    def cells(kdf: DataFrame, cnt: String, n: String) =
+      kdf.select(explode(js).as("j"), col("k"), col(cnt))
+        .withColumn("pos", pos(col("j"), col("k")))
+        .groupBy("j", "pos").agg(sum(col(cnt)).as(n))
+    val ka = keyed(Tables.orders(spark, dir).select(col("o_orderkey").as("k")), "ca")
+    val kb = keyed(Tables.lineitem(spark, dir).select(col("l_orderkey").as("k")), "cb")
+    val est = cells(ka, "ca", "na").join(cells(kb, "cb", "nb"), Seq("j", "pos"))
       .groupBy(col("j")).agg(sum(col("na") * col("nb")).as("ip"))
       .agg(min(col("ip")).as("est_size"))
-    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
-      .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+    val exact = ka.join(kb, "k")
       .agg(sum(col("ca") * col("cb")).as("exact_size"))
     exact.crossJoin(est)
       .select(col("exact_size"), col("est_size"),

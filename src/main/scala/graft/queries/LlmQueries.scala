@@ -1053,10 +1053,11 @@ object LlmQueries {
       .toDF("round", "sym_a", "sym_b", "pair_n")
   }
 
-  val bpeTrainSql: String = {
-    // one merge round: pair counts -> argmax -> greedy re-encode (islands
-    // idiom resolves equal-symbol runs; see Bpe.mergeRound)
-    def encodeRound(r: Int, prev: String): String =
+  // one merge round: pair counts -> argmax -> greedy re-encode (islands
+  // idiom resolves equal-symbol runs; see Bpe.mergeRound). Shared by the
+  // training oracle (bpeTrainSql) and the encoding oracle (bpeEncodeSql) so
+  // the two can never disagree on what a merge round does.
+  private def bpeRoundSql(r: Int, prev: String): String =
       s"""p$r AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
          |    SELECT sym, freq, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
          |    FROM $prev) WHERE nxt IS NOT NULL GROUP BY 1, 2),
@@ -1074,24 +1075,61 @@ object LlmQueries {
          |s$r AS (SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
          |               CASE WHEN sel THEN a || b ELSE sym END AS sym
          |        FROM j$r WHERE NOT consumed)""".stripMargin
-    def lastRound(r: Int, prev: String): String =
-      s"""p$r AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-         |    SELECT sym, freq, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-         |    FROM $prev) WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
-    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS word
-       |    FROM documents) GROUP BY 1),
-       |s0 AS (SELECT word, freq, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym FROM (
-       |    SELECT word, freq, [substr(word, i, 1) for i in range(1, len(word) + 1)] AS cs
-       |    FROM w0)),
-       |${encodeRound(1, "s0")},
-       |${encodeRound(2, "s1")},
-       |${lastRound(3, "s2")}
+  private def bpePairsOnlySql(r: Int, prev: String): String =
+    s"""p$r AS (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT sym, freq, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |    FROM $prev) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+
+  private val bpeBaseSql: String =
+    """w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS word
+      |    FROM documents) GROUP BY 1),
+      |s0 AS (SELECT word, freq, generate_subscripts(cs, 1) AS pos, unnest(cs) AS sym FROM (
+      |    SELECT word, freq, [substr(word, i, 1) for i in range(1, len(word) + 1)] AS cs
+      |    FROM w0))""".stripMargin
+
+  val bpeTrainSql: String =
+    s"""WITH $bpeBaseSql,
+       |${bpeRoundSql(1, "s0")},
+       |${bpeRoundSql(2, "s1")},
+       |${bpePairsOnlySql(3, "s2")}
        |SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b, cnt AS pair_n FROM b1
        |UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM b2
        |UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM b3""".stripMargin
+
+  /** Tokenize the corpus WITH the trained tokenizer — the apply step that
+    * pairs with [[bpeTrain]]: per document, word count and total BPE token
+    * count under the 3 learned merges (the fertility statistics that size
+    * a training run). Scale shape ([[Bpe.learnAndEncode]]): every merge
+    * round runs on the vocab-sized (word, pos, sym) relation — word TYPES,
+    * not corpus tokens — so applying the tokenizer to the corpus is one
+    * join of exploded tokens against the per-word symbol counts; the
+    * corpus-sized side moves exactly once. Oracle: the same three unrolled
+    * merge rounds (shared CTE builder with the training oracle), then the
+    * identical count join.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.engine.Spread.spreadSmallInput(Tables.documents(spark, dir))
+    val (_, syms) = Bpe.learnAndEncode(docs, rounds = 3)
+    val wc = syms.groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
+    docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(wc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
   }
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeBaseSql,
+       |${bpeRoundSql(1, "s0")},
+       |${bpeRoundSql(2, "s1")},
+       |${bpeRoundSql(3, "s2")},
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s3 GROUP BY 1),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS word
+       |        FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM tok JOIN wc USING (word) GROUP BY 1""".stripMargin
 
   // --------------------------------------------- corpus mixture weights
   /** Temperature-based source mixing weights (the multilingual/multi-source

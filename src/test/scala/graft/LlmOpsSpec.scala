@@ -377,6 +377,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(got == ref.toSeq, s"distributed merges $got != reference $ref")
   }
 
+  test("BPE encoding equals the sequential reference per word type") {
+    import spark.implicits._
+    val fx = spark.read.parquet(s"$sf1/documents.parquet")
+    val (merges, syms) = graft.llm.Bpe.learnAndEncode(fx, rounds = 3)
+    val gotLen = syms.groupBy("word").count().as[(String, Long)].collect().toMap
+    // sequential re-encode of every word type under the learned merges
+    val wf = fx.select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct().as[String].collect()
+    val refLen = wf.map { w =>
+      var s: Vector[String] = w.map(_.toString).toVector
+      for ((_, a, b, _) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      w -> s.length.toLong
+    }.toMap
+    assert(gotLen == refLen, "per-word BPE token counts must match the sequential encoder")
+    // fertility sanity on the query: words <= bpe tokens <= chars
+    val enc = graft.queries.LlmQueries.bpeEncode(spark, sf1)
+    assert(enc.filter(col("n_bpe_tokens") < col("n_words")).isEmpty)
+  }
+
   test("multimodal frame sampling and resize are deterministic and partition-independent") {
     val media = Multimodal.withBlob(docs)
     val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)
