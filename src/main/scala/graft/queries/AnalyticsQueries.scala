@@ -1146,6 +1146,49 @@ object AnalyticsQueries {
         col("last_update"))
   }
 
+  /** Market-basket co-occurrence with lift: part pairs ordered together in
+    * ≥ 2 baskets, ranked by basket lift = N·c(a,b) / (c(a)·c(b)) in exact
+    * basis points (the integer-lift discipline of `pmi_collocations`, here
+    * over order baskets instead of token bigrams). Scale shape: the
+    * (order, part) projection is distinct-collapsed and persisted ONCE —
+    * the self-join's two legs and the support counts all reuse that one
+    * exchange; pairs per order are bounded by basket size squared (not
+    * corpus size); supports are part-cardinality relations; the basket
+    * count folds in as a broadcast 1-row aggregate; the final top-100 is
+    * a TakeOrdered with a (lift, a, b) total order.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().persist()
+    val nBaskets = li.agg(countDistinct(col("ok")).as("n_baskets"))
+    val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .join(sup.select(col("pk").as("part_a"), col("n").as("n_a")), "part_a")
+      .join(sup.select(col("pk").as("part_b"), col("n").as("n_b")), "part_b")
+      .crossJoin(nBaskets)
+      .select(col("part_a"), col("part_b"), col("n_orders"), col("n_a"), col("n_b"),
+        expr("(10000 * n_baskets * n_orders) div (n_a * n_b)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val copurchasePairsSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM li),
+      |sup AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2
+      |      HAVING count(*) >= 2)
+      |SELECT part_a, part_b, n_orders, sa.n AS n_a, sb.n AS n_b,
+      |       (10000 * nb.n_baskets * n_orders) // (sa.n * sb.n) AS lift_bp
+      |FROM p JOIN sup sa ON part_a = sa.pk JOIN sup sb ON part_b = sb.pk CROSS JOIN nb
+      |ORDER BY lift_bp DESC, part_a, part_b LIMIT 100""".stripMargin
+
   val cdcApplySql: String =
     """WITH l AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
       |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders),

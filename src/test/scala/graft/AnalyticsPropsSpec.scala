@@ -60,6 +60,17 @@ class AnalyticsPropsSpec extends SparkSuite {
     out.unpersist(); orders.unpersist(); latest.unpersist()
   }
 
+  test("copurchase pairs: supports bound co-counts, ranking is a total order") {
+    val out = AnalyticsQueries.copurchasePairs(spark, sf1).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)), "canonical pair order")
+    assert(out.forall(r => r.getLong(2) >= 2), "min support")
+    assert(out.forall(r => r.getLong(2) <= math.min(r.getLong(3), r.getLong(4))),
+      "a pair cannot co-occur more often than either part occurs")
+    val lifts = out.map(_.getLong(5))
+    assert(lifts.sameElements(lifts.sorted(Ordering[Long].reverse)))
+  }
+
   test("CMS estimates never underestimate (count-min is one-sided)") {
     val df = AnalyticsQueries.heavyHittersCms(spark, sf1).cache()
     assert(df.count() == 10)

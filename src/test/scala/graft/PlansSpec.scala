@@ -52,7 +52,9 @@ class PlansSpec extends SparkSuite {
     // join_size_estimate: the final 1-row exact × 1-row estimate cross
     "join_size_estimate",
     // pmi_collocations: the 1-row corpus-token-count fold-in (tfidf's pattern)
-    "pmi_collocations")
+    "pmi_collocations",
+    // copurchase_pairs: the 1-row basket-count fold-in
+    "copurchase_pairs")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
