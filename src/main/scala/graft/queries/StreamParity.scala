@@ -75,13 +75,17 @@ object StreamParity {
     */
   private def runComplete(spark: SparkSession, stream: DataFrame,
                           fixedCk: Option[String] = None,
-                          fixedOut: Option[String] = None): DataFrame = {
+                          fixedOut: Option[String] = None,
+                          transform: DataFrame => DataFrame = identity): DataFrame = {
     val out = fixedOut.getOrElse(
       Files.createTempDirectory("graft-stream-out").toString)
     val q = stream.writeStream
       .outputMode("complete")
+      // `transform` runs per micro-batch on the full converged table —
+      // the place a materialized-view sink joins its changelog against
+      // static dimensions before the idempotent overwrite
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
+        transform(batch).write.mode("overwrite").parquet(out)
       }
       .option("checkpointLocation", fixedCk.getOrElse(
         Files.createTempDirectory("graft-stream-ck").toString))
@@ -89,7 +93,9 @@ object StreamParity {
       .start()
     q.awaitTermination()
     require(q.recentProgress.nonEmpty, "streaming query recorded no progress")
-    spark.read.schema(stream.schema).parquet(out)
+    val outSchema = transform(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)).schema
+    spark.read.schema(outSchema).parquet(out)
   }
 
   /** Drain an update-mode `stream`, APPENDING every micro-batch's emissions
@@ -289,6 +295,39 @@ object StreamParity {
         col("v.o_orderstatus").as("o_orderstatus"),
         col("v.o_totalprice").as("o_totalprice"),
         col("v.o_orderdate").as("o_orderdate")))
+  }
+
+  /** CDC / MERGE apply through real streaming execution — the reference's
+    * table-materialization-with-deletes semantic (tombstones,
+    * `ProcessorApiExample.scala:44-58`) as a live pipeline: the order
+    * changelog streams through a stateful latest-per-key aggregation
+    * (complete mode), and each micro-batch's converged changelog is merged
+    * into the static customer snapshot inside `foreachBatch` — upserts
+    * override, status-'F' tombstones drop, untouched keys pass through —
+    * then idempotently overwritten. Shares `cdc_apply`'s batch oracle:
+    * green means `IncrementalExecution` + the merge converge to the
+    * declared MERGE semantics.
+    */
+  def cdcApplyStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val base = Tables.orders(ss, dir)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val delta = ss.readStream.schema(base.schema).parquet(s"$dir/{orders}.parquet")
+      .select(base.columns.map(col): _*)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(
+        struct(col("o_orderstatus"), col("o_totalprice"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("last"))
+      .select(col("o_custkey"), col("last.o_orderstatus").as("last_status"),
+        col("last.o_totalprice").as("last_total"),
+        col("last.o_orderdate").as("last_update"))
+    val cust = Tables.customer(ss, dir)
+    runComplete(ss, delta, transform = changelog =>
+      cust.join(changelog, col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("last_status").isNull || col("last_status") =!= "F")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("last_total"), col("c_acctbal")).as("balance"),
+          col("last_update")))
   }
 
   /** W6 sliding windows through real streaming execution: each event lands
