@@ -1886,6 +1886,47 @@ object LlmQueries {
        |SELECT doc_id, pr FROM pr$prIters""".stripMargin
   }
 
+  // ------------------------------------------------- token-budget sampling
+  /** Per-source token-budget sampling — corpus mixing's selection step:
+    * each source contributes documents, in a deterministic hash order,
+    * until its token budget (600) is exhausted; a document is kept iff it
+    * STARTS inside the budget. Scale shape: the running token total comes
+    * from [[graft.engine.Prefix.exclusiveCumsum]] ordered by
+    * (source, hash, doc_id) — the two-pass range-partitioned prefix sum,
+    * NOT a per-source window (`Window.partitionBy(source)` serializes each
+    * source's entire corpus through one task; sources are few and huge at
+    * 100 TB, which makes that the worst possible skew). The within-source
+    * prefix is the global prefix minus the source's first-row offset (one
+    * aggregate-sized join); budgets and outputs are source-cardinality
+    * relations.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 600L
+    val t = graft.engine.Spread.spreadSmallInput(Tables.documents(spark, dir))
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        PortableHash.md5Long(concat(lit("tbs:"), col("doc_id"))).as("h"))
+    val cum = graft.engine.Prefix.exclusiveCumsum(
+      t, Seq(col("source"), col("h"), col("doc_id")), col("n_tokens"), "cum")
+    val srcStart = cum.groupBy(col("source")).agg(min(col("cum")).as("src0"))
+    cum.join(srcStart, "source")
+      .filter(col("cum") - col("src0") < budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).cast("long").as("tokens_kept"))
+  }
+
+  val tokenBudgetSampleSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |             len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+       |             ${PortableHash.md5LongSql("'tbs:' || doc_id")} AS h
+       |           FROM documents),
+       |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |                ROWS UNBOUNDED PRECEDING) - n_tokens AS cum FROM t)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+       |FROM c WHERE cum < 600 GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- PMI collocations
 
   /** Bigram collocation mining by pointwise-mutual-information LIFT:

@@ -404,6 +404,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(enc.filter(col("n_bpe_tokens") < col("n_words")).isEmpty)
   }
 
+  test("token budget sample: every source stops exactly at its budget boundary") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf1/documents.parquet")
+    val nSources = docs.select("source").distinct().count()
+    val out = graft.queries.LlmQueries.tokenBudgetSample(spark, sf1)
+      .as[(String, Long, Long)].collect()
+    assert(out.length == nSources, "every source contributes (budget > 0)")
+    val maxDoc = docs
+      .select(max(size(graft.llm.TextAnalysis.tokens(col("text"))))).as[Int].head().toLong
+    out.foreach { case (src, nDocs, toks) =>
+      assert(nDocs >= 1)
+      // kept tokens can overshoot only by the last STARTED doc's length
+      assert(toks < 600 + maxDoc, s"$src overshoots: $toks")
+      // the boundary doc is included, so a source with enough material
+      // reaches the budget; sf fixtures have ~1300 tokens/source
+      assert(toks >= 600, s"$src undershoots its available budget: $toks")
+    }
+  }
+
   test("multimodal frame sampling and resize are deterministic and partition-independent") {
     val media = Multimodal.withBlob(docs)
     val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)
