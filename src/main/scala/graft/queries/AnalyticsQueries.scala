@@ -1082,6 +1082,46 @@ object AnalyticsQueries {
       |  AND event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  /** Dynamic partition pruning — the runtime twin of
+    * [[partitionPrunedScan]]'s planning-time pruning: the pruning
+    * predicate is NOT a literal in the query but the result of filtering a
+    * dimension (here a day-dimension restricted to every 7th
+    * day-of-month), so only DPP can skip fact partitions — Catalyst plants
+    * a `dynamicpruning` subquery on the fact scan's partition column, the
+    * broadcast dim's build side feeds it at runtime, and excluded
+    * directories are never listed, let alone read. At 100 TB star joins
+    * this is THE scan-killer: "this quarter's fact rows for stores in
+    * region X" prunes on a predicate no one could write as a literal.
+    * PlansSpec asserts `dynamicpruning` is present in the fact scan's
+    * PartitionFilters. Write-side demo scoping follows the
+    * partitionPrunedScan rule.
+    */
+  def dppScan(spark: SparkSession, dir: String): DataFrame = {
+    val scope = graft.engine.PortableHash.md5LongScala(dir).toHexString.take(8)
+    val out = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft_dpp_events_${ProcessHandle.current().pid()}_$scope").toString
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts").cast("date"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val fact = spark.read.parquet(out)
+    // the dim is derived (distinct partition values + a selective filter),
+    // so its surviving days exist only at RUNTIME — exactly DPP's case
+    val dim = fact.select(col("day")).distinct()
+      .filter(dayofmonth(to_date(col("day"))) % 7 === 3)
+    fact.join(broadcast(dim), "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+  }
+
+  val dppScanSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE date_part('day', ts) % 7 = 3
+      |GROUP BY 1""".stripMargin
+
   /** First-order Markov transition matrix over per-user event sequences —
     * the behavioral-model fit (what follows what, and how often). One
     * user-keyed exchange carries the whole cost: `lag` orders each user's

@@ -135,4 +135,12 @@ class PlansSpec extends SparkSuite {
     assert(pushedLines.contains("EqualTo(event_type,purchase)"),
       s"event_type must push into the surviving files, got:\n$pushedLines")
   }
+
+  test("dpp_scan plants a dynamicpruning subquery on the fact scan") {
+    val partLines = plans("dpp_scan").linesIterator
+      .filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(partLines.contains("dynamicpruning"),
+      s"the dim-derived day filter must prune fact partitions at RUNTIME, " +
+        s"got:\n$partLines")
+  }
 }
