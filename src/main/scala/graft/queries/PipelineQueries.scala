@@ -801,6 +801,63 @@ object PipelineQueries {
        |WHERE abs(cents - med) > mad * 3""".stripMargin
   }
 
+  // ------------------------------------------------------- time to convert
+  /** Click→purchase latency percentiles per day — the funnel-latency SLA
+    * readout, in EXACT integer seconds (no approx percentile, no float
+    * sort): each purchase pairs with the user's latest click ≤ 1 h before
+    * (the as-of topology: time-bounded equi-join on user + one
+    * map-side-combined `max`), then p50/p90 come from the per-day integer
+    * VALUE HISTOGRAM — the `robust_anomaly` order-statistic idiom, where
+    * the quantile windows run over (day, lat_s) histogram rows, never raw
+    * conversions. pXX is the lower order statistic at index
+    * ((n−1)·XX)/100, exact and tie-free by construction.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val lat = p.join(c, col("c_user") === col("user_id") &&
+        col("c_ts") <= col("ts") &&
+        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("event_id"), col("ts"))
+      .agg(max(col("c_ts")).as("cts"))
+      .select(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"),
+        expr("(unix_micros(ts) - unix_micros(cts)) div 1000000").as("lat_s"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("lat_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+    val h = lat.groupBy(col("day"), col("lat_s")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(wTot))
+    def pick(q: Int, out: String) =
+      h.filter(expr(s"((total - 1) * $q) div 100") >= col("cum") - col("c") &&
+               expr(s"((total - 1) * $q) div 100") < col("cum"))
+        .select(col("day"), col("lat_s").as(out), col("total"))
+    pick(50, "p50_s").select(col("day"), col("total").as("n_conv"), col("p50_s"))
+      .join(pick(90, "p90_s").select(col("day"), col("p90_s")), "day")
+  }
+
+  val timeToConvertSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click'),
+      |l AS (SELECT p.event_id, p.ts, max(c_ts) AS cts FROM p JOIN c ON c_user = user_id
+      |      AND c_ts <= ts AND c_ts >= ts - INTERVAL '1 hour' GROUP BY 1, 2),
+      |lat AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |               (epoch_us(ts) - epoch_us(cts)) // 1000000 AS lat_s FROM l),
+      |h0 AS (SELECT day, lat_s, count(*) AS c FROM lat GROUP BY 1, 2),
+      |h AS (SELECT day, lat_s, c,
+      |        sum(c) OVER (PARTITION BY day ORDER BY lat_s ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY day) AS total FROM h0),
+      |p50 AS (SELECT day, lat_s AS p50_s, total FROM h
+      |        WHERE ((total - 1) * 50) // 100 >= cum - c AND ((total - 1) * 50) // 100 < cum),
+      |p90 AS (SELECT day, lat_s AS p90_s FROM h
+      |        WHERE ((total - 1) * 90) // 100 >= cum - c AND ((total - 1) * 90) // 100 < cum)
+      |SELECT day, CAST(total AS BIGINT) AS n_conv, p50_s, p90_s
+      |FROM p50 JOIN p90 USING (day)""".stripMargin
+
   // ------------------------------------------------------ entity resolution
   /** End-to-end entity resolution — the record-linkage flagship composing
     * the library's stages: deterministic dirty-record synthesis (every 7th

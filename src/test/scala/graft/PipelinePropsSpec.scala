@@ -238,6 +238,18 @@ class PipelinePropsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("time_to_convert: percentiles are ordered, in-window, exact order statistics") {
+    import spark.implicits._
+    val out = PipelineQueries.timeToConvert(spark, sf1)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (day, n, p50, p90) =>
+      assert(n > 0)
+      assert(p50 <= p90, s"$day: p50 $p50 > p90 $p90")
+      assert(p50 >= 0 && p90 <= 3600, s"$day: latency outside the 1h as-of window")
+    }
+  }
+
   test("entity_resolution: variants absorb into base entities, canonicals are clean") {
     val out = PipelineQueries.entityResolution(spark, sf1).cache()
     val cust = graft.engine.Tables.customer(spark, sf1)
