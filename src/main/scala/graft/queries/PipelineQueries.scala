@@ -801,6 +801,108 @@ object PipelineQueries {
        |WHERE abs(cents - med) > mad * 3""".stripMargin
   }
 
+  // ------------------------------------------------------ feature snapshot
+  /** Point-in-time feature assembly — the feature-store discipline: every
+    * feature is computed from events STRICTLY BEFORE the cutoff
+    * (2024-01-20), so a model trained on this table can never leak the
+    * future. One scan, one map-side-combined groupBy(user): recency
+    * windows are conditional aggregates (no self-joins), the last event
+    * rides a `max_by` struct (no window sort), money stays in exact
+    * cents. At 100 TB this is the one-pass profile the training join
+    * hangs off.
+    */
+  def featureSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val ev = Tables.events(spark, dir).filter(col("ts") < cutoff)
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("ts") >= cutoff - expr("INTERVAL 7 DAYS"), 1L)
+          .otherwise(0L)).as("n_7d"),
+        sum(when(col("event_type") === "purchase" &&
+            col("ts") >= cutoff - expr("INTERVAL 7 DAYS"),
+          (dec(col("value")) * 100).cast("long")).otherwise(0L)).as("spend_7d_cents"),
+        // (ts, event_id) packed into one DECIMAL(38,0) ordering key — DuckDB's
+        // arg_max takes no tuple ordering, so both engines rank the same scalar
+        max_by(col("event_type"),
+          expr("CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000000 + event_id"))
+          .as("last_type"),
+        datediff(lit("2024-01-20").cast("date"), max(col("ts")).cast("date"))
+          .cast("long").as("days_since_last"))
+  }
+
+  val featureSnapshotSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(count(*) FILTER (ts >= TIMESTAMP '2024-01-20' - INTERVAL '7 days') AS BIGINT) AS n_7d,
+      |  CAST(COALESCE(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    FILTER (event_type = 'purchase'
+      |            AND ts >= TIMESTAMP '2024-01-20' - INTERVAL '7 days'), 0) AS BIGINT) AS spend_7d_cents,
+      |  arg_max(event_type, epoch_us(ts)::HUGEINT * 1000000000 + event_id) AS last_type,
+      |  CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-20') AS BIGINT) AS days_since_last
+      |FROM events WHERE ts < TIMESTAMP '2024-01-20'
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- A/B significance
+  /** Two-proportion A/B significance in EXACT integer arithmetic — the
+    * `anomaly_zscore` discipline applied to experiment readouts: users
+    * hash-assign to arms (portable md5, replayed by the oracle), the
+    * conversion metric is "any purchase", and |z| ≥ 2 rewrites to the
+    * cross-multiplied integer inequality
+    * (c1·n2 − c2·n1)²·N ≥ 4·n1·n2·C·(N−C), so no square root, no float
+    * division, no drift — the significance FLAG itself is hash-verified.
+    * Products run in DECIMAL(38,0) ⇔ HUGEINT (the cross term alone passes
+    * 2^63 once arms reach ~10^5 users). One scan, one user-level
+    * aggregate, then a 2-row pivot.
+    */
+  def abSignificance(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", PortableHash.md5Long(concat(lit("ab:"), col("user_id"))) % 2)
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val d38 = "DECIMAL(38,0)"
+    arms.groupBy()
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 0, col("c"))).as("c_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 1, col("c"))).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr(s"""CAST(c_a AS $d38) * n_b - CAST(c_b AS $d38) * n_a""").as("num"),
+        // zero pooled variance (nobody / everybody converted) means z is
+        // undefined and the proportions are equal — NOT significant; without
+        // the guard the inequality degenerates to 0 >= 0 and flags true
+        expr(s"""c_a + c_b > 0 AND c_a + c_b < n_a + n_b AND
+                 (CAST(c_a AS $d38) * n_b - CAST(c_b AS $d38) * n_a)
+                 * (CAST(c_a AS $d38) * n_b - CAST(c_b AS $d38) * n_a)
+                 * (n_a + n_b)
+                 >= 4 * CAST(n_a AS $d38) * n_b * (c_a + c_b)
+                 * (n_a + n_b - c_a - c_b)""").as("significant"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        col("num").cast("long").as("diff_cross"), col("significant"))
+  }
+
+  val abSignificanceSql: String =
+    """WITH u AS (SELECT user_id,
+      |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT (('0x' || substr(md5('ab:' || user_id), 1, 15))::BIGINT) % 2 AS arm,
+      |             count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY 1),
+      |p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+      |             max(CASE WHEN arm = 0 THEN c END) AS c_a,
+      |             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+      |             max(CASE WHEN arm = 1 THEN c END) AS c_b FROM a)
+      |SELECT n_a, c_a, n_b, c_b,
+      |       CAST(c_a::HUGEINT * n_b - c_b::HUGEINT * n_a AS BIGINT) AS diff_cross,
+      |       c_a + c_b > 0 AND c_a + c_b < n_a + n_b AND
+      |       (c_a::HUGEINT * n_b - c_b::HUGEINT * n_a)
+      |         * (c_a::HUGEINT * n_b - c_b::HUGEINT * n_a)
+      |         * (n_a + n_b)
+      |       >= 4::HUGEINT * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)
+      |         AS significant
+      |FROM p""".stripMargin
+
   // ------------------------------------------------------- time to convert
   /** Click→purchase latency percentiles per day — the funnel-latency SLA
     * readout, in EXACT integer seconds (no approx percentile, no float

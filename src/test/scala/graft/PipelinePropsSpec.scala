@@ -238,6 +238,36 @@ class PipelinePropsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("feature_snapshot: point-in-time bounds hold for every user") {
+    val out = PipelineQueries.featureSnapshot(spark, sf1).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_7d") > col("n_events")).isEmpty)
+    assert(out.filter(col("spend_7d_cents") < 0).isEmpty)
+    assert(out.filter(col("days_since_last") < 0).isEmpty,
+      "no feature may see past the cutoff")
+    val types = graft.engine.Tables.events(spark, sf1)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(out.select("last_type").collect().forall(r => types(r.getString(0))))
+    out.unpersist()
+  }
+
+  test("ab_significance: integer inequality agrees with the float z-test") {
+    val Array(r) = PipelineQueries.abSignificance(spark, sf1).collect()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ca <= na && cb <= nb)
+    val (p1, p2) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    if (p == 0.0 || p == 1.0) {
+      // zero pooled variance: z undefined, proportions equal — never flagged
+      assert(!r.getBoolean(5), "degenerate experiment must not flag")
+    } else {
+      val z2 = math.pow(p1 - p2, 2) / (p * (1 - p) * (1.0 / na + 1.0 / nb))
+      assert(math.abs(z2 - 4.0) > 1e-9, "fixture sits on the decision boundary")
+      assert(r.getBoolean(5) == (z2 >= 4.0),
+        s"integer flag disagrees with float z² = $z2")
+    }
+  }
+
   test("time_to_convert: percentiles are ordered, in-window, exact order statistics") {
     import spark.implicits._
     val out = PipelineQueries.timeToConvert(spark, sf1)
