@@ -801,6 +801,50 @@ object PipelineQueries {
        |WHERE abs(cents - med) > mad * 3""".stripMargin
   }
 
+  // ---------------------------------------------------- linear attribution
+  /** Linear multi-touch attribution: each purchase's value splits EQUALLY
+    * across the user's clicks in the preceding hour, and credited revenue
+    * rolls up by click day — in exact integer MICRO-CENTS (cents·10⁶ div
+    * touches), so the split is deterministic and the oracle replays it
+    * bit-for-bit where a float division would drift in the last ulp.
+    * Topology: one time-bounded equi-join builds the touch pairs, the
+    * per-purchase touch count is a map-side-combined aggregate joined
+    * back (aggregate-sized), and the day rollup moves only credited
+    * pairs. The as-of family's candidates-then-weight shape.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts"), (dec(col("value")) * 100).cast("long").as("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val pairs = p.join(c, col("c_user") === col("user_id") &&
+      col("c_ts") <= col("ts") &&
+      col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+    val touches = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("k"))
+    pairs.join(touches, "p_id")
+      .select(date_format(col("c_ts").cast("date"), "yyyy-MM-dd").as("day"),
+        expr("(cents * 1000000) div k").as("credit_micros"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micros")).cast("long").as("credited_micros"))
+  }
+
+  val attributionLinearSql: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, ts,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, ts AS c_ts FROM events WHERE event_type = 'click'),
+      |pairs AS (SELECT p.*, c.c_ts FROM p JOIN c ON c_user = user_id
+      |          AND c_ts <= ts AND c_ts >= ts - INTERVAL '1 hour'),
+      |t AS (SELECT p_id, count(*) AS k FROM pairs GROUP BY 1)
+      |SELECT CAST(CAST(c_ts AS DATE) AS VARCHAR) AS day,
+      |       count(*) AS n_touches,
+      |       CAST(sum((cents * 1000000) // k) AS BIGINT) AS credited_micros
+      |FROM pairs JOIN t USING (p_id)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------ feature snapshot
   /** Point-in-time feature assembly — the feature-store discipline: every
     * feature is computed from events STRICTLY BEFORE the cutoff

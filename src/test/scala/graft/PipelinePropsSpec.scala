@@ -238,6 +238,29 @@ class PipelinePropsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("attribution_linear conserves purchase value up to integer-split loss") {
+    import spark.implicits._
+    val credited = PipelineQueries.attributionLinear(spark, sf1)
+      .agg(sum("credited_micros"), sum("n_touches")).as[(Long, Long)].head()
+    val (creditedMicros, nTouches) = credited
+    // independently recompute the attributed purchases' total value
+    val ev = graft.engine.Tables.events(spark, sf1)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val attributed = p.join(c, col("cu") === col("user_id") &&
+        col("cts") <= col("ts") &&
+        col("cts") >= col("ts") - expr("INTERVAL 1 HOUR"), "left_semi")
+      .agg(sum("cents")).as[Long].head()
+    val totalMicros = attributed * 1000000L
+    // each purchase loses < k micros to floor division (k = its touches)
+    assert(creditedMicros <= totalMicros)
+    assert(totalMicros - creditedMicros < nTouches,
+      s"split loss ${totalMicros - creditedMicros} exceeds touch count $nTouches")
+  }
+
   test("feature_snapshot: point-in-time bounds hold for every user") {
     val out = PipelineQueries.featureSnapshot(spark, sf1).cache()
     assert(out.count() > 0)
