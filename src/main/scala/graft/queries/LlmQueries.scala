@@ -820,6 +820,45 @@ object LlmQueries {
        |WHERE round(${dot("ea", "eb")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 
+  // ------------------------------------------- similarity: recall readout
+  /** LSH recall/precision vs the exact pair set, ITSELF oracle-verified —
+    * upgrades the recall floors from spec-asserted numbers to a
+    * driver-checked query: both pipelines (sign-plane LSH with exact
+    * verify, and the exact all-pairs baseline) already replay bit-for-bit
+    * in DuckDB, so their intersection and the derived recall/precision
+    * basis points hash-match too. Precision pinning at 10000 is not
+    * trivia: it proves under the oracle that the verify stage admits NO
+    * false positives — LSH ⊆ exact. The exact side carries
+    * [[graft.llm.Similarity]]'s N-guard; at corpus scale the baseline is
+    * sampled, the readout query is unchanged.
+    */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val lsh = Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, minCos)
+      .select("a_id", "b_id").persist()
+    val exact = Similarity.exactNearDupPairs(emb, minCos)
+      .select("a_id", "b_id").persist()
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nH = lsh.join(exact, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nE.crossJoin(nL).crossJoin(nH)
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        expr("(10000 * n_hit) div n_exact").as("recall_bp"),
+        expr("(10000 * n_hit) div n_lsh").as("precision_bp"))
+  }
+
+  val annRecallEvalSql: String =
+    s"""WITH lsh AS (SELECT a_id, b_id FROM ($annLshSql)),
+       |ex AS (SELECT a_id, b_id FROM ($embedNeardupSql)),
+       |ne AS (SELECT count(*) AS n_exact FROM ex),
+       |nl AS (SELECT count(*) AS n_lsh FROM lsh),
+       |nh AS (SELECT count(*) AS n_hit FROM lsh JOIN ex USING (a_id, b_id))
+       |SELECT n_exact, n_lsh, n_hit,
+       |       (10000 * n_hit) // n_exact AS recall_bp,
+       |       (10000 * n_hit) // n_lsh AS precision_bp
+       |FROM ne, nl, nh""".stripMargin
+
   // ----------------------------------- similarity: multi-probe sign-plane
   /** Symmetric n-way multi-probe LSH: probe q of each table flips the
     * q-th lowest-|margin| bit (the planes most likely to have hashed a
@@ -1201,6 +1240,32 @@ object LlmQueries {
        |       ELSE 'de' END AS pred_lang
        |FROM documents""".stripMargin
   }
+
+  // ------------------------------------------------ text: lang-ID evaluation
+  /** Language-ID confusion matrix — the classifier EVALUATED against the
+    * corpus's labeled `lang` column: per (true, predicted) cell, the count
+    * and the row-normalized share in exact basis points. The per-row
+    * scoring stage is [[langIdOf]] shared verbatim with `lang_id` and the
+    * streaming curation twin, so the evaluation can never drift from the
+    * classifier it measures. One map-side-combined aggregate on a k²
+    * domain; the share window runs over those cells, not documents.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labeled_lang"))
+    langIdOf(Tables.documents(spark, dir))
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total", sum(col("n")).over(w))
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        expr("(10000 * n) div label_total").as("share_bp"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pred AS ($langIdSql),
+       |c AS (SELECT labeled_lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2)
+       |SELECT labeled_lang, pred_lang, n,
+       |       (10000 * n) // SUM(n) OVER (PARTITION BY labeled_lang) AS share_bp
+       |FROM c""".stripMargin
 
   // ----------------------------------------------------- text: quality score
   def qualityScore(spark: SparkSession, dir: String): DataFrame =

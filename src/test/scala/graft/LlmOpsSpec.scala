@@ -423,6 +423,33 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("ann_recall_eval: LSH is a subset of exact (precision 10000), recall floored") {
+    val Array(r) = graft.queries.LlmQueries.annRecallEval(spark, sf1).collect()
+    val (nExact, nLsh, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0)
+    assert(nHit == nLsh, "verify stage must admit no false positives")
+    assert(r.getLong(4) == 10000L, "precision_bp pins at 10000")
+    assert(r.getLong(3) >= 5000L, s"recall_bp ${r.getLong(3)} below the 0.5 floor")
+  }
+
+  test("lang_confusion rows are proper distributions; the classifier beats chance") {
+    import spark.implicits._
+    val out = graft.queries.LlmQueries.langConfusion(spark, sf1).cache()
+    val rows = out.groupBy("labeled_lang")
+      .agg(sum("share_bp").as("s"), count(lit(1)).as("k"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (l, s, k) =>
+      assert(s <= 10000 && s > 10000 - k, s"row $l: share sum $s over $k cells")
+    }
+    // diagonal mass (correct predictions) must beat the 1/k chance share
+    val diag = out.filter(col("labeled_lang") === col("pred_lang"))
+      .agg(sum("n")).as[Long].head()
+    val total = out.agg(sum("n")).as[Long].head()
+    assert(diag * rows.length > total,
+      s"accuracy $diag/$total must beat chance 1/${rows.length}")
+    out.unpersist()
+  }
+
   test("multimodal frame sampling and resize are deterministic and partition-independent") {
     val media = Multimodal.withBlob(docs)
     val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)

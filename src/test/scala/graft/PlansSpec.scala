@@ -54,7 +54,9 @@ class PlansSpec extends SparkSuite {
     // pmi_collocations: the 1-row corpus-token-count fold-in (tfidf's pattern)
     "pmi_collocations",
     // copurchase_pairs: the 1-row basket-count fold-in
-    "copurchase_pairs")
+    "copurchase_pairs",
+    // ann_recall_eval: the final 1-row x 1-row x 1-row count crosses
+    "ann_recall_eval")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
