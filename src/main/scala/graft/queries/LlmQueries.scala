@@ -638,6 +638,62 @@ object LlmQueries {
 
   val docChunksSql: String = s"WITH $docChunksCtes\n$docChunksSelect"
 
+  /** Contrastive training-pair mining over the chunk lattice — the
+    * self-supervised data-construction step for embedding training:
+    * anchor/positive = consecutive chunks of the SAME document (local
+    * coherence), negative = the first chunk of a deterministically
+    * hash-paired OTHER document. Negative selection avoids any global
+    * structure: documents pair within 64 md5 buckets (min↔max per
+    * bucket), so the "random" negative is portable, partition-independent,
+    * and oracle-replayable — no rand(), no global shuffle. Scale shape:
+    * the positive lead() window is doc-partitioned (bounded by document
+    * length, not corpus), bucket pairing runs on one row per document,
+    * and every join is id-keyed. Output carries content HASHES — the
+    * pair list ships ids, never text.
+    */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val ch = docChunks(spark, dir).persist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    val pos = ch.withColumn("pos_hash", lead(col("chunk_hash"), 1).over(w))
+      .filter(col("pos_hash").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("chunk_hash").as("anchor_hash"), col("pos_hash"))
+    val docs = ch.filter(col("chunk_idx") === 0)
+      .select(col("doc_id"), col("chunk_hash").as("first_hash"))
+      .withColumn("bucket",
+        PortableHash.md5Long(concat(lit("cp:"), col("doc_id"))) % 64)
+    val buckets = docs.groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"),
+        count(lit(1)).as("bn"))
+    val partner = docs.join(buckets, "bucket").filter(col("bn") >= 2)
+      .select(col("doc_id"),
+        when(col("doc_id") === col("dmin"), col("dmax"))
+          .otherwise(col("dmin")).as("neg_doc"))
+    pos.join(partner, "doc_id")
+      .join(docs.select(col("doc_id").as("neg_doc"), col("first_hash").as("neg_hash")),
+        "neg_doc")
+      .select(col("doc_id"), col("chunk_idx"), col("anchor_hash"),
+        col("pos_hash"), col("neg_doc"), col("neg_hash"))
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH ch AS (SELECT * FROM ($docChunksSql)),
+       |pos AS (SELECT doc_id, chunk_idx, chunk_hash AS anchor_hash,
+       |          lead(chunk_hash) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS pos_hash
+       |        FROM ch),
+       |d AS (SELECT doc_id, chunk_hash AS first_hash,
+       |        ${PortableHash.md5LongSql("'cp:' || doc_id")} % 64 AS bucket
+       |      FROM ch WHERE chunk_idx = 0),
+       |b AS (SELECT bucket, min(doc_id) AS dmin, max(doc_id) AS dmax, count(*) AS bn
+       |      FROM d GROUP BY 1),
+       |p AS (SELECT d.doc_id, CASE WHEN d.doc_id = b.dmin THEN b.dmax ELSE b.dmin END AS neg_doc
+       |      FROM d JOIN b USING (bucket) WHERE bn >= 2),
+       |nh AS (SELECT doc_id AS neg_doc, first_hash AS neg_hash FROM d)
+       |SELECT pos.doc_id, chunk_idx, anchor_hash, pos_hash, p.neg_doc, nh.neg_hash
+       |FROM pos JOIN p USING (doc_id) JOIN nh USING (neg_doc)
+       |WHERE pos_hash IS NOT NULL""".stripMargin
+
   /** Cross-document repeated-substring detection (the chunk-level exact
     * dedup signal from suffix-array substring dedup, bounded to the fixed
     * 32-token chunk lattice): full-width chunks whose content hash occurs

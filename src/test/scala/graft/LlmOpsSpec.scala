@@ -450,6 +450,21 @@ class LlmOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("contrastive pairs: positives are in-doc neighbors, negatives cross-doc") {
+    val out = graft.queries.LlmQueries.contrastivePairs(spark, sf1).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("neg_doc") === col("doc_id")).isEmpty,
+      "a negative must come from ANOTHER document")
+    // every positive IS the anchor doc's next chunk, verified independently
+    val next = graft.queries.LlmQueries.docChunks(spark, sf1)
+      .select(col("doc_id"), (col("chunk_idx") - 1).as("chunk_idx"),
+        col("chunk_hash").as("expect_pos"))
+    val mismatched = out.join(next, Seq("doc_id", "chunk_idx"))
+      .filter(col("pos_hash") =!= col("expect_pos"))
+    assert(mismatched.isEmpty, "pos_hash must equal the next chunk's hash")
+    out.unpersist()
+  }
+
   test("multimodal frame sampling and resize are deterministic and partition-independent") {
     val media = Multimodal.withBlob(docs)
     val f1 = Multimodal.frameSample(spark, media, chunkBytes = 16, everyN = 2)
