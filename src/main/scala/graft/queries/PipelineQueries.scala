@@ -801,6 +801,52 @@ object PipelineQueries {
        |WHERE abs(cents - med) > mad * 3""".stripMargin
   }
 
+  // --------------------------------------------------------- session paths
+  /** Top user-journey paths: sessions close on a 30-minute inactivity gap
+    * (the gaps-and-islands idiom shared with `session_agg`), each
+    * session's ordered event types collapse to one `a>b>c` path string,
+    * and the top 20 paths rank by (count, path) — a total order, so the
+    * cut is deterministic. Scale shape: one user-keyed exchange builds
+    * sessions; the per-session `collect_list` is bounded by session
+    * LENGTH (human-scale, not corpus-scale); path counting is a
+    * map-side-combined aggregate over path strings; the final cut is a
+    * TakeOrdered, no global sort.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val s = Tables.events(spark, dir)
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(cum))
+    s.groupBy(col("user_id"), col("sid"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val sessionPathsSql: String =
+    """WITH o AS (SELECT user_id, event_id, ts, event_type,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            >= INTERVAL '30 minutes'
+      |       THEN 1 ELSE 0 END AS brk FROM events),
+      |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+      |paths AS (SELECT user_id, sid,
+      |            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |          FROM s GROUP BY 1, 2)
+      |SELECT path, count(*) AS n FROM paths GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   // ---------------------------------------------------- linear attribution
   /** Linear multi-touch attribution: each purchase's value splits EQUALLY
     * across the user's clicks in the preceding hour, and credited revenue

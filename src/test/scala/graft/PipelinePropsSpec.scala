@@ -238,6 +238,20 @@ class PipelinePropsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("session_paths: counts bounded by the session count, ranking total-ordered") {
+    import spark.implicits._
+    val out = PipelineQueries.sessionPaths(spark, sf1)
+      .as[(String, Long)].collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_._1.nonEmpty))
+    val ns = out.map(_._2)
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
+    // the same 30-minute sessionization backs session_agg: its session count
+    // upper-bounds any path-count sum
+    val nSessions = graft.queries.ReferenceQueries.sessionAgg(spark, sf1).count()
+    assert(ns.sum <= nSessions)
+  }
+
   test("attribution_linear conserves purchase value up to integer-split loss") {
     import spark.implicits._
     val credited = PipelineQueries.attributionLinear(spark, sf1)
