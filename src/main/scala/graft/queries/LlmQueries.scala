@@ -877,23 +877,42 @@ object LlmQueries {
   }
 
   // ------------------------------------------- similarity: recall readout
-  /** LSH recall/precision vs the exact pair set, ITSELF oracle-verified —
+  /** LSH recall/precision vs an exact baseline, ITSELF oracle-verified —
     * upgrades the recall floors from spec-asserted numbers to a
-    * driver-checked query: both pipelines (sign-plane LSH with exact
-    * verify, and the exact all-pairs baseline) already replay bit-for-bit
-    * in DuckDB, so their intersection and the derived recall/precision
-    * basis points hash-match too. Precision pinning at 10000 is not
-    * trivia: it proves under the oracle that the verify stage admits NO
-    * false positives — LSH ⊆ exact. The exact side carries
-    * [[graft.llm.Similarity]]'s N-guard; at corpus scale the baseline is
-    * sampled, the readout query is unchanged.
+    * driver-checked query. The baseline is ANCHORED: a fixed 256-vector
+    * sample (smallest portable hashes — a TakeOrdered of ids, broadcast)
+    * is brute-scored against the whole corpus, so the exact side costs
+    * 256·N dot products FOREVER — linear in corpus size, where the full
+    * all-pairs baseline is quadratic (measured: the unanchored form went
+    * 1.4 s → 12.6 s at just 4× data). Recall is then |LSH ∩ exact| over
+    * the anchored exact pairs; precision pinning at 10000 proves under
+    * the oracle that the verify stage admits NO false positives on the
+    * anchored subset. Both pipelines replay bit-for-bit in DuckDB, so the
+    * derived basis points hash-match too.
     */
   def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val lsh = Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, minCos)
-      .select("a_id", "b_id").persist()
-    val exact = Similarity.exactNearDupPairs(emb, minCos)
-      .select("a_id", "b_id").persist()
+    val anchors = broadcast(
+      emb.select(col("vec_id").as("a_vid"), col("embedding").as("a_emb"),
+        PortableHash.md5Long(concat(lit("ar:"), col("vec_id"))).as("h"))
+        .orderBy(col("h"), col("a_vid")).limit(256)
+        .withColumn("a_nrm", nullif(Similarity.norm(col("a_emb")), lit(0.0))))
+    val base = graft.engine.Spread.spreadSmallInput(emb)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", nullif(Similarity.norm(col("embedding")), lit(0.0)))
+    val exact = base.join(anchors, col("a_vid") =!= col("vec_id"))
+      .withColumn("sim",
+        round(Similarity.dot(col("a_emb"), col("embedding")) / (col("a_nrm") * col("nrm")), 6))
+      .filter(col("sim") >= minCos)
+      .select(least(col("a_vid"), col("vec_id")).as("a_id"),
+        greatest(col("a_vid"), col("vec_id")).as("b_id"))
+      .distinct().persist()
+    val aIds = anchors.select(col("a_vid"))
+    val lshAll = Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, minCos)
+      .select("a_id", "b_id")
+    val lsh = lshAll.join(broadcast(aIds), col("a_id") === col("a_vid"), "left_semi")
+      .union(lshAll.join(broadcast(aIds), col("b_id") === col("a_vid"), "left_semi"))
+      .distinct().persist()
     val nE = exact.agg(count(lit(1)).as("n_exact"))
     val nL = lsh.agg(count(lit(1)).as("n_lsh"))
     val nH = lsh.join(exact, Seq("a_id", "b_id"), "left_semi")
@@ -904,9 +923,20 @@ object LlmQueries {
         expr("(10000 * n_hit) div n_lsh").as("precision_bp"))
   }
 
-  val annRecallEvalSql: String =
-    s"""WITH lsh AS (SELECT a_id, b_id FROM ($annLshSql)),
-       |ex AS (SELECT a_id, b_id FROM ($embedNeardupSql)),
+  val annRecallEvalSql: String = {
+    val anchorDot =
+      "list_reduce([an.a_emb[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
+       |           FROM embeddings e0),
+       |an AS (SELECT vec_id AS a_vid, embedding AS a_emb, nrm AS a_nrm
+       |       FROM e ORDER BY ${PortableHash.md5LongSql("'ar:' || vec_id")}, vec_id LIMIT 256),
+       |ex AS (SELECT DISTINCT least(a_vid, e.vec_id) AS a_id,
+       |                       greatest(a_vid, e.vec_id) AS b_id
+       |       FROM an, e WHERE a_vid != e.vec_id
+       |         AND round($anchorDot / (an.a_nrm * e.nrm), 6) >= $minCos),
+       |lshall AS (SELECT a_id, b_id FROM ($annLshSql)),
+       |lsh AS (SELECT DISTINCT a_id, b_id FROM lshall
+       |        WHERE a_id IN (SELECT a_vid FROM an) OR b_id IN (SELECT a_vid FROM an)),
        |ne AS (SELECT count(*) AS n_exact FROM ex),
        |nl AS (SELECT count(*) AS n_lsh FROM lsh),
        |nh AS (SELECT count(*) AS n_hit FROM lsh JOIN ex USING (a_id, b_id))
@@ -914,6 +944,7 @@ object LlmQueries {
        |       (10000 * n_hit) // n_exact AS recall_bp,
        |       (10000 * n_hit) // n_lsh AS precision_bp
        |FROM ne, nl, nh""".stripMargin
+  }
 
   // ----------------------------------- similarity: multi-probe sign-plane
   /** Symmetric n-way multi-probe LSH: probe q of each table flips the
