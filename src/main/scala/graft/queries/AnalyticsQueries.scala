@@ -1229,6 +1229,47 @@ object AnalyticsQueries {
       |FROM p JOIN sup sa ON part_a = sa.pk JOIN sup sb ON part_b = sb.pk CROSS JOIN nb
       |ORDER BY lift_bp DESC, part_a, part_b LIMIT 100""".stripMargin
 
+  /** Pareto / contribution analysis: the smallest customer set covering
+    * 80% of revenue — "how concentrated is our revenue?" in one row of
+    * exact integers. The descending running total comes from
+    * [[graft.engine.Prefix.exclusiveCumsum]] ordered by
+    * (cents DESC, custkey) — the two-pass range-partitioned prefix sum,
+    * so the global rank never serializes through one task — and the 80%
+    * cut is the integer cross-multiplication 5·prefix < 4·total (a
+    * customer is in the covering set iff it STARTS before the boundary).
+    * Money stays in cents; the total folds in as a broadcast 1-row
+    * aggregate.
+    */
+  def paretoCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val cum = graft.engine.Prefix.exclusiveCumsum(
+      spend, Seq(col("cents").desc, col("o_custkey")), col("cents"), "cum")
+    val totals = spend.agg(sum(col("cents")).as("total_cents"),
+      count(lit(1)).as("n_customers"))
+    cum.crossJoin(broadcast(totals))
+      .filter(col("cum") * 5 < col("total_cents") * 4)
+      .groupBy(col("n_customers"), col("total_cents"))
+      .agg(count(lit(1)).as("n_top"), sum(col("cents")).as("covered_cents"))
+      .select(col("n_top"), col("n_customers"),
+        col("covered_cents").cast("long"), col("total_cents").cast("long"),
+        expr("(10000 * n_top) div n_customers").as("share_bp"))
+  }
+
+  val paretoCustomersSql: String =
+    """WITH s AS (SELECT o_custkey,
+      |             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |           FROM orders GROUP BY 1),
+      |c AS (SELECT *, SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+      |                                 ROWS UNBOUNDED PRECEDING) - cents AS cum FROM s),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents, count(*) AS n_customers FROM s)
+      |SELECT count(*) AS n_top, t.n_customers,
+      |       CAST(SUM(cents) AS BIGINT) AS covered_cents, t.total_cents,
+      |       (10000 * count(*)) // t.n_customers AS share_bp
+      |FROM c, t WHERE cum * 5 < total_cents * 4
+      |GROUP BY t.n_customers, t.total_cents""".stripMargin
+
   val cdcApplySql: String =
     """WITH l AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
       |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders),

@@ -71,6 +71,23 @@ class AnalyticsPropsSpec extends SparkSuite {
     assert(lifts.sameElements(lifts.sorted(Ordering[Long].reverse)))
   }
 
+  test("pareto set is minimal: covers >=80%, dropping its last member does not") {
+    import spark.implicits._
+    val Array((nTop, nCust, covered, total, shareBp)) =
+      AnalyticsQueries.paretoCustomers(spark, sf1)
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nTop > 0 && nTop <= nCust)
+    assert(covered * 5 >= total * 4, "the selected set must cover 80%")
+    assert(shareBp == 10000 * nTop / nCust)
+    // minimality: without its smallest member the set falls under 80%
+    val spends = graft.engine.Tables.orders(spark, sf1)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .as[(Long, Long)].collect().map(_._2).sorted(Ordering[Long].reverse)
+    val withoutLast = spends.take(nTop.toInt - 1).sum
+    assert(withoutLast * 5 < total * 4, "the set must be MINIMAL")
+  }
+
   test("CMS estimates never underestimate (count-min is one-sided)") {
     val df = AnalyticsQueries.heavyHittersCms(spark, sf1).cache()
     assert(df.count() == 10)
