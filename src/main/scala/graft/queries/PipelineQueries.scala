@@ -801,6 +801,73 @@ object PipelineQueries {
        |WHERE abs(cents - med) > mad * 3""".stripMargin
   }
 
+  // -------------------------------------------- unbounded as-of via union
+  /** Point-in-time lookup with UNBOUNDED lookback — the SCD2-style "which
+    * version was active when this fact happened" join, built WITHOUT a
+    * join: a bounded as-of (`asof_join`) can range-join because the
+    * lookback window caps the candidates, but an unbounded one would pair
+    * every fact with every earlier version. Instead both relations union
+    * into one stream tagged by kind, and an IGNORE NULLS `last_value`
+    * window per user carries the most recent click forward onto each
+    * purchase — one user-keyed exchange total, zero candidate blowup, any
+    * lookback depth. (The `fill_forward` idiom promoted to a join
+    * replacement.) Purchases with no prior click surface with a null
+    * click — the left-outer semantics.
+    */
+  def asofUnionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("kind"),
+        when(col("event_type") === "click", col("event_id")).as("click_marker"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      // clicks sort BEFORE purchases at the same timestamp (tie by kind
+      // then id), so a same-instant click is visible to the purchase
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev.withColumn("click_id", last(col("click_marker"), ignoreNulls = true).over(w))
+      .filter(col("kind") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofUnionJoinSql: String =
+    """WITH ev AS (SELECT user_id, ts, event_id, event_type AS kind,
+      |              CASE WHEN event_type = 'click' THEN event_id END AS click_marker
+      |            FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT event_id AS purchase_id, user_id, click_id FROM (
+      |  SELECT *, last_value(click_marker IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, kind, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+      |  FROM ev)
+      |WHERE kind = 'purchase'""".stripMargin
+
+  // ----------------------------------------------------------- burst dedup
+  /** Telemetry double-fire cleanup: events of the same (user, type) within
+    * 5 minutes of the previous kept-or-dropped occurrence collapse to the
+    * burst's FIRST event — the gaps-and-islands idiom keyed one level
+    * deeper than sessionization. One (user, type)-keyed exchange; output
+    * is the kept event set (the input to every downstream aggregate when
+    * the pipeline distrusts its emitters).
+    */
+  def burstDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        col("ts") - col("prev_ts") >= expr("INTERVAL 5 MINUTES"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+  }
+
+  val burstDedupSql: String =
+    """SELECT event_id, user_id, event_type, ts FROM (
+      |  SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+      |                          ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL '5 minutes'""".stripMargin
+
   // --------------------------------------------------------- session paths
   /** Top user-journey paths: sessions close on a 30-minute inactivity gap
     * (the gaps-and-islands idiom shared with `session_agg`), each

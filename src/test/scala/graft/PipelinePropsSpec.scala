@@ -238,6 +238,38 @@ class PipelinePropsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("asof_union_join agrees with the range-join as-of inside the bounded window") {
+    val unbounded = PipelineQueries.asofUnionJoin(spark, sf1)
+      .withColumnRenamed("click_id", "u_click")
+    val bounded = graft.queries.ReferenceQueries.asofJoin(spark, sf1)
+      .withColumnRenamed("click_id", "b_click").select("purchase_id", "b_click")
+    // wherever the 1h-bounded as-of found a click, the unbounded window
+    // must find the SAME click (it can only see further back, never differ
+    // on a match inside the window)
+    val joined = unbounded.join(bounded, "purchase_id")
+    assert(joined.filter(col("u_click") =!= col("b_click")).isEmpty,
+      "union-window as-of must agree with the range-join as-of on bounded matches")
+    // and it never loses a purchase: left-outer semantics
+    val nPurch = graft.engine.Tables.events(spark, sf1)
+      .filter(col("event_type") === "purchase").count()
+    assert(unbounded.count() == nPurch)
+  }
+
+  test("burst_dedup: kept events of one (user, type) are >= 5 minutes apart") {
+    import spark.implicits._
+    val kept = PipelineQueries.burstDedup(spark, sf1).cache()
+    val total = graft.engine.Tables.events(spark, sf1).count()
+    assert(kept.count() <= total && kept.count() > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = kept.withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("ts").cast("long") - col("prev").cast("long")).as("gap_s"))
+      .as[Long].collect()
+    assert(gaps.forall(_ >= 300), "consecutive kept events must be >= 5 min apart")
+    kept.unpersist()
+  }
+
   test("session_paths: counts bounded by the session count, ranking total-ordered") {
     import spark.implicits._
     val out = PipelineQueries.sessionPaths(spark, sf1)
