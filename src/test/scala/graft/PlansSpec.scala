@@ -56,7 +56,9 @@ class PlansSpec extends SparkSuite {
     // copurchase_pairs: the 1-row basket-count fold-in
     "copurchase_pairs",
     // ann_recall_eval: the final 1-row x 1-row x 1-row count crosses
-    "ann_recall_eval")
+    "ann_recall_eval",
+    // pareto_customers: the 1-row (total_cents, n_customers) fold-in
+    "pareto_customers")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
