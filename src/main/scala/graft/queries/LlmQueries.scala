@@ -1677,6 +1677,58 @@ object LlmQueries {
        |       ELSE ${PortableHash.md5LongSql("text")} END AS fp
        |FROM shs""".stripMargin
 
+  // ------------------------------------------------------- winnowing
+  /** Winnowing fingerprints (the MOSS local document fingerprint,
+    * Schleimer–Wilkerson–Aiken 2003): every w=8 consecutive 5-gram hashes
+    * elect their minimum (rightmost on ties — "robust winnowing"), and the
+    * distinct elected (position, hash) pairs are the document's
+    * fingerprint set. Guarantees: any shared substring of ≥ w+k−1 tokens
+    * produces a shared fingerprint, and density is ~2/(w+1) — the
+    * position-aware middle ground between one global min
+    * ([[docFingerprint]]) and full shingle postings. Per-row/per-partition
+    * compute only: hashes are codegen'd post-explode, the sliding min is a
+    * doc-keyed window (frame w, no global ordering), output is ~2L/w rows
+    * per doc. The struct-min (h, −pos) makes the rightmost-tie rule a
+    * plain `min`, so map-side partial aggregation stays available.
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5; val w = 8
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.shinglesAll(col("text"), k)))
+      .toDF("doc_id", "pos0", "s")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        PortableHash.md5Long(col("s")).as("h"))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("cnt") === w)
+      .select(col("doc_id"), (-col("m.np")).cast("long").as("sel_pos"),
+        col("m.h").as("fp"))
+      .distinct()
+  }
+
+  val winnowFingerprintSql: String = {
+    val shingle = "array_to_string(tokens[i:i+4], ' ')"
+    s"""WITH toks AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
+       |       FROM documents),
+       |hl AS (SELECT doc_id,
+       |         CASE WHEN len(tokens) >= 5
+       |              THEN [${PortableHash.md5LongSql(shingle)}
+       |                    for i in range(1, len(tokens) - 3)]
+       |              ELSE [] END AS hs FROM toks),
+       |wins AS (SELECT doc_id, hs, unnest(range(1, len(hs) - 6)) AS p
+       |         FROM hl WHERE len(hs) >= 8),
+       |sel AS (SELECT doc_id,
+       |          CAST(p + (8 - list_position(list_reverse(hs[p:p+7]),
+       |                                      list_min(hs[p:p+7]))) AS BIGINT) AS sel_pos,
+       |          list_min(hs[p:p+7]) AS fp
+       |        FROM wins)
+       |SELECT DISTINCT doc_id, sel_pos, fp FROM sel""".stripMargin
+  }
+
   // ----------------------------------------------------- text: n-gram LM score
   /** Corpus-model fluency score (the CCNet-style "how LM-predictable is this
     * document" filter, re-expressed deterministically): build a bigram model

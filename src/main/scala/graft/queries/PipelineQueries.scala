@@ -491,6 +491,63 @@ object PipelineQueries {
       |GROUP BY doc_id
       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ rrf_fusion
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009) of
+    * the lexical leg ([[bm25Search]]'s top-10) and the semantic leg
+    * (brute cosine top-10 for query vector 0, the `ann_topk` machinery)
+    * over the shared doc/vec id space. The RRF score is INTEGER ppm —
+    * `10⁶ div (60 + rank)` per leg, absent rank contributing 0 — so the
+    * fused ordering is exact and the oracle replays it bit-for-bit (the
+    * float form drifts in the last ulp). Scale: both legs end in
+    * TakeOrdered 10-row heads, so the fusion join and its ranking windows
+    * touch ≤ 20 rows — a driver-bounded coda on two already-distributed
+    * rankings; the full-outer join keeps single-leg hits (the whole point
+    * of fusion: consensus beats either leg's tail).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 10-row input: the global window is bounded by the legs' limits
+    val lex = bm25Search(spark, dir)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("item"), col("r_lex"))
+    val sem = graft.llm.Similarity
+      .bruteForceTopK(Tables.embeddings(spark, dir), col("vec_id") === 0, k = 10)
+      .select(col("n_id").as("item"), col("rank").cast("long").as("r_sem"))
+    lex.join(sem, Seq("item"), "full_outer")
+      .select(col("item"),
+        (coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_sem)"), lit(0L))).as("rrf_ppm"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"))
+      .orderBy(col("rrf_ppm").desc, col("item"))
+      .limit(10)
+  }
+
+  private val rrfDot =
+    "list_reduce([%s.embedding[i]::DOUBLE * %s.embedding[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+
+  val rrfFusionSql: String = {
+    def dot(a: String, b: String) = rrfDot.format(a, b)
+    s"""WITH lex AS (SELECT doc_id AS item,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+       |       FROM ($bm25SearchSql)),
+       |e AS (SELECT vec_id, embedding, nullif(sqrt(${dot("e0", "e0")}), 0) AS nrm
+       |      FROM embeddings e0),
+       |sem AS (SELECT n_id AS item, CAST(rank AS BIGINT) AS r_sem FROM (
+       |    SELECT n_id, row_number() OVER (ORDER BY sim DESC, n_id ASC) AS rank FROM (
+       |      SELECT n.vec_id AS n_id, round(${dot("q", "n")} / (q.nrm * n.nrm), 6) AS sim
+       |      FROM (SELECT * FROM e WHERE vec_id = 0) q
+       |      JOIN e n ON n.vec_id != q.vec_id))
+       |  WHERE rank <= 10)
+       |SELECT COALESCE(l.item, s.item) AS item,
+       |       COALESCE(1000000 // (60 + l.r_lex), 0)
+       |         + COALESCE(1000000 // (60 + s.r_sem), 0) AS rrf_ppm,
+       |       COALESCE(l.r_lex, 0) AS r_lex, COALESCE(s.r_sem, 0) AS r_sem
+       |FROM lex l FULL OUTER JOIN sem s ON l.item = s.item
+       |ORDER BY rrf_ppm DESC, item LIMIT 10""".stripMargin
+  }
+
   // -------------------------------------------------------- triangle_count
   /** Per-document triangle participation in the SimHash near-dup graph —
     * the cohesion signal that separates tight duplicate cliques from

@@ -544,4 +544,23 @@ object StreamParity {
     arrive(1)
     phase() // restart from the SAME checkpoint over the late files
   }
+
+  /** Streaming DEDUPLICATION through real incremental execution — Spark's
+    * `StreamingDeduplicate` state operator (the streaming twin of the A6
+    * distinct family): every arriving (user, event_type) pair consults the
+    * keyed state store and only first arrivals pass, so the appended
+    * output IS the distinct set. Projecting to exactly the dedup key
+    * before the operator makes the result arrival-order independent
+    * (whichever arrival wins, the emitted row is the same), which is what
+    * lets a state-ordered streaming run share the batch DISTINCT oracle.
+    * Unbounded-key caveat: state grows with the key domain — the bounded
+    * production form adds a watermark (`dropDuplicatesWithinWatermark`),
+    * traded here for an oracle-exact unbounded domain of ~user×type size.
+    */
+  def dedupStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runAppend(ss, eventsStream(ss, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type"))
+  }
 }

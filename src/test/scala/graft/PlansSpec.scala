@@ -58,7 +58,10 @@ class PlansSpec extends SparkSuite {
     // ann_recall_eval: the final 1-row x 1-row x 1-row count crosses
     "ann_recall_eval",
     // pareto_customers: the 1-row (total_cents, n_customers) fold-in
-    "pareto_customers")
+    "pareto_customers",
+    // rrf_fusion: ann_topk's 1-vector broadcast query side + the 10-row
+    // full-outer fusion coda
+    "rrf_fusion")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
