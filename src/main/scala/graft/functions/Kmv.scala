@@ -42,3 +42,34 @@ class KmvEstimate(k: Int) extends Aggregator[Long, Seq[Long], Long] {
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** The sketch ITSELF (≤ k smallest distinct hashes, sorted) as the output —
+  * the mergeable partial a tiered rollup materializes per (group, period)
+  * so later periods union sketches instead of rescanning raw data. Same
+  * reduce/merge as [[KmvEstimate]]; only `finish` differs.
+  */
+class KmvSketch(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val e = new KmvEstimate(k)
+  override def zero: Seq[Long] = e.zero
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = e.reduce(buf, h)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = e.merge(a, b)
+  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+/** Folds STORED sketches back into one estimate. A hash among the k
+  * global minima is necessarily among its own period's k minima, so
+  * k-min-of-k-mins is EXACTLY the k-min of the union — tiered rollups are
+  * lossless, giving bit-identical estimates to a flat sketch over the raw
+  * data (the property the oracle verifies).
+  */
+class KmvMergeEstimate(k: Int) extends Aggregator[Seq[Long], Seq[Long], Long] {
+  private val e = new KmvEstimate(k)
+  override def zero: Seq[Long] = e.zero
+  override def reduce(buf: Seq[Long], sk: Seq[Long]): Seq[Long] = e.merge(buf, sk)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = e.merge(a, b)
+  override def finish(buf: Seq[Long]): Long = e.finish(buf)
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

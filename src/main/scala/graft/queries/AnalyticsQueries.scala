@@ -216,6 +216,54 @@ object AnalyticsQueries {
        |  END AS est_users
        |FROM c LEFT JOIN kth USING (event_type)""".stripMargin
 
+  // ----------------------------------------------------- kmv_union_daily
+  /** Tiered sketch rollup — the pre-aggregation pattern that makes
+    * distinct counting cheap at 100 TB: each (event_type, day) keeps a KMV
+    * sketch ([[graft.functions.KmvSketch]], ≤ k hashes), and the weekly /
+    * all-time estimate MERGES STORED SKETCHES
+    * ([[graft.functions.KmvMergeEstimate]]) instead of rescanning raw
+    * events. K-min-of-k-mins equals the k-min of the union, so the tiered
+    * estimate is bit-identical to a flat sketch — the oracle replays both
+    * tiers and checks the estimate against the exact count it also
+    * computes. Exchanges: one partial-aggregated daily pass (≤ k longs per
+    * group-day cross the wire), then a group-count-sized sketch merge.
+    */
+  def kmvUnionDaily(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = udaf(new graft.functions.KmvSketch(kmvK))
+    val mergeEst = udaf(new graft.functions.KmvMergeEstimate(kmvK))
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        graft.engine.PortableHash.md5Long(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sketch(col("h")).as("sk"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(mergeEst(col("sk")).as("est_users"), count(lit(1)).as("days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    rolled.join(exact, "event_type")
+      .select(col("event_type"), col("days"), col("est_users"), col("n_users"))
+  }
+
+  val kmvUnionDailySql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       |  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h FROM events),
+       |rd AS (SELECT event_type, day, h,
+       |       row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn FROM h),
+       |u AS (SELECT DISTINCT event_type, h FROM rd WHERE rn <= $kmvK),
+       |r AS (SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM u),
+       |kth AS (SELECT event_type, h AS m FROM r WHERE rn = $kmvK),
+       |c AS (SELECT event_type, count(*) AS nd FROM u GROUP BY 1),
+       |d AS (SELECT event_type, count(DISTINCT day) AS days FROM h GROUP BY 1),
+       |x AS (SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1)
+       |SELECT c.event_type, d.days,
+       |  CASE WHEN c.nd < $kmvK THEN c.nd
+       |       ELSE CAST(floor(${kmvK - 1}.0 * 1152921504606846976.0 / kth.m) AS BIGINT)
+       |  END AS est_users, x.n_users
+       |FROM c LEFT JOIN kth USING (event_type)
+       |JOIN d USING (event_type) JOIN x USING (event_type)""".stripMargin
+
   /** Exact distinct-count per group (dropDuplicates/approx_count_distinct
     * family; the HLL variant is benchmarked but not oracled — sketches are
     * engine-specific).

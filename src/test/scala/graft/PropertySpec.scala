@@ -76,6 +76,16 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("tiered KMV rollup is lossless: daily-sketch merge == flat sketch") {
+    // k-min-of-k-mins == k-min of the union, so merging per-day sketches
+    // must reproduce the flat per-group estimate bit-for-bit
+    val tiered = graft.queries.AnalyticsQueries.kmvUnionDaily(spark, sf1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val flat = graft.queries.AnalyticsQueries.approxDistinctKmv(spark, sf1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiered == flat, s"tiered $tiered != flat $flat")
+  }
+
   test("latest-per-key view == argmax by (seq, id) for arbitrary upsert streams") {
     forAll { recs =>
       whenever(recs.nonEmpty) {
