@@ -1328,4 +1328,223 @@ object AnalyticsQueries {
       |       last.o_orderdate AS last_update
       |FROM customer c LEFT JOIN last ON c.c_custkey = last.o_custkey
       |WHERE last.o_custkey IS NULL OR last.o_orderstatus <> 'F'""".stripMargin
+
+  // -------------------------------------------------------- kmv_intersect
+  /** Sketch-based audience overlap (theta-sketch set algebra on KMV): for
+    * every event-type pair, |A∩B| is estimated WITHOUT touching raw events
+    * twice — the per-type KMV sketches ([[graft.functions.KmvSketch]])
+    * already computed for distinct counting are combined per pair: the k
+    * smallest of S_A ∪ S_B are exactly the k smallest of A ∪ B (the KMV
+    * union property `kmv_union_daily` relies on), the fraction ρ of that
+    * union sketch present in BOTH input sketches estimates the Jaccard, and
+    * est|A∩B| = ρ·est|A∪B| (Beyer et al., SIGMOD'07). When both sketches
+    * are exact (< k hashes) the pair arithmetic degenerates to the exact
+    * overlap. The exact |A∩B| rides along so the driver's hash check
+    * verifies BOTH the sketch replay and the reference answer.
+    *
+    * Scale: raw events are scanned once for the sketches (map-side combined
+    * to ≤ k longs per type) and once for the exact pairs (the part a 100 TB
+    * deployment would drop, keeping only sketch algebra over stored
+    * sketches — pairs cost O(types² · k) with NO further data scan). The
+    * pair join is over the type-domain-sized sketch relation (bounded by
+    * construction, PlansSpec-allowlisted).
+    */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val k = kmvK
+    val sketch = udaf(new graft.functions.KmvSketch(k))
+    val ev = Tables.events(spark, dir)
+    val sk = ev
+      .select(col("event_type"),
+        graft.engine.PortableHash.md5Long(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(sketch(col("h")).as("sk"))
+    val eu = ev.select(col("event_type"), col("user_id")).distinct()
+    val exact = eu.as("a")
+      .join(eu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val twoPow60 = (k - 1).toDouble * math.pow(2, 60)
+    val pairs = sk.as("a")
+      .join(broadcast(sk.as("b")), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("pool", array_sort(array_distinct(concat(col("ska"), col("skb")))))
+      .withColumn("nd", size(col("pool")))
+      .withColumn("u", slice(col("pool"), 1, k))
+      .withColumn("est_union",
+        when(col("nd") < k, col("nd").cast("long"))
+          .otherwise(floor(lit(twoPow60) / element_at(col("u"), k)).cast("long")))
+      .withColumn("m", size(filter(col("u"),
+        x => array_contains(col("ska"), x) && array_contains(col("skb"), x))))
+      .withColumn("est_inter",
+        expr(s"(CAST(m AS BIGINT) * est_union) div CAST(least(nd, $k) AS BIGINT)"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("est_union"), col("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
+  val kmvIntersectSql: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |sk AS (SELECT event_type, h FROM r WHERE rn <= $kmvK),
+       |ty AS (SELECT DISTINCT event_type FROM events),
+       |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+       |pool AS (SELECT p.ta, p.tb, s.h,
+       |         max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+       |         FROM pr p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+       |         GROUP BY 1, 2, 3),
+       |pw AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+       |              count(*) OVER (PARTITION BY ta, tb) AS nd FROM pool),
+       |ag AS (SELECT ta, tb, max(nd) AS nd,
+       |              max(CASE WHEN rn = $kmvK THEN h END) AS kth,
+       |              CAST(sum(CASE WHEN rn <= $kmvK AND in_a = 1 AND in_b = 1
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |       FROM pw GROUP BY 1, 2),
+       |e AS (SELECT ta, tb, m, nd,
+       |       CASE WHEN nd < $kmvK THEN nd
+       |            ELSE CAST(floor(${kmvK - 1}.0 * 1152921504606846976.0 / kth) AS BIGINT)
+       |       END AS est_union FROM ag),
+       |eu AS (SELECT DISTINCT event_type, user_id FROM events),
+       |ex AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_inter
+       |       FROM eu a JOIN eu b ON a.user_id = b.user_id
+       |                          AND a.event_type < b.event_type
+       |       GROUP BY 1, 2)
+       |SELECT e.ta AS type_a, e.tb AS type_b, e.est_union,
+       |       (m * est_union) // LEAST(nd, $kmvK) AS est_inter,
+       |       COALESCE(ex.exact_inter, 0) AS exact_inter
+       |FROM e LEFT JOIN ex ON e.ta = ex.ta AND e.tb = ex.tb""".stripMargin
+
+  // -------------------------------------------------------------- ivm_agg
+  /** Incremental view maintenance with adder/subtractor semantics — Kafka
+    * Streams' `KGroupedTable.aggregate(initializer, adder, subtractor)`
+    * (the one KTable aggregation form whose re-grouping moves a key BETWEEN
+    * groups): the orders-per-customer changelog maintains "customers and
+    * balance by latest order priority" purely from DELTAS. Every non-delete
+    * version ADDS (+1, +cents) to its group; every version whose
+    * predecessor was live SUBTRACTS (−1, −cents_prev) from the
+    * predecessor's group — status 'F' is the tombstone (adds nothing, still
+    * retracts its predecessor). Per key the deltas telescope to exactly the
+    * latest live version, so the delta-path aggregate must equal the
+    * snapshot aggregate — which is precisely what the oracle computes, from
+    * the other direction: a delta/retraction bug cannot hash-match.
+    *
+    * Scale: the lag() window is partitioned BY KEY (per-key version chains,
+    * never a global sort) and in a real deployment the deltas are the
+    * changelog stream itself — the view updates by summing a delta batch
+    * into the stored aggregate, never rescanning history. The final
+    * aggregate is map-side combined over the 5-value priority domain.
+    */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val chg = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+      .withColumn("prev_priority", lag(col("o_orderpriority"), 1).over(w))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+    val adds = chg.filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderpriority").as("grp"),
+        lit(1L).as("dn"), col("cents").as("dc"))
+    val subs = chg
+      .filter(col("prev_status").isNotNull && col("prev_status") =!= "F")
+      .select(col("prev_priority").as("grp"),
+        lit(-1L).as("dn"), (-col("prev_cents")).as("dc"))
+    adds.union(subs)
+      .groupBy(col("grp").as("o_orderpriority"))
+      .agg(sum(col("dn")).as("n_customers"), sum(col("dc")).as("total_cents"))
+      .filter(col("n_customers") =!= 0)
+  }
+
+  val ivmAggSql: String =
+    """WITH l AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders),
+      |last AS (SELECT * FROM l WHERE rn = 1 AND o_orderstatus <> 'F')
+      |SELECT o_orderpriority, count(*) AS n_customers,
+      |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |            AS BIGINT) AS total_cents
+      |FROM last GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------ weighted_median
+  /** Weighted median (lower) of the lineitem unit price in cents, weighted
+    * by quantity, per return flag: the smallest price p where
+    * 2·Σ_{price ≤ p} w ≥ W. Computed on the COLLAPSED (flag, cents) weight
+    * relation — one map-side-combined aggregate shrinks the fact table to
+    * the value domain before any ordering, so the per-group running weight
+    * (window over distinct prices, domain-bounded, never corpus-bounded)
+    * and the 2·cum ≥ W cross-multiplication are exact integer arithmetic
+    * end to end. The aggregate-then-window shape is the same discipline as
+    * `value_quantiles` (order statistics without a global sort of raw
+    * rows); group totals fold back in from the same collapsed relation.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val collapsed = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("wsum"))
+    collapsed
+      .withColumn("cum", sum(col("wsum")).over(w))
+      .withColumn("tot", sum(col("wsum")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("median_cents"), max(col("tot")).as("total_weight"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH c AS (SELECT l_returnflag,
+      |             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, cents,
+      |        CAST(SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(SUM(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      |      FROM c)
+      |SELECT l_returnflag, min(cents) AS median_cents, max(tot) AS total_weight
+      |FROM r WHERE cum * 2 >= tot GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------- seasonality_dow
+  /** Day-of-week seasonal index of order revenue — the time-series
+    * decomposition readout a monitoring pipeline baselines anomaly rules
+    * on. ISO day numbering on both engines (Spark `weekday()+1` ==
+    * DuckDB `isodow()`: Monday=1). index_bp = 10000·7·cents_d / total is
+    * exact integer arithmetic; the total folds in as a broadcast 1-row
+    * aggregate over the 7-row grouped relation (never a second fact scan).
+    * One map-side-combined aggregate over the date-projected scan.
+    */
+  def seasonalityDow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select((weekday(col("o_orderdate")) + 1).cast("long").as("dow"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("dow"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n_orders"))
+    val tot = daily.agg(sum(col("cents")).as("total_cents"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"), col("cents"),
+        expr("(10000 * 7 * cents) div total_cents").as("index_bp"))
+  }
+
+  val seasonalityDowSql: String =
+    """WITH d AS (SELECT isodow(o_orderdate) AS dow,
+      |             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |                  AS BIGINT) AS cents,
+      |             count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM d)
+      |SELECT dow, n_orders, cents,
+      |       (10000 * 7 * cents) // total_cents AS index_bp
+      |FROM d CROSS JOIN t""".stripMargin
 }

@@ -2271,6 +2271,64 @@ object LlmQueries {
         expr("(10000 * n_common) div least(n_a, n_b)").as("containment_bp"))
   }
 
+  // ----------------------------------------------------- vocab_divergence
+  /** Corpus-mixture drift monitor: each source's token distribution vs the
+    * whole corpus, as EXACT total-variation distance — the quantity a
+    * 100 TB ingest pipeline alerts on when one crawl slice goes off-domain.
+    * TV(s, corpus) = ½ Σ_t |o_t/n_s − g_t/N|; multiplying through by
+    * n_s·N makes the numerator the exact integer Σ_t |o_t·N − g_t·n_s|, so
+    * there is no float division anywhere and the oracle matches bit-for-bit
+    * (reported in basis points via one integer division at the end).
+    *
+    * The absent-token tail is folded in WITHOUT a vocab×source cross join:
+    * tokens present globally but absent from s contribute
+    * Σ_{t∉s} g_t·n_s = n_s·(N − Σ_{t∈s} g_t) — a per-source scalar from
+    * the same aggregate. Scale shape: ONE exploded-token scan feeds a
+    * map-side-combined (source, token) count; the global counts re-aggregate
+    * THAT relation (vocab-sized, not corpus-sized); the corpus total folds
+    * in as a broadcast 1-row aggregate; the final reduce is per-source.
+    * BIGINT is safe while n_s·N < 2⁶³ (~3×10⁹ tokens); past that the two
+    * product columns move to DECIMAL(38,0) unchanged.
+    */
+  def vocabDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("o"))
+      .persist()
+    val g = st.groupBy(col("tok")).agg(sum(col("o")).as("g"))
+    val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+    val nTot = st.agg(sum(col("o")).as("n_tot"))
+    st.join(g, "tok").join(broadcast(ns), "source").crossJoin(broadcast(nTot))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_s"), max(col("n_tot")).as("n_tot"),
+        sum(abs(col("o") * col("n_tot") - col("g") * col("n_s"))).as("tv_present"),
+        sum(col("g")).as("g_present"))
+      .select(col("source"), col("n_s"), col("n_tot"),
+        (col("tv_present") + col("n_s") * (col("n_tot") - col("g_present")))
+          .as("tv_num"))
+      .withColumn("tv_bp", expr("(10000 * tv_num) div (2 * n_s * n_tot)"))
+  }
+
+  val vocabDivergenceSql: String =
+    """WITH t AS (SELECT source,
+      |             unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |           FROM documents),
+      |st AS (SELECT source, tok, count(*) AS o FROM t GROUP BY 1, 2),
+      |g AS (SELECT tok, CAST(SUM(o) AS BIGINT) AS g FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM st),
+      |p AS (SELECT st.source, max(ns.n_s) AS n_s, max(nt.n_tot) AS n_tot,
+      |        CAST(SUM(abs(st.o * nt.n_tot - g.g * ns.n_s)) AS BIGINT) AS tv_present,
+      |        CAST(SUM(g.g) AS BIGINT) AS g_present
+      |      FROM st JOIN g USING (tok) JOIN ns USING (source) CROSS JOIN nt
+      |      GROUP BY 1)
+      |SELECT source, n_s, n_tot,
+      |       (tv_present + n_s * (n_tot - g_present)) AS tv_num,
+      |       (10000 * (tv_present + n_s * (n_tot - g_present)))
+      |         // (2 * n_s * n_tot) AS tv_bp
+      |FROM p""".stripMargin
+
   val sourceOverlapSql: String =
     s"""WITH toks AS (SELECT source, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tokens
        |              FROM documents),

@@ -1501,4 +1501,37 @@ object PipelineQueries {
       |       ((m.n * d.y - m.sy) * (m.n * d.y - m.sy) >=
       |        4::HUGEINT * (m.n * m.syy - m.sy * m.sy)) AS is_anomaly
       |FROM daily d JOIN moments m USING (event_type)""".stripMargin
+
+  // ----------------------------------------------------- json_props_stats
+  /** Semi-structured column surface: the JSON `props` payload parsed with a
+    * declared schema (`from_json` — Catalyst's JSON reader with codegen, the
+    * schema-on-read path a 100 TB event table uses instead of regex
+    * scraping) and aggregated per event type. Malformed documents parse to
+    * NULL on both engines (`from_json`'s PERMISSIVE null ⇔ the oracle's
+    * `json_valid` guard, per the DuckDB-throws-on-bad-JSON gotcha), so
+    * n_valid < n_events is the malformation signal a DQ gate alerts on.
+    * One projected scan, one map-side-combined aggregate; the distinct
+    * count is over the small parsed-value domain.
+    */
+  def jsonPropsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_valid"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"), countDistinct(col("k")).as("distinct_k"))
+
+  val jsonPropsStatsSql: String =
+    """WITH p AS (SELECT event_type,
+      |  CASE WHEN json_valid(props)
+      |       THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events, count(k) AS n_valid,
+      |       min(k) AS min_k, max(k) AS max_k,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k,
+      |       count(DISTINCT k) AS distinct_k
+      |FROM p GROUP BY 1""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{AnalyticsQueries, ReferenceQueries}
+import graft.queries.{AnalyticsQueries, PipelineQueries, ReferenceQueries}
 
 /** Structural invariants of the round-4 analytics operators — properties
   * the DuckDB hash compare implies but does not state directly.
@@ -177,5 +177,101 @@ class AnalyticsPropsSpec extends SparkSuite {
     assert(df.filter(col("n_converted") > col("n_purchases")).count() == 0)
     assert(df.filter(col("cvr_bp") < 0 || col("cvr_bp") > 10000).count() == 0)
     df.unpersist()
+  }
+
+  test("kmv_intersect: sketch estimates track the exact overlap") {
+    import spark.implicits._
+    val out = AnalyticsQueries.kmvIntersect(spark, sf1).cache()
+    val ev = graft.engine.Tables.events(spark, sf1)
+      .select(col("event_type"), col("user_id")).distinct().cache()
+    val types = ev.select("event_type").distinct().as[String].collect().sorted
+    assert(out.count() == types.length.toLong * (types.length - 1) / 2,
+      "one row per unordered type pair")
+    // estimates are non-negative and the intersection never exceeds the union
+    assert(out.filter(col("est_inter") < 0 || col("est_union") < 0).isEmpty)
+    assert(out.filter(col("est_inter") > col("est_union")).isEmpty)
+    // per pair: est_union within KMV sketch error of the exact union
+    // (k=32 → stderr ≈ 1/√31 ≈ 18%; assert a 4-sigma envelope), and the
+    // exact_inter column IS the exact overlap
+    val rows = out.select("type_a", "type_b", "est_union", "est_inter", "exact_inter")
+      .as[(String, String, Long, Long, Long)].collect()
+    rows.foreach { case (a, b, estU, estI, exI) =>
+      val exU = ev.filter(col("event_type").isin(a, b))
+        .select("user_id").distinct().count()
+      val exactI = ev.filter(col("event_type") === a)
+        .join(ev.filter(col("event_type") === b), "user_id").count()
+      assert(exI == exactI, s"($a,$b) exact_inter")
+      assert(math.abs(estU - exU) <= 0.72 * exU, s"($a,$b) est_union=$estU exact=$exU")
+      assert(math.abs(estI - exactI) <= math.max(0.72 * exactI, 4.0 * exU / math.sqrt(31)),
+        s"($a,$b) est_inter=$estI exact=$exactI union=$exU")
+    }
+    out.unpersist(); ev.unpersist()
+  }
+
+  test("weighted_median: the reported price is the true weighted median") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.weightedMedian(spark, sf1)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val li = graft.engine.Tables.lineitem(spark, sf1)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (flag, med, tot) =>
+      val xs = li.filter(_._1 == flag).map(t => (t._2, t._3)).sortBy(_._1)
+      val w = xs.map(_._2).sum
+      assert(tot == w, s"$flag total weight")
+      // lower weighted median: smallest value whose cumulative weight
+      // reaches half the total
+      var cum = 0L
+      val expected = xs.find { case (_, wt) => cum += wt; 2 * cum >= w }.get._1
+      assert(med == expected, s"$flag median")
+    }
+  }
+
+  test("seasonality_dow: indices average to ~10000 and partition revenue") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.seasonalityDow(spark, sf1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 7, "every ISO day of week present")
+    assert(rows.map(_._1).sorted.sameElements(1L to 7L))
+    // integer division loses < 1 bp per day: sum in (70000 - 7, 70000]
+    val s = rows.map(_._4).sum
+    assert(s <= 70000 && s > 70000 - 7, s"index sum $s")
+  }
+
+  test("json_props_stats: parsed k matches the regex-scraped baseline") {
+    import spark.implicits._
+    val out = PipelineQueries.jsonPropsStats(spark, sf1).cache()
+    // fixture props are all well-formed one-key objects
+    assert(out.filter(col("n_valid") =!= col("n_events")).isEmpty)
+    val base = graft.engine.Tables.events(spark, sf1)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+    val j = out.select("event_type", "sum_k", "min_k", "max_k")
+    assert(j.exceptAll(base).isEmpty && base.exceptAll(j).isEmpty,
+      "schema-on-read parse equals the regex scrape on well-formed input")
+    out.unpersist()
+  }
+
+  test("ivm_agg: the delta path equals the recomputed snapshot aggregate") {
+    val deltas = AnalyticsQueries.ivmAgg(spark, sf1)
+    // snapshot path, recomputed independently (max_by instead of the
+    // changelog's lag-window): latest live version per key, then aggregate
+    val snap = graft.engine.Tables.orders(spark, sf1)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(struct(col("o_orderstatus"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("l"))
+      .filter(col("l.o_orderstatus") =!= "F")
+      .groupBy(col("l.o_orderpriority").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("l.cents")).as("total_cents"))
+    assert(deltas.count() > 0)
+    assert(deltas.exceptAll(snap).isEmpty && snap.exceptAll(deltas).isEmpty,
+      "adder/subtractor deltas must telescope to the snapshot aggregate")
   }
 }

@@ -582,4 +582,34 @@ class LlmOpsSpec extends SparkSuite {
       .count() == 0, "selected hash must be the hash at the selected position")
     fps.unpersist()
   }
+
+  test("vocab_divergence: exact TV numerator matches a brute-force recompute") {
+    import spark.implicits._
+    val out = graft.queries.LlmQueries.vocabDivergence(spark, sf1).cache()
+    // bounds: 0 <= tv_bp <= 10000, and source totals partition the corpus
+    assert(out.filter(col("tv_bp") < 0 || col("tv_bp") > 10000).isEmpty)
+    val Array((sumNs, nTot)) =
+      out.agg(sum("n_s"), max("n_tot")).as[(Long, Long)].collect()
+    assert(sumNs == nTot, "per-source token totals partition the corpus")
+    // brute-force on the driver (sf0.001 is small): token counts per source
+    // and globally, TV numerator over the FULL vocab including absent terms
+    val toks = graft.engine.Tables.documents(spark, sf1)
+      .select(col("source"), explode(graft.llm.TextAnalysis.tokens(col("text"))).as("t"))
+      .as[(String, String)].collect()
+    val bySrc = toks.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.groupBy(_._2).map { case (t, ys) => t -> ys.length.toLong }
+    }
+    val global = toks.groupBy(_._2).map { case (t, ys) => t -> ys.length.toLong }
+    val n = toks.length.toLong
+    out.select("source", "n_s", "tv_num")
+      .as[(String, Long, Long)].collect().foreach { case (s, ns, tv) =>
+        val o = bySrc(s)
+        assert(ns == o.values.sum, s"$s token total")
+        val expected = global.map { case (t, g) =>
+          math.abs(o.getOrElse(t, 0L) * n - g * ns)
+        }.sum
+        assert(tv == expected, s"$s TV numerator")
+      }
+    out.unpersist()
+  }
 }

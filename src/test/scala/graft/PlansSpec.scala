@@ -61,7 +61,11 @@ class PlansSpec extends SparkSuite {
     "pareto_customers",
     // rrf_fusion: ann_topk's 1-vector broadcast query side + the 10-row
     // full-outer fusion coda
-    "rrf_fusion")
+    "rrf_fusion",
+    // kmv_intersect: the type-domain-sized (≤ |event types| rows) sketch
+    // self-join — pure sketch algebra, no data-sized side;
+    // vocab_divergence / seasonality_dow: the 1-row total fold-in
+    "kmv_intersect", "vocab_divergence", "seasonality_dow")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
