@@ -330,6 +330,45 @@ object StreamParity {
           col("last_update")))
   }
 
+  /** Adder/subtractor IVM through real streaming execution: the order
+    * changelog drives [[graft.streaming.Streaming.IvmDeltaProcessor]] —
+    * every version retracts its live predecessor from the predecessor's
+    * group and adds itself to its own (tombstones only retract) — and the
+    * materialized delta changelog folds to the converged per-priority view
+    * by plain SUM. Kafka Streams' `KGroupedTable.aggregate(adder,
+    * subtractor)` as an incremental execution; shares the batch `ivm_agg`
+    * snapshot oracle, so a retraction bug in the STREAMING path cannot
+    * hash-match.
+    */
+  def ivmStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val base = Tables.orders(ss, dir)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate", "o_totalprice")
+    val typed = ss.readStream.schema(base.schema).parquet(s"$dir/{orders}.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_orderdate"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .as[Streaming.OrderVersion]
+    val deltas = typed.groupByKey(_.o_custkey)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new Streaming.IvmDeltaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("grp", "dn", "dc")
+    runUpdateAppend(ss, deltas)
+      .groupBy(col("grp").as("o_orderpriority"))
+      .agg(sum(col("dn")).as("n_customers"), sum(col("dc")).as("total_cents"))
+      .filter(col("n_customers") =!= 0)
+  }
+
   /** W6 sliding windows through real streaming execution: each event lands
     * in its two overlapping 1-hour/30-minute windows inside the streaming
     * state (window assignment fans out BEFORE the stateful agg), converged

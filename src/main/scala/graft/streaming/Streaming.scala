@@ -193,6 +193,55 @@ object Streaming {
       }
   }
 
+  /** Typed order-changelog row (orders.parquet with exact cents). */
+  final case class OrderVersion(o_custkey: Long, o_orderkey: Long,
+                                o_orderstatus: String, o_orderpriority: String,
+                                o_orderdate: Timestamp, cents: Long)
+
+  /** Adder/subtractor delta emission for `KGroupedTable.aggregate` IVM
+    * semantics, streaming form (the batch twin is
+    * `AnalyticsQueries.ivmAgg`): per customer key, each arriving changelog
+    * version RETRACTS the previous live version from its group (−1,
+    * −cents) and, unless it is a tombstone (status 'F'), ADDS itself to
+    * its own group (+1, +cents). State per key: the last live (priority,
+    * cents) — cleared on tombstone, so a version after a delete retracts
+    * nothing. Emissions are deltas, so the materialized changelog folds to
+    * the converged view by plain SUM per group — order-independent, which
+    * is what lets the batch snapshot oracle check a real streaming run.
+    *
+    * Versions are applied in (o_orderdate, o_orderkey) order WITHIN a
+    * batch; across batches the source must deliver per-key versions in
+    * order — exactly Kafka's per-partition offset-order changelog
+    * contract (a single-file AvailableNow backfill is one batch, so the
+    * in-batch sort alone fixes the file source's arbitrary row order).
+    */
+  final class IvmDeltaProcessor
+      extends StatefulProcessor[Long, OrderVersion, (String, Long, Long)] {
+    @transient private var last: ValueState[(String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(String, Long)]("ivm-last-live",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[OrderVersion],
+                                 timers: TimerValues): Iterator[(String, Long, Long)] =
+      rows.toSeq
+        .sortBy(v => (v.o_orderdate.getTime, v.o_orderkey))
+        .iterator.flatMap { v =>
+          val retract = if (last.exists()) {
+            val (pg, pc) = last.get()
+            Seq((pg, -1L, -pc))
+          } else Seq.empty
+          if (v.o_orderstatus == "F") {
+            last.clear()
+            retract
+          } else {
+            last.update((v.o_orderpriority, v.cents))
+            retract :+ ((v.o_orderpriority, 1L, v.cents))
+          }
+        }
+  }
+
   /** W2 (ProcessorApiExample.scala:44-58): stream-time punctuation. The
     * reference scans the whole store every 10 s of stream time and forwards
     * every (key, total); Spark timers are per-key, so each key registers an

@@ -161,4 +161,43 @@ class TransformWithStateSpec extends SparkSuite {
     assert(converged._3 == "4,1,3",
       s"expected event-time order 4,1,3 got ${converged._3} (emissions: $em)")
   }
+
+  test("IvmDeltaProcessor deltas telescope to the snapshot across batches and tombstones") {
+    import graft.streaming.Streaming.OrderVersion
+    val ms = MemoryStream[OrderVersion](spark)
+    val out = ms.toDS().groupByKey(_.o_custkey)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new Streaming.IvmDeltaProcessor,
+        TimeMode.None(), OutputMode.Update())(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+    val q = out.toDF("grp", "dn", "dc").writeStream.format("memory")
+      .queryName("tws_ivm").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-ivm").toString)
+      .start()
+    // batch 1, deliberately out of order within the batch: customer 1 moves
+    // A(100) → B(250); customer 2 inserts C(40)
+    ms.addData(Seq(
+      OrderVersion(1, 12, "O", "B", ts(20), 250),
+      OrderVersion(1, 11, "O", "A", ts(10), 100),
+      OrderVersion(2, 21, "O", "C", ts(10), 40)))
+    q.processAllAvailable()
+    // batch 2: customer 1 is tombstoned; customer 2 re-prices within C;
+    // customer 3 inserts then deletes then re-inserts in A
+    ms.addData(Seq(
+      OrderVersion(1, 13, "F", "B", ts(30), 999),
+      OrderVersion(2, 22, "O", "C", ts(20), 55),
+      OrderVersion(3, 31, "O", "A", ts(10), 10),
+      OrderVersion(3, 32, "F", "A", ts(20), 0),
+      OrderVersion(3, 33, "O", "A", ts(30), 70)))
+    q.processAllAvailable(); q.stop()
+    val sums = spark.table("tws_ivm").as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.map(_._3).sum))
+      .filter(_._2._1 != 0).toMap
+    // converged view: customer 1 gone, customer 2 at C(55), customer 3 at A(70)
+    assert(sums == Map("C" -> ((1L, 55L)), "A" -> ((1L, 70L))), sums.toString)
+  }
 }
