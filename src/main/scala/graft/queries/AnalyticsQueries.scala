@@ -1473,31 +1473,75 @@ object AnalyticsQueries {
       |            AS BIGINT) AS total_cents
       |FROM last GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------- sliding_distinct_users
+  /** Trailing 7-day distinct users per active day — the sliding-window
+    * distinct a DAU/WAU dashboard needs, computed by BOUNDED EXPANSION
+    * instead of per-day rescans: each distinct (user, day) pair fans out to
+    * the ≤ 7 report days it can contribute to (expansion factor =
+    * window/slide, a constant — never data-sized), then one distinct
+    * aggregation per report day. At 100 TB the same topology holds because
+    * the expansion happens AFTER the (user, day) collapse (the first
+    * map-side-combined distinct), and the trailing window never re-reads
+    * raw events; swap the exact distinct for the KMV sketch
+    * (`kmv_union_daily`) when estimates suffice.
+    */
+  def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = du.select(col("day")).distinct()
+      .withColumnRenamed("day", "report_day")
+    du.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"))
+      .join(days, Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .select(date_format(col("report_day"), "yyyy-MM-dd").as("report_day"),
+        col("n_users_7d"))
+  }
+
+  val slidingDistinctUsersSql: String =
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |x AS (SELECT du.user_id, days.day AS report_day
+      |      FROM du JOIN days ON days.day BETWEEN du.day AND du.day + 6)
+      |SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+      |       count(DISTINCT user_id) AS n_users_7d
+      |FROM x GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------ weighted_median
   /** Weighted median (lower) of the lineitem unit price in cents, weighted
     * by quantity, per return flag: the smallest price p where
-    * 2·Σ_{price ≤ p} w ≥ W. Computed on the COLLAPSED (flag, cents) weight
-    * relation — one map-side-combined aggregate shrinks the fact table to
-    * the value domain before any ordering, so the per-group running weight
-    * (window over distinct prices, domain-bounded, never corpus-bounded)
-    * and the 2·cum ≥ W cross-multiplication are exact integer arithmetic
-    * end to end. The aggregate-then-window shape is the same discipline as
-    * `value_quantiles` (order statistics without a global sort of raw
-    * rows); group totals fold back in from the same collapsed relation.
+    * 2·Σ_{price ≤ p} w ≥ W. Two scale moves: (1) the fact table collapses
+    * to the (flag, cents) weight relation in one map-side-combined
+    * aggregate BEFORE any ordering; (2) the running weight is the
+    * range-partitioned two-pass prefix sum ([[graft.engine.Prefix]])
+    * ordered by (flag, cents) — NOT a per-group window, which serializes
+    * each group through one task (3 groups = 3 tasks sorting a third of
+    * the value domain each; at fact scale that is the bottleneck). Group-
+    * local cumulative = global prefix − the group's offset, where the
+    * offsets come from a group-domain-sized (3-row) exclusive window over
+    * group totals. Exact integer arithmetic end to end; the 2·cum ≥ W
+    * cross-multiplication picks the crossing price per group.
     */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_returnflag")).orderBy(col("cents"))
     val collapsed = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("w")).as("wsum"))
-    collapsed
-      .withColumn("cum", sum(col("wsum")).over(w))
-      .withColumn("tot", sum(col("wsum")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))))
+    val grpW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_returnflag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // group totals + each group's global-prefix offset: 3 rows, the
+    // single-partition window is group-domain-bounded (markov pattern)
+    val offsets = collapsed.groupBy(col("l_returnflag"))
+      .agg(sum(col("wsum")).as("tot"))
+      .withColumn("goff", coalesce(sum(col("tot")).over(grpW), lit(0L)))
+    graft.engine.Prefix.exclusiveCumsum(collapsed,
+        Seq(col("l_returnflag"), col("cents")), col("wsum"), "gcum_ex")
+      .join(broadcast(offsets), "l_returnflag")
+      .withColumn("cum", col("gcum_ex") + col("wsum") - col("goff"))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("cents")).as("median_cents"), max(col("tot")).as("total_weight"))

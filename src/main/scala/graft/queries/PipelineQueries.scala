@@ -991,7 +991,7 @@ object PipelineQueries {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     val pairs = p.join(c, col("c_user") === col("user_id") &&
       col("c_ts") <= col("ts") &&
-      col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+      col("c_ts") >= col("ts") - expr("INTERVAL 24 HOUR"))
     val touches = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("k"))
     pairs.join(touches, "p_id")
       .select(date_format(col("c_ts").cast("date"), "yyyy-MM-dd").as("day"),
@@ -1136,7 +1136,7 @@ object PipelineQueries {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     val lat = p.join(c, col("c_user") === col("user_id") &&
         col("c_ts") <= col("ts") &&
-        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        col("c_ts") >= col("ts") - expr("INTERVAL 24 HOUR"))
       .groupBy(col("event_id"), col("ts"))
       .agg(max(col("c_ts")).as("cts"))
       .select(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"),
@@ -1501,6 +1501,63 @@ object PipelineQueries {
       |       ((m.n * d.y - m.sy) * (m.n * d.y - m.sy) >=
       |        4::HUGEINT * (m.n * m.syy - m.sy * m.sy)) AS is_anomaly
       |FROM daily d JOIN moments m USING (event_type)""".stripMargin
+
+  // -------------------------------------------------------- window_funnel
+  /** Ordered funnel within a time window (ClickHouse `windowFunnel` shape):
+    * view → click → purchase, each stage STRICTLY after the previous and
+    * all within 24 hours of the first view; output is the per-level user
+    * histogram with conversion share. Computed as a cascade of three
+    * stage-filtered aggregates — each stage is a type-pruned scan (filter
+    * pushed to parquet), one key-partitioned join against the previous
+    * stage's per-user minimum, and a map-side-combined min — never a
+    * per-user event sort or a collect_list buffer, so a hot user costs
+    * O(its events), not O(events²), and no stage holds unbounded state.
+    * The level histogram folds with a broadcast 1-row total.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").join(v, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val lvl = v
+      .join(c.select(col("user_id"), lit(1).as("has2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("has3")), Seq("user_id"), "left")
+      .select(when(col("has3").isNotNull, 3L)
+        .when(col("has2").isNotNull, 2L).otherwise(1L).as("level"))
+    val tot = lvl.agg(count(lit(1)).as("n1"))
+    lvl.groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("level"), col("n_users"),
+        expr("(10000 * n_users) div n1").as("share_bp"))
+  }
+
+  val windowFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1
+      |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c USING (user_id) JOIN v USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1),
+      |l AS (SELECT v.user_id,
+      |        CASE WHEN p.user_id IS NOT NULL THEN 3
+      |             WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS level
+      |      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)),
+      |t AS (SELECT count(*) AS n1 FROM l)
+      |SELECT CAST(level AS BIGINT) AS level, count(*) AS n_users,
+      |       (10000 * count(*)) // t.n1 AS share_bp
+      |FROM l CROSS JOIN t GROUP BY 1, t.n1""".stripMargin
 
   // ----------------------------------------------------- json_props_stats
   /** Semi-structured column surface: the JSON `props` payload parsed with a

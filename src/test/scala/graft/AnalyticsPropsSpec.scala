@@ -258,6 +258,56 @@ class AnalyticsPropsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("window_funnel: histogram equals a sequential per-user replay") {
+    import spark.implicits._
+    val out = PipelineQueries.windowFunnel(spark, sf1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val ev = graft.engine.Tables.events(spark, sf1)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    // sequential replay: strict-order view -> click -> purchase within 1h
+    val levels = ev.groupBy(_._1).flatMap { case (_, xs) =>
+      val views = xs.filter(_._2 == "view").map(_._3.getTime)
+      if (views.isEmpty) None else {
+        val t1 = views.min
+        val hi = t1 + 24 * 3600 * 1000L
+        val clicks = xs.filter(_._2 == "click").map(_._3.getTime)
+          .filter(t => t > t1 && t <= hi)
+        if (clicks.isEmpty) Some(1L) else {
+          val t2 = clicks.min
+          val buys = xs.filter(_._2 == "purchase").map(_._3.getTime)
+            .filter(t => t > t2 && t <= hi)
+          Some(if (buys.isEmpty) 2L else 3L)
+        }
+      }
+    }.toSeq
+    val expected = levels.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == expected,
+      s"got ${out.view.mapValues(_._1).toMap} want $expected")
+    // exclusive levels partition the view-users; shares fold to ~10000
+    assert(out.values.map(_._1).sum == levels.size)
+    val bp = out.values.map(_._2).sum
+    assert(bp <= 10000 && bp > 10000 - out.size)
+  }
+
+  test("sliding_distinct_users: each trailing-7d count equals a replay") {
+    import spark.implicits._
+    val out = AnalyticsQueries.slidingDistinctUsers(spark, sf1)
+      .as[(String, Long)].collect().toMap
+    val pairs = graft.engine.Tables.events(spark, sf1)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().as[(java.sql.Date, Long)].collect()
+    val days = pairs.map(_._1.toLocalDate).distinct
+    assert(out.size == days.size, "one row per active day")
+    days.foreach { d =>
+      val expected = pairs.filter { case (pd, _) =>
+        val x = pd.toLocalDate
+        !x.isAfter(d) && x.isAfter(d.minusDays(7))
+      }.map(_._2).distinct.length.toLong
+      assert(out(d.toString) == expected, s"day $d")
+    }
+  }
+
   test("ivm_agg: the delta path equals the recomputed snapshot aggregate") {
     val deltas = AnalyticsQueries.ivmAgg(spark, sf1)
     // snapshot path, recomputed independently (max_by instead of the

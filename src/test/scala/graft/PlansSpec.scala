@@ -64,8 +64,8 @@ class PlansSpec extends SparkSuite {
     "rrf_fusion",
     // kmv_intersect: the type-domain-sized (≤ |event types| rows) sketch
     // self-join — pure sketch algebra, no data-sized side;
-    // vocab_divergence / seasonality_dow: the 1-row total fold-in
-    "kmv_intersect", "vocab_divergence", "seasonality_dow")
+    // vocab_divergence / seasonality_dow / window_funnel: 1-row fold-ins
+    "kmv_intersect", "vocab_divergence", "seasonality_dow", "window_funnel")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
