@@ -991,7 +991,7 @@ object PipelineQueries {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     val pairs = p.join(c, col("c_user") === col("user_id") &&
       col("c_ts") <= col("ts") &&
-      col("c_ts") >= col("ts") - expr("INTERVAL 24 HOUR"))
+      col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
     val touches = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("k"))
     pairs.join(touches, "p_id")
       .select(date_format(col("c_ts").cast("date"), "yyyy-MM-dd").as("day"),
@@ -1136,7 +1136,7 @@ object PipelineQueries {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     val lat = p.join(c, col("c_user") === col("user_id") &&
         col("c_ts") <= col("ts") &&
-        col("c_ts") >= col("ts") - expr("INTERVAL 24 HOUR"))
+        col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
       .groupBy(col("event_id"), col("ts"))
       .agg(max(col("c_ts")).as("cts"))
       .select(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"),
@@ -1501,6 +1501,65 @@ object PipelineQueries {
       |       ((m.n * d.y - m.sy) * (m.n * d.y - m.sy) >=
       |        4::HUGEINT * (m.n * m.syy - m.sy * m.sy)) AS is_anomaly
       |FROM daily d JOIN moments m USING (event_type)""".stripMargin
+
+  // --------------------------------------------------------- cusum_shift
+  /** CUSUM change-point statistics on daily revenue per event type — the
+    * classic mean-shift monitor (Page 1954), in exact integer cents. The
+    * recurrences S_i = max(0, S_{i-1} + D_i) / T_i = max(0, T_{i-1} − D_i)
+    * look inherently sequential, but both decompose into ASSOCIATIVE
+    * scans: with P_i the prefix sum of deviations D_j = x_j − target,
+    *
+    *   S_i = P_i − min(0, min_{j≤i} P_j)   (upward shift)
+    *   T_i = max(0, max_{j≤i} P_j) − P_i   (downward shift)
+    *
+    * so the whole statistic is one running sum + one running min + one
+    * running max — all parallel-prefix shapes. Here the scan windows
+    * partition by event type over the DAY domain (time-bounded, the
+    * markov/seasonality pattern); an unbounded-key variant would lift the
+    * same three scans onto [[graft.engine.Prefix]] unchanged, which is the
+    * point of the decomposition. The per-type target (mean daily cents,
+    * floor division) folds in from a type-domain-sized aggregate.
+    */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(dec(col("value")) * 100).cast("long").as("y_cents"))
+    val tgt = daily.groupBy(col("event_type"))
+      .agg(expr("sum(y_cents) div count(*)").as("target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.join(broadcast(tgt), "event_type")
+      .withColumn("d", col("y_cents") - col("target"))
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("pmin", least(lit(0L), min(col("p")).over(w)))
+      .withColumn("pmax", greatest(lit(0L), max(col("p")).over(w)))
+      .select(col("event_type"), col("day"), col("y_cents"),
+        (col("p") - col("pmin")).as("cusum_up"),
+        (col("pmax") - col("p")).as("cusum_down"))
+  }
+
+  val cusumShiftSql: String =
+    """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y_cents
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(y_cents) AS BIGINT) // count(*) AS target
+      |      FROM daily GROUP BY 1),
+      |s1 AS (SELECT d.event_type, d.day, d.y_cents,
+      |         SUM(d.y_cents - t.target) OVER (PARTITION BY event_type
+      |           ORDER BY day ROWS UNBOUNDED PRECEDING) AS p
+      |       FROM daily d JOIN t USING (event_type)),
+      |s2 AS (SELECT *,
+      |         LEAST(0, MIN(p) OVER pw) AS pmin,
+      |         GREATEST(0, MAX(p) OVER pw) AS pmax
+      |       FROM s1
+      |       WINDOW pw AS (PARTITION BY event_type ORDER BY day
+      |                     ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, day, y_cents,
+      |       CAST(p - pmin AS BIGINT) AS cusum_up,
+      |       CAST(pmax - p AS BIGINT) AS cusum_down
+      |FROM s2""".stripMargin
 
   // -------------------------------------------------------- window_funnel
   /** Ordered funnel within a time window (ClickHouse `windowFunnel` shape):

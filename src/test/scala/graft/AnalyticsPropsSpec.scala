@@ -308,6 +308,25 @@ class AnalyticsPropsSpec extends SparkSuite {
     }
   }
 
+  test("cusum_shift: scan decomposition equals the sequential recurrence") {
+    import spark.implicits._
+    val out = PipelineQueries.cusumShift(spark, sf1)
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (tpe, rows) =>
+      val ys = rows.map(_._3)
+      val target = ys.sum / ys.length // positive sums: div == floor here
+      var s = 0L; var t = 0L
+      rows.foreach { case (_, day, y, up, down) =>
+        s = math.max(0L, s + (y - target))
+        t = math.max(0L, t - (y - target))
+        assert(up == s, s"$tpe $day cusum_up")
+        assert(down == t, s"$tpe $day cusum_down")
+      }
+    }
+  }
+
   test("ivm_agg: the delta path equals the recomputed snapshot aggregate") {
     val deltas = AnalyticsQueries.ivmAgg(spark, sf1)
     // snapshot path, recomputed independently (max_by instead of the
