@@ -1560,6 +1560,55 @@ object AnalyticsQueries {
       |SELECT l_returnflag, min(cents) AS median_cents, max(tot) AS total_weight
       |FROM r WHERE cum * 2 >= tot GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------- weighted_quantiles
+  /** Weighted quartiles (p25/p50/p75, lower) per return flag — the
+    * multi-threshold generalization of [[weightedMedian]] on the SAME
+    * collapsed + range-partitioned-prefix relation: row (g, v) is the
+    * q-th quartile iff the running weight first crosses q·W/4 at v, i.e.
+    * 4·cum ≥ q·W ∧ 4·(cum − w) < q·W — so ONE pass emits every quantile
+    * via a 3-element array filter (no per-quantile rescan, no union of
+    * three plans). Exact integer cross-multiplication throughout; at any
+    * quantile-set size the cost is unchanged — the thresholds ride the
+    * same prefix.
+    */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val collapsed = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("wsum"))
+    val grpW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_returnflag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = collapsed.groupBy(col("l_returnflag"))
+      .agg(sum(col("wsum")).as("tot"))
+      .withColumn("goff", coalesce(sum(col("tot")).over(grpW), lit(0L)))
+    graft.engine.Prefix.exclusiveCumsum(collapsed,
+        Seq(col("l_returnflag"), col("cents")), col("wsum"), "gcum_ex")
+      .join(broadcast(offsets), "l_returnflag")
+      .withColumn("cum", col("gcum_ex") + col("wsum") - col("goff"))
+      .withColumn("quartile", explode(filter(
+        array(lit(1L), lit(2L), lit(3L)),
+        q => col("cum") * 4 >= q * col("tot") &&
+          (col("cum") - col("wsum")) * 4 < q * col("tot"))))
+      .select(col("l_returnflag"), col("quartile"), col("cents").as("q_cents"))
+  }
+
+  val weightedQuantilesSql: String =
+    """WITH c AS (SELECT l_returnflag,
+      |             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, cents, wsum,
+      |        CAST(SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(SUM(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      |      FROM c)
+      |SELECT l_returnflag, CAST(q.q AS BIGINT) AS quartile, cents AS q_cents
+      |FROM r CROSS JOIN (VALUES (1), (2), (3)) q(q)
+      |WHERE cum * 4 >= q.q * tot AND (cum - wsum) * 4 < q.q * tot""".stripMargin
+
   // ----------------------------------------------------- seasonality_dow
   /** Day-of-week seasonal index of order revenue — the time-series
     * decomposition readout a monitoring pipeline baselines anomaly rules

@@ -1502,6 +1502,78 @@ object PipelineQueries {
       |        4::HUGEINT * (m.n * m.syy - m.sy * m.sy)) AS is_anomaly
       |FROM daily d JOIN moments m USING (event_type)""".stripMargin
 
+  // -------------------------------------------------------- nearest_join
+  /** Bidirectional nearest-in-time join: each purchase pairs with the
+    * temporally CLOSEST click of the same user — before or after, ties to
+    * the earlier click — with unbounded reach in both directions. Built
+    * WITHOUT a range join (the `asof_union_join` idiom, now two-sided):
+    * clicks and purchases union into one user-keyed stream ordered by
+    * (ts, kind, id); an IGNORE NULLS `last_value` over the preceding
+    * frame carries the latest click at-or-before, a `first_value` over
+    * the following frame fetches the earliest click after, and a scalar
+    * comparison picks the nearer side. One exchange, zero candidate
+    * blowup at ANY lookback/lookahead depth — the pattern a 100 TB
+    * sessionized join needs when windows cannot bound the search.
+    */
+  def nearestJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("kind"), col("ts").as("c_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("kind"), lit(null).cast("timestamp").as("c_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+    val back = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    clicks.unionByName(buys)
+      .withColumn("prev_c", last(col("c_ts"), ignoreNulls = true).over(back))
+      .withColumn("next_c", first(col("c_ts"), ignoreNulls = true).over(fwd))
+      .filter(col("kind") === 1)
+      .withColumn("db", unix_micros(col("ts")) - unix_micros(col("prev_c")))
+      .withColumn("df", unix_micros(col("next_c")) - unix_micros(col("ts")))
+      .withColumn("nearest_c",
+        when(col("prev_c").isNull, col("next_c"))
+          .when(col("next_c").isNull, col("prev_c"))
+          .when(col("db") <= col("df"), col("prev_c"))
+          .otherwise(col("next_c")))
+      .filter(col("nearest_c").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("nearest_c"),
+        abs(unix_micros(col("ts")) - unix_micros(col("nearest_c"))).as("gap_us"))
+  }
+
+  val nearestJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, 0 AS kind, ts AS c_ts
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 1 AS kind, NULL AS c_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT *,
+      |        last_value(c_ts IGNORE NULLS) OVER
+      |          (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS prev_c,
+      |        first_value(c_ts IGNORE NULLS) OVER
+      |          (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c
+      |      FROM u),
+      |p AS (SELECT *, epoch_us(ts) - epoch_us(prev_c) AS db,
+      |             epoch_us(next_c) - epoch_us(ts) AS df
+      |      FROM s WHERE kind = 1),
+      |n AS (SELECT event_id, user_id, ts,
+      |        CASE WHEN prev_c IS NULL THEN next_c
+      |             WHEN next_c IS NULL THEN prev_c
+      |             WHEN db <= df THEN prev_c ELSE next_c END AS nearest_c
+      |      FROM p)
+      |SELECT event_id AS p_id, user_id, nearest_c,
+      |       abs(epoch_us(ts) - epoch_us(nearest_c)) AS gap_us
+      |FROM n WHERE nearest_c IS NOT NULL""".stripMargin
+
   // --------------------------------------------------------- cusum_shift
   /** CUSUM change-point statistics on daily revenue per event type — the
     * classic mean-shift monitor (Page 1954), in exact integer cents. The

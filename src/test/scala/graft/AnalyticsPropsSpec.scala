@@ -308,6 +308,50 @@ class AnalyticsPropsSpec extends SparkSuite {
     }
   }
 
+  test("weighted_quantiles: one crossing row per quartile, median agrees") {
+    import spark.implicits._
+    val q = AnalyticsQueries.weightedQuantiles(spark, sf1)
+      .as[(String, Long, Long)].collect()
+    val flags = q.map(_._1).distinct
+    flags.foreach { f =>
+      val mine = q.filter(_._1 == f)
+      assert(mine.map(_._2).sorted.sameElements(Seq(1L, 2L, 3L)),
+        s"$f must have exactly quartiles 1..3")
+      // monotone: p25 <= p50 <= p75
+      val byQ = mine.map(t => t._2 -> t._3).toMap
+      assert(byQ(1L) <= byQ(2L) && byQ(2L) <= byQ(3L))
+    }
+    // the q=2 row IS the weighted median
+    val med = AnalyticsQueries.weightedMedian(spark, sf1)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    q.filter(_._2 == 2L).foreach { case (f, _, c) => assert(med(f) == c, f) }
+  }
+
+  test("nearest_join: every pair is the true closest click, ties to earlier") {
+    import spark.implicits._
+    val out = PipelineQueries.nearestJoin(spark, sf1)
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect()
+    val ev = graft.engine.Tables.events(spark, sf1)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    def us(t: java.sql.Timestamp) = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val clicksBy = ev.filter(_._2 == "click").groupBy(_._1)
+      .view.mapValues(_.map(e => us(e._3)).sorted).toMap
+    val buys = ev.filter(_._2 == "purchase")
+    val outBy = out.map(r => r._1 -> (us(r._3), r._4)).toMap
+    buys.foreach { case (u, _, ts, pid) =>
+      val cs = clicksBy.getOrElse(u, Array.empty[Long])
+      if (cs.isEmpty) assert(!outBy.contains(pid), s"purchase $pid has no clicks")
+      else {
+        val t = us(ts)
+        val best = cs.minBy(c => (math.abs(t - c), c))
+        val (got, gap) = outBy(pid)
+        assert(got == best, s"purchase $pid nearest")
+        assert(gap == math.abs(t - best), s"purchase $pid gap")
+      }
+    }
+  }
+
   test("cusum_shift: scan decomposition equals the sequential recurrence") {
     import spark.implicits._
     val out = PipelineQueries.cusumShift(spark, sf1)
