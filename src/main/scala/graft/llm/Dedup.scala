@@ -287,13 +287,22 @@ object Dedup {
     * into `bands` bands, emit (doc_a < doc_b) for every pair sharing any
     * band key. Shared by the set and weighted MinHash joins.
     */
-  private def bandCandidates(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+  /** (doc, band, key) relation of the banded signatures — the LSH blocking
+    * key itself, exposed so diagnostics can profile bucket sizes (the
+    * SCALE.md lesson: a banded join is only as scalable as its blocking
+    * key's entropy; profile block sizes BEFORE trusting the plan).
+    */
+  def bandKeysOf(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
-    val bandKeys = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))
       }: _*)))
       .toDF("doc_id", "band", "key")
+  }
+
+  private def bandCandidates(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+    val bandKeys = bandKeysOf(sigs, perms, bands)
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -233,6 +233,33 @@ object LlmQueries {
 
   val minhashLshSql: String = s"WITH $minhashCtes\n$minhashFinalSelect"
 
+  /** LSH blocking-key health profile: the bucket-size histogram per band of
+    * the MinHash band keys — the first-class form of the SCALE.md round-2
+    * lesson (a banded join went 547× quadratic when its blocking key
+    * collapsed; one groupBy-count of block sizes would have caught it
+    * before the join ran). `cand_pairs = n_buckets · C(sz, 2)` is the exact
+    * verification workload each bucket size contributes, so the histogram
+    * IS the join's cost model: a fat tail here means re-band before
+    * running `minhash_lsh` at scale. Topology: signatures from the per-row
+    * kernel (no exchange), one map-side-combined (band, key) count, one
+    * histogram reduce over the size domain.
+    */
+  def lshBucketProfile(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandKeysOf(
+        Dedup.minhashSignatures(Tables.documents(spark, dir), 3, 64), 64, 16)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast("long").as("band"), col("sz"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("sz"), col("n_buckets"),
+        expr("n_buckets * ((sz * (sz - 1)) div 2)").as("cand_pairs"))
+
+  val lshBucketProfileSql: String =
+    s"""WITH $minhashCtes,
+       |bk AS (SELECT band, key, count(*) AS sz FROM bandkeys GROUP BY 1, 2)
+       |SELECT band, sz, count(*) AS n_buckets,
+       |       CAST(count(*) * ((sz * (sz - 1)) // 2) AS BIGINT) AS cand_pairs
+       |FROM bk GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------ flagship #2: training-corpus build
   /** End-to-end training-corpus materialization — the full pipeline a
     * 100 TB pretraining run needs, composed from the library's own stages:

@@ -583,6 +583,25 @@ class LlmOpsSpec extends SparkSuite {
     fps.unpersist()
   }
 
+  test("lsh_bucket_profile: histogram masses reconcile with docs and candidates") {
+    import spark.implicits._
+    val prof = graft.queries.LlmQueries.lshBucketProfile(spark, sf1).cache()
+    val nDocs = graft.llm.Dedup.minhashSignatures(
+      graft.engine.Tables.documents(spark, sf1), 3, 64).count()
+    // every band partitions the signature-bearing docs into its buckets
+    val perBand = prof.groupBy("band")
+      .agg(sum(col("sz") * col("n_buckets")).as("mass"))
+      .as[(Long, Long)].collect()
+    assert(perBand.length == 16)
+    perBand.foreach { case (b, mass) => assert(mass == nDocs, s"band $b") }
+    // the histogram's pair budget bounds the distinct candidate set from above
+    val candPairs = prof.agg(sum("cand_pairs")).as[Long].collect().head
+    val verified = graft.queries.LlmQueries.minhashLsh(spark, sf1).count()
+    assert(candPairs >= verified,
+      "per-band pair budget must cover every surviving verified pair")
+    prof.unpersist()
+  }
+
   test("vocab_divergence: exact TV numerator matches a brute-force recompute") {
     import spark.implicits._
     val out = graft.queries.LlmQueries.vocabDivergence(spark, sf1).cache()
