@@ -87,6 +87,72 @@ object Multimodal {
       }
   }
 
+  /** Perceptual-hash record: 64-bit aHash as a '0'/'1' string (row-major
+    * 8×8 blocks; a string dodges the sign bit and diffs legibly).
+    */
+  final case class PHash(doc_id: Long, ahash: String, n_set: Long)
+
+  /** Synthesize a fixed 16×16 REAL PNG per document (PNG only: the aHash
+    * consumes the raster, so the codec must be lossless), every pixel from
+    * the same md5-derived linear formula as [[withImageBlob]] — the oracle
+    * recomputes the raster arithmetically.
+    */
+  def withPngBlob16(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val h = md5Long(text.getBytes(StandardCharsets.UTF_8))
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              img.setRGB(x, y, ((h + x * 31 + y * 17) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", out), "no png encoder")
+          MediaRecord(id, out.toByteArray)
+        }
+      }
+  }
+
+  /** Average-hash over the FULL decoded raster (`ImageIO.read`, not just
+    * the header): gray = r+g+b per pixel, 2×2 block sums → 64 blocks, bit
+    * i = block_i·64 > total (integer cross-multiplication, ties to 0).
+    * Batched per partition, no shuffle; the hash is a pure function of the
+    * pixels, so a hash match proves the whole encode→decode→raster path.
+    */
+  def aHashFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[PHash] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null && img.getWidth == 16 && img.getHeight == 16,
+          s"doc ${r.doc_id}: expected a 16x16 raster")
+        val blocks = new Array[Long](64)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val v = img.getRGB(x, y) & 0xffffff
+            val gray = ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)
+            blocks((y / 2) * 8 + (x / 2)) += gray
+            x += 1
+          }
+          y += 1
+        }
+        val total = blocks.sum
+        val bits = blocks.map(b => if (b * 64 > total) '1' else '0')
+        PHash(r.doc_id, new String(bits), bits.count(_ == '1').toLong)
+      }
+    }
+  }
+
   /** Batched per-partition image decode — the multimodal hot path, for real:
     * `javax.imageio` sniffs the container from the bytes and reads
     * width/height from the header (no full raster decode). One reader per

@@ -2068,6 +2068,39 @@ object LlmQueries {
        |  ['png', 'jpeg', 'bmp'][(h % 3)::INT + 1] AS format
        |FROM (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents)""".stripMargin
 
+  /** Perceptual hash over REAL decoded rasters: 16×16 PNGs (lossless, so
+    * pixels survive the codec) are read back with `ImageIO.read` and
+    * average-hashed — 2×2 block sums, bit = block·64 > total in exact
+    * integers. The oracle recomputes the identical hash FROM THE PIXEL
+    * FORMULA, never seeing the PNG — a hash match therefore proves the
+    * full encode→decode→raster→hash path ran correctly, the strongest
+    * multimodal evidence in the suite (multimodal_meta proves headers;
+    * this proves pixels). Near-dup banding over these 64-bit hashes is
+    * `simhash_neardup`'s machinery unchanged.
+    */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.aHashFeatures(spark,
+        Multimodal.withPngBlob16(spark, Tables.documents(spark, dir)))
+      .toDF()
+
+  val multimodalPhashSql: String =
+    s"""WITH d AS (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents),
+       |px AS (SELECT doc_id, x, y, (h + 31 * x + 17 * y) % 16777216 AS v
+       |       FROM d, range(16) tx(x), range(16) ty(y)),
+       |g AS (SELECT doc_id, x, y,
+       |        (v // 65536) % 256 + (v // 256) % 256 + v % 256 AS gray FROM px),
+       |blocks AS (SELECT doc_id, y // 2 AS by, x // 2 AS bx, SUM(gray) AS bs
+       |           FROM g GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, SUM(bs) AS ts FROM blocks GROUP BY 1),
+       |bits AS (SELECT b.doc_id, by, bx,
+       |           CASE WHEN bs * 64 > ts THEN '1' ELSE '0' END AS bit
+       |         FROM blocks b JOIN tot USING (doc_id)),
+       |hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
+       |       FROM bits GROUP BY 1)
+       |SELECT doc_id, ahash,
+       |       CAST(length(replace(ahash, '0', '')) AS BIGINT) AS n_set
+       |FROM hs""".stripMargin
+
   /** Audio twin of [[multimodalMeta]]: REAL WAV payloads (synthesized with
     * md5-derived rate/channels/frames) parsed back by `javax.sound.sampled`
     * — the oracle predicts every decoded field arithmetically, including

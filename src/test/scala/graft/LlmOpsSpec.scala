@@ -602,6 +602,35 @@ class LlmOpsSpec extends SparkSuite {
     prof.unpersist()
   }
 
+  test("multimodal_phash: decoded-raster aHash equals the pixel-formula hash") {
+    import spark.implicits._
+    val out = graft.queries.LlmQueries.multimodalPhash(spark, sf1)
+      .as[(Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, ahash, nset) =>
+      assert(ahash.length == 64 && ahash.forall(c => c == '0' || c == '1'))
+      assert(nset == ahash.count(_ == '1'))
+      // a constant image would hash to all-zero; the gradient never does
+      assert(nset > 0 && nset < 64)
+    }
+    // formula replay for every doc, bypassing the codec entirely
+    val docs = graft.engine.Tables.documents(spark, sf1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.map { case (id, text) =>
+      val hex = md.digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val blocks = new Array[Long](64)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = ((h + x * 31 + y * 17) & 0xffffff).toInt
+        blocks((y / 2) * 8 + (x / 2)) += ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255)
+      }
+      val t = blocks.sum
+      id -> blocks.map(b => if (b * 64 > t) '1' else '0').mkString
+    }.toMap
+    out.foreach { case (id, ahash, _) => assert(ahash == expected(id), s"doc $id") }
+  }
+
   test("vocab_divergence: exact TV numerator matches a brute-force recompute") {
     import spark.implicits._
     val out = graft.queries.LlmQueries.vocabDivergence(spark, sf1).cache()
