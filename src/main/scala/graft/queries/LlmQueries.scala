@@ -2083,8 +2083,9 @@ object LlmQueries {
         Multimodal.withPngBlob16(spark, Tables.documents(spark, dir)))
       .toDF()
 
-  val multimodalPhashSql: String =
-    s"""WITH d AS (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents),
+  /** aHash CTE chain (shared by multimodal_phash and phash_neardup). */
+  private val phashCtes: String =
+    s"""d AS (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents),
        |px AS (SELECT doc_id, x, y, (h + 31 * x + 17 * y) % 16777216 AS v
        |       FROM d, range(16) tx(x), range(16) ty(y)),
        |g AS (SELECT doc_id, x, y,
@@ -2096,10 +2097,53 @@ object LlmQueries {
        |           CASE WHEN bs * 64 > ts THEN '1' ELSE '0' END AS bit
        |         FROM blocks b JOIN tot USING (doc_id)),
        |hs AS (SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
-       |       FROM bits GROUP BY 1)
+       |       FROM bits GROUP BY 1)""".stripMargin
+
+  val multimodalPhashSql: String =
+    s"""WITH $phashCtes
        |SELECT doc_id, ahash,
        |       CAST(length(replace(ahash, '0', '')) AS BIGINT) AS n_set
        |FROM hs""".stripMargin
+
+  /** Near-duplicate IMAGES by perceptual hash: pigeonhole banding over the
+    * 64-bit aHash (8 bands × 8 bits — any pair within Hamming distance ≤ 7
+    * shares an identical band, so the banded join is EXACT for the
+    * asserted radius, `simhash_neardup`'s argument on the image hash).
+    * Spark plans the band equi-join + candidate-only verify; the oracle
+    * brute-forces all pairs at its scale — band recall being provably 100%
+    * is what lets the two meet. The per-row synth→decode→hash stage is
+    * `multimodal_phash`'s; the only exchange carries (doc, band, 8-char
+    * key) rows.
+    */
+  def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Multimodal.aHashFeatures(spark,
+        Multimodal.withPngBlob16(spark, Tables.documents(spark, dir))).toDF()
+      .select(col("doc_id"), col("ahash"))
+    val bandsDf = hs.select(col("doc_id"), col("ahash"),
+        posexplode(array((0 until 8).map(b =>
+          substring(col("ahash"), b * 8 + 1, 8)): _*)))
+      .toDF("doc_id", "ahash", "band", "key")
+    bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr(
+        """size(filter(sequence(0, 63),
+          |i -> substring(ha, i + 1, 1) != substring(hb, i + 1, 1)))""".stripMargin)
+        .cast("long"))
+      .filter(col("hamming") <= 7)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  val phashNeardupSql: String =
+    s"""WITH $phashCtes,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(len([i for i in range(64)
+       |                  if a.ahash[i+1] != b.ahash[i+1]]) AS BIGINT) AS hamming
+       |      FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 7""".stripMargin
 
   /** Audio twin of [[multimodalMeta]]: REAL WAV payloads (synthesized with
     * md5-derived rate/channels/frames) parsed back by `javax.sound.sampled`

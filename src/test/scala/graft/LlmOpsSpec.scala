@@ -631,6 +631,21 @@ class LlmOpsSpec extends SparkSuite {
     out.foreach { case (id, ahash, _) => assert(ahash == expected(id), s"doc $id") }
   }
 
+  test("phash_neardup: banded join equals brute-force hamming (pigeonhole exact)") {
+    import spark.implicits._
+    val out = graft.queries.LlmQueries.phashNeardup(spark, sf1)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val hs = graft.queries.LlmQueries.multimodalPhash(spark, sf1)
+      .select("doc_id", "ahash").as[(Long, String)].collect().sortBy(_._1)
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = hs(i)._2.zip(hs(j)._2).count { case (a, b) => a != b }
+      if d <= 7
+    } yield (hs(i)._1, hs(j)._1) -> d.toLong).toMap
+    assert(out == brute,
+      s"banded=${out.size} brute=${brute.size}: 8 bands over 64 bits must be exact for d<=7")
+  }
+
   test("vocab_divergence: exact TV numerator matches a brute-force recompute") {
     import spark.implicits._
     val out = graft.queries.LlmQueries.vocabDivergence(spark, sf1).cache()
