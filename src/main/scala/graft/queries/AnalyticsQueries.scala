@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.engine.{Bucketing, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1640,4 +1640,68 @@ object AnalyticsQueries {
       |SELECT dow, n_orders, cents,
       |       (10000 * 7 * cents) // total_cents AS index_bp
       |FROM d CROSS JOIN t""".stripMargin
+
+  // -------------------------------------------------------- rfm_segments
+  /** RFM segmentation — the classic customer-value partition (recency of
+    * last order, order frequency, monetary total) with each dimension cut
+    * into population quintiles and the 3-digit segment code `r*100+f*10+m`
+    * (quintile 1 = most recent / most frequent / highest spend).
+    *
+    * Scale design: the per-customer triple is one map-side-combined
+    * aggregate of orders; each quintile is a GLOBAL rank, computed with the
+    * two-pass range-partitioned prefix ([[graft.engine.Prefix]] — never a
+    * single-task `Window.orderBy`) plus the closed-form ntile bucket from
+    * the broadcast 1-row population count (the `spend_deciles` idiom, k=5).
+    * Three independent orderings = three range-sorts of a CUSTOMER-sized
+    * relation (≪ the orders fact table), embarrassingly parallel each.
+    * Money in integer cents; ranks tie-break on `o_custkey`.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val per = o.groupBy(col("o_custkey")).agg(
+      max(col("o_orderdate")).as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum(dec(col("o_totalprice"))).as("monetary"))
+    val snap = o.agg(max(col("o_orderdate")).as("snap"))
+    val base = per.crossJoin(broadcast(snap))
+      .withColumn("recency_days",
+        datediff(col("snap"), col("last_order")).cast("long"))
+      .withColumn("monetary_cents", expr("CAST(monetary * 100 AS BIGINT)"))
+      .select("o_custkey", "recency_days", "frequency", "monetary_cents")
+    val n1 = base.agg(count(lit(1)).as("n"))
+    def ntile5(rankCol: String): Column = expr(
+      s"CASE WHEN $rankCol + 1 <= (n % 5) * (n div 5 + 1) " +
+        s"THEN $rankCol div (n div 5 + 1) + 1 " +
+        s"ELSE (n % 5) + ($rankCol - (n % 5) * (n div 5 + 1)) div (n div 5) + 1 END")
+    def quintile(df: DataFrame, ord: Seq[Column], out: String): DataFrame =
+      graft.engine.Prefix.exclusiveCumsum(df, ord, lit(1L), "__r")
+        .withColumn(out, ntile5("__r")).drop("__r")
+    val r = quintile(base.crossJoin(broadcast(n1)),
+      Seq(col("recency_days").asc, col("o_custkey").asc), "r_q")
+    val f = quintile(r, Seq(col("frequency").desc, col("o_custkey").asc), "f_q")
+    val m = quintile(f, Seq(col("monetary_cents").desc, col("o_custkey").asc), "m_q")
+    m.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r_q").cast("long").as("r_q"),
+      col("f_q").cast("long").as("f_q"), col("m_q").cast("long").as("m_q"),
+      (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long").as("rfm"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per AS (SELECT o_custkey,
+      |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |q AS (SELECT *,
+      |    ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+      |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+      |    ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_q
+      |  FROM per)
+      |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+      |       frequency, monetary_cents,
+      |       CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+      |       CAST(m_q AS BIGINT) AS m_q,
+      |       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm
+      |FROM q""".stripMargin
 }

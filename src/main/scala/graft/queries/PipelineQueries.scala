@@ -1722,4 +1722,159 @@ object PipelineQueries {
       |       CAST(SUM(k) AS BIGINT) AS sum_k,
       |       count(DISTINCT k) AS distinct_k
       |FROM p GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- late_arrival_stats
+  /** Out-of-order arrival diagnostic — the statistic that SIZES a
+    * watermark. For each event, lateness = how far its event time trails
+    * the maximum event time already ingested (arrival order = the monotone
+    * `event_id` ingest sequence); per event type we report how many events
+    * were late, how late the worst was, and the total slack. A streaming
+    * deployment reads `max_late_s` directly as the `withWatermark` delay
+    * that would have lost zero events (and `late_bp` as the loss rate a
+    * tighter bound would incur).
+    *
+    * Scale design: the "running max over everything ingested so far" is an
+    * associative prefix — [[graft.engine.Prefix.exclusiveCumMax]] computes
+    * it with a range partition + per-partition window + broadcast offsets
+    * (never a single-task global window), and the rest is one map-side-
+    * combined aggregate. All arithmetic in integer microseconds.
+    */
+  def lateArrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    graft.engine.Prefix.exclusiveCumMax(
+        ev, Seq(col("event_id")), col("ts_us"), "prior_max_us")
+      .withColumn("late_s",
+        when(col("prior_max_us").isNotNull && col("prior_max_us") > col("ts_us"),
+          expr("(prior_max_us - ts_us) div 1000000")).otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_s")).as("max_late_s"),
+        sum(col("late_s")).as("sum_late_s"))
+      .withColumn("late_bp", expr("(10000 * n_late) div n_events"))
+  }
+
+  val lateArrivalStatsSql: String =
+    """WITH m AS (SELECT event_type, epoch_us(ts) AS ts_us,
+      |                  max(epoch_us(ts)) OVER (ORDER BY event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |           FROM events),
+      |d AS (SELECT event_type,
+      |             CASE WHEN pm IS NOT NULL AND pm > ts_us
+      |                  THEN (pm - ts_us) // 1000000 ELSE 0 END AS late_s
+      |      FROM m)
+      |SELECT event_type, count(*) AS n_events,
+      |       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(max(late_s) AS BIGINT) AS max_late_s,
+      |       CAST(SUM(late_s) AS BIGINT) AS sum_late_s,
+      |       CAST((10000 * SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END))
+      |            // count(*) AS BIGINT) AS late_bp
+      |FROM d GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- concurrency_histogram
+  /** Time-in-state histogram: for each concurrency level (number of
+    * simultaneously active 30-minute-gap sessions), the total wall-clock
+    * time the system spent at that level — the dwell-time complement of
+    * `peak_concurrency`'s max sweep, and the input to capacity planning
+    * (P(level ≥ k) = Σ total_us over levels ≥ k / horizon).
+    *
+    * Scale design: the sweep points (+1 at session start, −1 at end) form
+    * the usual event-boundary relation; the running level and a global
+    * rank over the sweep order are BOTH two-pass range-partitioned
+    * prefixes ([[graft.engine.Prefix.exclusiveCumsum]] — no single-task
+    * window), and "next boundary's timestamp" is a self-equi-join on
+    * rank+1 (co-partitioned, no window at all). Dwell is integer micros;
+    * level 0 rows are the idle gaps between sessions.
+    */
+  def concurrencyHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val s = Tables.events(spark, dir)
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(cum))
+    val sess = s.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val deltas = sess
+      .select(col("start_ts").as("t"), lit(1L).as("d"), col("user_id"), col("sid"))
+      .unionByName(sess
+        .select(col("end_ts").as("t"), lit(-1L).as("d"), col("user_id"), col("sid")))
+    val ord = Seq(col("t"), col("d").desc, col("user_id"), col("sid"))
+    val run = graft.engine.Prefix.exclusiveCumsum(deltas, ord, col("d"), "prior")
+    val ranked = graft.engine.Prefix.exclusiveCumsum(run, ord, lit(1L), "rank0")
+      .withColumn("level", col("prior") + col("d"))
+    val next = ranked.select(col("rank0").as("nrank"), col("t").as("nt"))
+    ranked.join(next, col("rank0") + 1 === col("nrank"))
+      .withColumn("dwell_us", unix_micros(col("nt")) - unix_micros(col("t")))
+      .filter(col("dwell_us") > 0)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("dwell_us")).as("total_us"))
+  }
+
+  val concurrencyHistogramSql: String =
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            >= INTERVAL '30 minutes'
+      |       THEN 1 ELSE 0 END AS brk FROM events),
+      |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+      |sess AS (SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts
+      |         FROM s GROUP BY 1, 2),
+      |deltas AS (SELECT start_ts AS t, 1 AS d, user_id, sid FROM sess
+      |           UNION ALL
+      |           SELECT end_ts, -1, user_id, sid FROM sess),
+      |run AS (SELECT t,
+      |               SUM(d) OVER (ORDER BY t, d DESC, user_id, sid
+      |                            ROWS UNBOUNDED PRECEDING) AS level,
+      |               lead(t) OVER (ORDER BY t, d DESC, user_id, sid) AS nt
+      |        FROM deltas)
+      |SELECT CAST(level AS BIGINT) AS level,
+      |       count(*) AS n_intervals,
+      |       CAST(SUM(epoch_us(nt) - epoch_us(t)) AS BIGINT) AS total_us
+      |FROM run WHERE nt IS NOT NULL AND epoch_us(nt) > epoch_us(t)
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------ compaction_bins
+  /** Small-file compaction planner (the OPTIMIZE/bin-packing shape every
+    * lakehouse runs): within each source, documents are packed in doc_id
+    * order into ~`target`-sized bins by offset — bin = exclusive running
+    * size ÷ target — and the plan reports each bin's member count, byte
+    * total, and id range (the compaction job's input manifest).
+    *
+    * Scale design: one keyed window per source (each source's running sum
+    * is its own partition — parallel across sources; a single giant source
+    * would range-partition through [[graft.engine.Prefix]] instead) and
+    * one map-side-combined aggregate. The offset-based rule is exactly how
+    * `spark.sql.files.maxPartitionBytes` packs scan splits: deterministic,
+    * order-preserving, and a doc that straddles a boundary belongs to the
+    * bin its first byte falls in.
+    */
+  def compactionBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("prior_chars", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("bin", expr("prior_chars div 65536"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  val compactionBinsSql: String =
+    """WITH p AS (SELECT source, doc_id, n_chars,
+      |  COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_chars
+      |  FROM documents)
+      |SELECT source, prior_chars // 65536 AS bin, count(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM p GROUP BY 1, 2""".stripMargin
 }

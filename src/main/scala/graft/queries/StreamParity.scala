@@ -267,6 +267,63 @@ object StreamParity {
           col("r.ts").as("purchase_ts")))
   }
 
+  /** J3's LEFT OUTER form through real streaming execution — the semantics
+    * the inner parity row cannot exercise: a null-extended left row is
+    * emitted ONLY when the watermark proves no match can still arrive
+    * (watermark > l.ts + tolerance), i.e. correctness depends on state
+    * EVICTION itself, not just symmetric-hash matching.
+    *
+    * Finite-input subtlety, measured not guessed: Catalyst pushes the
+    * event-type filters below the `withWatermark` nodes, so each side's
+    * event-time stats track its own post-filter maximum and the global
+    * watermark converges to `min(max click ts, max purchase ts)` — which
+    * means clicks inside the final tolerance window of that bound sit in
+    * state forever (their no-match proof never completes; watermarking
+    * before filtering cannot help, the pushdown reorders it). The fix
+    * bounds the OUTPUT, not the input: rows with `l.ts <
+    * min(max click, max purchase) − tolerance − 1s` are exactly the ones
+    * whose window provably closed, every one of them has been emitted
+    * (matched eagerly, unmatched on eviction), and the oracle applies the
+    * same static bound. The scalar comes from the batch table
+    * (metadata-sized driver traffic). Production equivalent: an unbounded
+    * stream's watermark keeps advancing, so every window eventually
+    * closes; the bound is the finite-input stand-in for "the stream
+    * outlives the window".
+    */
+  def intervalJoinLeftStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val cutoff = Tables.events(ss, dir)
+      .agg(least(
+        max(when(col("event_type") === "click", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        .as("c"))
+      .select(col("c") - expr("INTERVAL 10 MINUTES") - expr("INTERVAL 1 SECOND"))
+      .head.getTimestamp(0)
+    val clicks = eventsStream(ss, dir).filter(col("event_type") === "click")
+    val purchases = eventsStream(ss, dir).filter(col("event_type") === "purchase")
+    runAppend(ss,
+      Streaming.intervalJoinStream(clicks, purchases, tolerance = "10 MINUTES",
+          joinType = "leftOuter")
+        .filter(col("l.ts") < lit(cutoff))
+        .select(
+          col("l.user_id").as("user_id"),
+          col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id")))
+  }
+
+  val intervalJoinLeftStreamParitySql: String =
+    """WITH b AS (SELECT least(
+      |    max(ts) FILTER (event_type = 'click'),
+      |    max(ts) FILTER (event_type = 'purchase'))
+      |    - INTERVAL '10 minutes' - INTERVAL '1 second' AS cutoff FROM events)
+      |SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM (SELECT * FROM events, b
+      |      WHERE event_type = 'click' AND ts < cutoff) c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts - INTERVAL '10 minutes'
+      | AND p.ts <= c.ts + INTERVAL '10 minutes'""".stripMargin
+
   /** S2/T6 — the KTable itself through real streaming execution: the
     * orders CHANGELOG arrives as a stream, and latest-per-key
     * materialization runs as an incremental `max_by` aggregation (the

@@ -387,4 +387,25 @@ class AnalyticsPropsSpec extends SparkSuite {
     assert(deltas.exceptAll(snap).isEmpty && snap.exceptAll(deltas).isEmpty,
       "adder/subtractor deltas must telescope to the snapshot aggregate")
   }
+
+  test("rfm_segments: balanced quintiles, digit bounds, conserved totals") {
+    val rfm = AnalyticsQueries.rfmSegments(spark, sf1).cache()
+    val nCust = graft.engine.Tables.orders(spark, sf1)
+      .select(col("o_custkey")).distinct().count()
+    assert(rfm.count() == nCust, "one row per customer with >=1 order")
+    // every quintile dimension: bucket sizes differ by at most 1 (ntile law)
+    for (c <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = rfm.groupBy(col(c)).count().select(col("count"))
+        .collect().map(_.getLong(0))
+      assert(sizes.length == 5, s"$c covers all 5 quintiles")
+      assert(sizes.max - sizes.min <= 1, s"$c quintiles balanced: ${sizes.toSeq}")
+    }
+    assert(rfm.filter(col("rfm") < 111 || col("rfm") > 555).count() == 0)
+    // monetary is conserved: segment cents sum to the orders total
+    val totalCents = graft.engine.Tables.orders(spark, sf1)
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"))
+      .head.getLong(0)
+    assert(rfm.agg(sum(col("monetary_cents"))).head.getLong(0) == totalCents)
+    rfm.unpersist()
+  }
 }

@@ -510,4 +510,63 @@ class PipelinePropsSpec extends SparkSuite {
     assert(got.filter(col("pm").isNull).count() == 1,
       "exactly the globally-first row has no predecessor max")
   }
+
+  test("late_arrival_stats equals the single-window naive recompute; bounds hold") {
+    import org.apache.spark.sql.expressions.Window
+    val fast = PipelineQueries.lateArrivalStats(spark, sf1).cache()
+    val naive = graft.engine.Tables.events(spark, sf1)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("pm", max(col("ts_us")).over(Window.orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("late_s", when(col("pm").isNotNull && col("pm") > col("ts_us"),
+        expr("(pm - ts_us) div 1000000")).otherwise(lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_s")).as("max_late_s"),
+        sum(col("late_s")).as("sum_late_s"))
+      .withColumn("late_bp", expr("(10000 * n_late) div n_events"))
+    assert(fast.exceptAll(naive).count() == 0 && naive.exceptAll(fast).count() == 0,
+      "two-pass prefix-max lateness must equal the single-window recompute")
+    assert(fast.filter(col("n_late") > col("n_events")).count() == 0)
+    assert(fast.filter(col("late_bp") > 10000).count() == 0)
+    fast.unpersist()
+  }
+
+  test("concurrency_histogram dwell times tile the sweep span exactly") {
+    val hist = PipelineQueries.concurrencyHistogram(spark, sf1).cache()
+    // the boundary intervals partition [first point, last point]: dwell
+    // totals across ALL levels (idle 0 included) must sum to the span
+    val ev = graft.engine.Tables.events(spark, sf1)
+    val span = ev.agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+      .as("span_us")).head.getLong(0)
+    val total = hist.agg(sum(col("total_us"))).head.getLong(0)
+    assert(total == span,
+      s"dwell sum $total must tile the event span $span (no gaps, no overlaps)")
+    assert(hist.filter(col("level") < 0).count() == 0, "level never negative")
+    assert(hist.filter(col("level") === 0).count() == 1, "idle level present once")
+    hist.unpersist()
+  }
+
+  test("compaction_bins: partition of each source, offsets consistent with target") {
+    val bins = PipelineQueries.compactionBins(spark, sf1).cache()
+    val docs = graft.engine.Tables.documents(spark, sf1)
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_all"), sum(col("n_chars")).as("chars_all"))
+    val agg = bins.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs_all"), sum(col("total_chars")).as("chars_all"))
+    assert(agg.exceptAll(perSource).count() == 0 && perSource.exceptAll(agg).count() == 0,
+      "bins partition every source's documents exactly")
+    // next-fit by offset: a bin's member offsets start inside [bin*T, (bin+1)*T)
+    // so no bin except possibly the last can hold less than T - max doc size...
+    // spec-scale check: bin ids per source are contiguous from 0
+    import org.apache.spark.sql.expressions.Window
+    val gaps = bins.withColumn("prev",
+        lag(col("bin"), 1).over(Window.partitionBy(col("source")).orderBy(col("bin"))))
+      .filter(col("prev").isNotNull && col("bin") =!= col("prev") + 1)
+    assert(gaps.count() == 0, "bin ids contiguous per source (offsets tile)")
+    assert(bins.filter(col("bin") === 0).select(countDistinct(col("source"))).head.getLong(0)
+      == bins.select(countDistinct(col("source"))).head.getLong(0))
+    bins.unpersist()
+  }
 }

@@ -65,7 +65,10 @@ class PlansSpec extends SparkSuite {
     // kmv_intersect: the type-domain-sized (≤ |event types| rows) sketch
     // self-join — pure sketch algebra, no data-sized side;
     // vocab_divergence / seasonality_dow / window_funnel: 1-row fold-ins
-    "kmv_intersect", "vocab_divergence", "seasonality_dow", "window_funnel")
+    "kmv_intersect", "vocab_divergence", "seasonality_dow", "window_funnel",
+    // rfm_segments: the 1-row snapshot-date and 1-row population-count
+    // fold-ins (spend_deciles' pattern, applied three times)
+    "rfm_segments")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
