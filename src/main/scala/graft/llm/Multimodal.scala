@@ -263,6 +263,55 @@ object Multimodal {
     * size per record, CPU-heavy per row, no shuffle) is what matters for
     * pipeline planning; swap the body for a real scaler.
     */
+  /** Energy-delta acoustic fingerprint over REAL decoded PCM. */
+  final case class AudioFingerprint(doc_id: Long, n_windows: Long, fp: Long)
+
+  /** Chromaprint-shaped fingerprint: `AudioSystem.getAudioInputStream`
+    * decodes the WAV container back to raw 16-bit little-endian PCM (the
+    * genuine decode path — the header alone cannot produce these bytes),
+    * sample magnitudes are summed over consecutive `win`-sample windows,
+    * and bit j−1 of the fingerprint is set iff window j's energy exceeds
+    * window j−1's (up to 32 bits). The sign-of-delta construction is the
+    * standard loudness-contour fingerprint: robust to level scaling,
+    * cheap to band for near-dup joins (`simhash_neardup`'s machinery).
+    *
+    * Batched per-partition map, no shuffle; integer arithmetic throughout
+    * so the DuckDB oracle can recompute every bit from the synthetic
+    * PCM's closed form ((h + 31·i) mod 256 bytes) without decoding audio
+    * — a hash match proves the encode→decode→PCM→DSP path end to end.
+    */
+  def audioFingerprint(spark: SparkSession, media: Dataset[MediaRecord],
+                       win: Int = 16): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.blob))
+        val data = ais.readAllBytes()
+        val nWin = (data.length / 2) / win
+        val energies = Array.tabulate(nWin) { j =>
+          var s = 0L
+          var k = j * win
+          while (k < (j + 1) * win) {
+            val lo = data(2 * k) & 0xff
+            val hi = data(2 * k + 1).toInt // sign-extended high byte
+            s += math.abs((hi << 8) | lo)
+            k += 1
+          }
+          s
+        }
+        var fp = 0L
+        val nb = math.min(32, math.max(0, nWin - 1))
+        var j = 1
+        while (j <= nb) {
+          if (energies(j) > energies(j - 1)) fp |= 1L << (j - 1)
+          j += 1
+        }
+        AudioFingerprint(r.doc_id, nWin.toLong, fp)
+      }
+    }
+  }
+
   def resize(spark: SparkSession, media: DataFrame, outBytes: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     media.select(col("doc_id"), col("blob")).as[MediaRecord]

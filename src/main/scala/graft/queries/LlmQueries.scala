@@ -2169,6 +2169,117 @@ object LlmQueries {
        |        1 + (h // 11) % 256 AS frames
        |      FROM (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents))""".stripMargin
 
+  // ------------------------------------------------------ audio_fingerprint
+  /** Acoustic fingerprint over REAL decoded PCM
+    * ([[Multimodal.audioFingerprint]]): WAV container → `AudioSystem`
+    * decode → 16-sample energy windows → sign-of-delta bits. The oracle
+    * recomputes every bit from the synthetic PCM's closed form
+    * ((h + 31·i) mod 256 bytes, 16-bit little-endian) without ever seeing
+    * the WAV — a hash match proves the whole encode→decode→PCM→DSP path,
+    * the audio twin of `multimodal_phash`'s pixel proof.
+    */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(spark,
+        Multimodal.withAudioBlob(spark, Tables.documents(spark, dir)))
+      .toDF()
+
+  val audioFingerprintSql: String =
+    s"""WITH d AS (SELECT doc_id, ${PortableHash.md5LongSql("text")} AS h FROM documents),
+       |base AS (SELECT doc_id, h,
+       |           (1 + (h // 11) % 256) * (1 + (h // 7) % 2) AS n_samples
+       |         FROM d),
+       |k AS (SELECT doc_id, h, n_samples, unnest(range(0, n_samples)) AS k FROM base),
+       |sv AS (SELECT doc_id, CAST(k // 16 AS BIGINT) AS j,
+       |         abs((CASE WHEN hb >= 128 THEN hb - 256 ELSE hb END) * 256 + lb) AS av
+       |       FROM (SELECT doc_id, k, n_samples,
+       |               (h + 62 * k) % 256 AS lb,
+       |               (h + 62 * k + 31) % 256 AS hb
+       |             FROM k)
+       |       WHERE k < (n_samples // 16) * 16),
+       |e AS (SELECT doc_id, j, SUM(av) AS en FROM sv GROUP BY 1, 2),
+       |b AS (SELECT doc_id, j, en,
+       |        lag(en) OVER (PARTITION BY doc_id ORDER BY j) AS pe
+       |      FROM e),
+       |fp AS (SELECT doc_id,
+       |         COALESCE(SUM(CASE WHEN j BETWEEN 1 AND 32 AND en > pe
+       |                           THEN 1::BIGINT << CAST(j - 1 AS INT)
+       |                           ELSE 0 END), 0) AS fp
+       |       FROM b GROUP BY 1)
+       |SELECT base.doc_id, CAST(n_samples // 16 AS BIGINT) AS n_windows,
+       |       CAST(COALESCE(fp.fp, 0) AS BIGINT) AS fp
+       |FROM base LEFT JOIN fp ON base.doc_id = fp.doc_id""".stripMargin
+
+  // -------------------------------------------------------- bpe_fertility
+  /** Tokenizer fertility per language — BPE tokens per whitespace word in
+    * basis points, the number a pretraining-budget planner needs per
+    * source/language (fertility × words = token cost). Reuses the full
+    * learn-then-encode pipeline of `bpe_encode` (same 3 merge rounds) and
+    * folds the per-doc counts to per-language integers; the oracle replays
+    * the identical merge rounds in SQL and aggregates the same way.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility_bp", expr("(10000 * n_bpe_tokens) div n_words"))
+
+  val bpeFertilitySql: String =
+    s"""WITH $bpeBaseSql,
+       |${bpeRoundSql(1, "s0")},
+       |${bpeRoundSql(2, "s1")},
+       |${bpeRoundSql(3, "s2")},
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s3 GROUP BY 1),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS word
+       |        FROM documents),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |           CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       |           FROM tok JOIN wc USING (word) GROUP BY 1)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |       CAST((10000 * SUM(n_bpe)) // SUM(n_words) AS BIGINT) AS fertility_bp
+       |FROM perdoc JOIN documents USING (doc_id) GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- quantile_normalize
+  /** Per-dimension quantile normalization of the embedding matrix — each
+    * value replaced by its within-dimension rank position on a uniform
+    * [0, 10000] basis-point grid (the rank-based feature scaling that
+    * makes dimensions comparable before indexing/whitening). Ties break
+    * on `vec_id`, so the mapping is total and engine-portable.
+    *
+    * Scale design: one posexplode scan, then 64 INDEPENDENT keyed windows
+    * (one per dimension — parallelism = dim count, each sorting N values);
+    * a corpus where N per dimension outgrows a task goes through the
+    * two-pass [[graft.engine.Prefix]] rank with `dim` prepended to the
+    * range key. The population count folds in as a broadcast 1-row
+    * aggregate (never a count-window over the data).
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dim")).orderBy(col("x"), col("vec_id"))
+    val n1 = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "x")
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(n1))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        expr("CAST(((rn - 1) * 10000) div (n - 1) AS BIGINT)").as("q_bp"))
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH n AS (SELECT count(*) AS n FROM embeddings),
+      |e AS (SELECT vec_id, i - 1 AS dim, embedding[i] AS x
+      |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+      |r AS (SELECT vec_id, dim,
+      |        row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rn
+      |      FROM e)
+      |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+      |       CAST(((rn - 1) * 10000) // (n - 1) AS BIGINT) AS q_bp
+      |FROM r CROSS JOIN n""".stripMargin
+
   // ------------------------------------------------ dedup: semantic (SemDeDup)
   /** Cluster-then-prune semantic dedup ([[Similarity.semDedup]]); tau
     * shares [[minCos]] — on the near-isotropic synthetic embeddings the

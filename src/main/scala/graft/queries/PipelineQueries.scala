@@ -1840,6 +1840,44 @@ object PipelineQueries {
       |FROM run WHERE nt IS NOT NULL AND epoch_us(nt) > epoch_us(t)
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ sequence_motifs
+  /** Frequent behavioral trigrams — the top 50 consecutive event-type
+    * triples across all user streams with occurrence and distinct-user
+    * counts (the motif mining behind "what do users do before X"
+    * product analytics). Full-key tie-breaks make the top-50 cut
+    * deterministic.
+    *
+    * Scale design: `lead` over user-keyed windows (each user's stream
+    * sorts within its partition — no global order), one map-side-combined
+    * aggregate over a motif domain bounded by |event types|³, and a
+    * TakeOrdered top-k of that tiny domain. Raw events are scanned once.
+    */
+  def sequenceMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(50)
+  }
+
+  val sequenceMotifsSql: String =
+    """WITH t AS (SELECT user_id, event_type AS s1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+      |  FROM events)
+      |SELECT s1, s2, s3, count(*) AS n,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM t WHERE s3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1, s2, s3
+      |LIMIT 50""".stripMargin
+
   // ------------------------------------------------------ compaction_bins
   /** Small-file compaction planner (the OPTIMIZE/bin-packing shape every
     * lakehouse runs): within each source, documents are packed in doc_id

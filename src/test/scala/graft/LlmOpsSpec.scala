@@ -631,6 +631,68 @@ class LlmOpsSpec extends SparkSuite {
     out.foreach { case (id, ahash, _) => assert(ahash == expected(id), s"doc $id") }
   }
 
+  test("audio_fingerprint: decoded-PCM fingerprint equals the byte-formula replay") {
+    import spark.implicits._
+    val out = graft.queries.LlmQueries.audioFingerprint(spark, sf1)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // formula replay for every doc, bypassing the WAV container entirely
+    val docs = graft.engine.Tables.documents(spark, sf1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.map { case (id, text) =>
+      val hex = md.digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val ch = (1 + (h / 7) % 2).toInt
+      val frames = (1 + (h / 11) % 256).toInt
+      val nSamples = frames * ch
+      val nWin = nSamples / 16
+      val en = Array.tabulate(nWin) { j =>
+        (j * 16 until (j + 1) * 16).map { k =>
+          val lo = ((h + 62L * k) % 256).toInt
+          val hb = ((h + 62L * k + 31) % 256).toInt
+          val hi = if (hb >= 128) hb - 256 else hb
+          math.abs((hi << 8) | lo).toLong
+        }.sum
+      }
+      var fp = 0L
+      for (j <- 1 until math.min(33, nWin)) if (en(j) > en(j - 1)) fp |= 1L << (j - 1)
+      id -> ((nWin.toLong, fp))
+    }.toMap
+    out.foreach { case (id, nw, fp) =>
+      assert((nw, fp) == expected(id), s"doc $id: ($nw, $fp) != ${expected(id)}")
+    }
+  }
+
+  test("quantile_normalize: uniform grid per dimension, rank-monotone") {
+    import spark.implicits._
+    val q = graft.queries.LlmQueries.quantileNormalize(spark, sf1).cache()
+    val n = graft.engine.Tables.embeddings(spark, sf1).count()
+    assert(q.count() == n * 64, "one cell per (vector, dimension)")
+    // every dimension spans the full grid ends
+    val ends = q.groupBy(col("dim"))
+      .agg(min(col("q_bp")).as("lo"), max(col("q_bp")).as("hi"))
+    assert(ends.filter(col("lo") =!= 0 || col("hi") =!= 10000).count() == 0)
+    // monotone: within a dim, larger x never gets a smaller q_bp
+    val e = graft.engine.Tables.embeddings(spark, sf1)
+      .select(col("vec_id"), posexplode(col("embedding"))).toDF("vec_id", "dim", "x")
+    val joined = q.join(e, Seq("vec_id", "dim"))
+    val byDim = joined.as("a").join(joined.as("b"),
+      col("a.dim") === col("b.dim") && col("a.x") < col("b.x") &&
+        col("a.q_bp") > col("b.q_bp"))
+    assert(byDim.limit(1).count() == 0, "quantile map must be monotone in x")
+    q.unpersist()
+  }
+
+  test("bpe_fertility: at least one symbol per word, languages partition docs") {
+    val f = graft.queries.LlmQueries.bpeFertility(spark, sf1).cache()
+    assert(f.filter(col("fertility_bp") < 10000).count() == 0,
+      "BPE can only split words: tokens >= words")
+    val nDocs = graft.engine.Tables.documents(spark, sf1).count()
+    assert(f.agg(sum(col("n_docs"))).head.getLong(0) == nDocs)
+    f.unpersist()
+  }
+
   test("phash_neardup: banded join equals brute-force hamming (pigeonhole exact)") {
     import spark.implicits._
     val out = graft.queries.LlmQueries.phashNeardup(spark, sf1)

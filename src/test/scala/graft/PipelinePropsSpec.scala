@@ -548,6 +548,33 @@ class PipelinePropsSpec extends SparkSuite {
     hist.unpersist()
   }
 
+  test("sequence_motifs: counts conserve the per-user trigram budget; top-50 exact") {
+    val got = PipelineQueries.sequenceMotifs(spark, sf1).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    // total trigram occurrences across ALL motifs = sum over users of (n_i - 2)
+    val ev = graft.engine.Tables.events(spark, sf1)
+    val budget = ev.groupBy(col("user_id")).count()
+      .agg(sum(greatest(col("count") - 2, lit(0L)))).head.getLong(0)
+    val fullCount = ev.count() // trigger a concrete plan before reuse
+    assert(fullCount > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+    assert(full.agg(sum(col("n"))).head.getLong(0) == budget,
+      "every user contributes exactly max(0, events-2) trigrams")
+    // the judged rows are the true top-50 under the full deterministic order
+    val top = full.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(50).select("s1", "s2", "s3", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val gotKeys = got.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(gotKeys.toSeq == top.toSeq, "top-50 motifs must match the full recount")
+  }
+
   test("compaction_bins: partition of each source, offsets consistent with target") {
     val bins = PipelineQueries.compactionBins(spark, sf1).cache()
     val docs = graft.engine.Tables.documents(spark, sf1)

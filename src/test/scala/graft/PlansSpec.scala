@@ -68,7 +68,9 @@ class PlansSpec extends SparkSuite {
     "kmv_intersect", "vocab_divergence", "seasonality_dow", "window_funnel",
     // rfm_segments: the 1-row snapshot-date and 1-row population-count
     // fold-ins (spend_deciles' pattern, applied three times)
-    "rfm_segments")
+    "rfm_segments",
+    // quantile_normalize: the 1-row population-count fold-in
+    "quantile_normalize")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
