@@ -1704,4 +1704,107 @@ object AnalyticsQueries {
       |       CAST(m_q AS BIGINT) AS m_q,
       |       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm
       |FROM q""".stripMargin
+
+  // ------------------------------------------------- q3_shipping_priority
+  /** TPC-H Q3-shaped shipping-priority readout: unshipped-as-of-cutoff
+    * revenue per order for one market segment, top 10. The headline
+    * join-planning query: customer (segment-filtered) is a dimension —
+    * broadcast both fact joins so the lineitem scan never shuffles; the
+    * date predicates and segment filter all push to the parquet scans
+    * (check PushedFilters); revenue is exact DECIMAL(18,2), surfaced in
+    * cents so the top-10 cut is an integer total order with o_orderkey
+    * as the deterministic tie-break. At 100 TB the only exchange is the
+    * final aggregate on o_orderkey — already co-partitioned with the
+    * probe output — and the top-10 is a TakeOrdered, not a global sort.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "TIMESTAMP '1998-03-15 00:00:00'"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(expr(s"o_orderdate < $cut"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(expr(s"l_shipdate > $cut"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey")).drop("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(discPrice) * 100).cast("long").as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(9,4)))) * 100 AS BIGINT)
+      |         AS revenue_cents
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------- item_similarity_topk
+  /** Item-to-item collaborative filtering: each part's 5 most-similar
+    * parts by co-purchase cosine, sim²(a,b) = n_ab² / (n_a·n_b), kept in
+    * exact integer 1e8 fixed point (squaring avoids the sqrt — it is
+    * monotone, so the ranking is identical). The "customers also bought"
+    * recommender readout.
+    *
+    * Scale shape (shared with [[copurchasePairs]]): the (order, part)
+    * projection is distinct-collapsed and persisted once; the self-join
+    * keys on the order (co-located, pairs bounded by basket size squared,
+    * never corpus size); supports are part-cardinality; the per-part
+    * top-5 is a rank window that Spark rewrites to a partial group-limit
+    * before the exchange, so only ≤ 5·|parts| candidate rows shuffle.
+    */
+  def itemSimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().persist()
+    val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val half = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val sym = half.unionByName(
+      half.select(col("pb").as("pa"), col("pa").as("pb"), col("n_ab")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pa"))
+      .orderBy(col("sim2_e8").desc, col("pb").asc)
+    sym
+      .join(sup.select(col("pk").as("pa"), col("n").as("n_a")), "pa")
+      .join(sup.select(col("pk").as("pb"), col("n").as("n_b")), "pb")
+      .withColumn("sim2_e8", expr("(n_ab * n_ab * 100000000) div (n_a * n_b)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_ab"), col("n_a"), col("n_b"), col("sim2_e8"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  val itemSimilarityTopkSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |sup AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+      |half AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+      |         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |         GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT pa, pb, n_ab FROM half
+      |        UNION ALL SELECT pb, pa, n_ab FROM half),
+      |scored AS (SELECT pa, pb, n_ab, sa.n AS n_a, sb.n AS n_b,
+      |                  (n_ab * n_ab * 100000000) // (sa.n * sb.n) AS sim2_e8
+      |           FROM sym JOIN sup sa ON pa = sa.pk JOIN sup sb ON pb = sb.pk)
+      |SELECT pa AS part_a, pb AS part_b, n_ab, n_a, n_b, sim2_e8,
+      |       CAST(rn AS BIGINT) AS rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY pa
+      |        ORDER BY sim2_e8 DESC, pb ASC) AS rn FROM scored)
+      |WHERE rn <= 5""".stripMargin
 }
