@@ -58,7 +58,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in got.columns:
             a, b = got[c], want[c]
             try:
-                same = a.equals(b) or (a.astype("object") == b.astype("object")).all()
+                # null-aware: Series.equals demands identical dtypes (spark
+                # writes ns, duckdb us), and object == makes NaT != NaT
+                eq = (a.astype("object") == b.astype("object"))
+                same = a.equals(b) or (eq | (a.isna() & b.isna())).all()
             except Exception:
                 same = False
             if not same:

@@ -17,8 +17,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `ReadSchema` in `.explain("formatted")`).
   */
 object Tables {
+  /** Load a fixture table, normalizing any TIMESTAMP_NTZ column to
+    * session-local TIMESTAMP. The driver's generator writes naive µs
+    * timestamps (no isAdjustedToUTC), which Spark 4 infers as NTZ; the
+    * DuckDB oracle reads the same bytes as its naive-UTC TIMESTAMP. With
+    * `spark.sql.session.timeZone=UTC` (set by every entry point here) the
+    * cast is wall-clock-preserving, so both engines see identical instants
+    * and downstream epoch arithmetic (`cast(ts as long)`) stays legal.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeNtz(raw(spark, sfDir, name))
+
+  /** The un-normalized scan — streaming sources need this schema (the file
+    * reader must be told the physical NTZ type; the cast happens after).
+    */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP (a projection, applied
+    * equally to batch scans and stream sources — never changes row count).
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(
+      _.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    ntz.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, d(f.name).cast(
+        org.apache.spark.sql.types.TimestampType))
+    }
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the

@@ -1732,15 +1732,15 @@ object AnalyticsQueries {
         col("o_custkey") === col("c_custkey")).drop("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg((sum(discPrice) * 100).cast("long").as("revenue_cents"))
+      .agg(floor(sum(discPrice) * 100).cast("long").as("revenue_cents"))
       .orderBy(col("revenue_cents").desc, col("o_orderkey"))
       .limit(10)
   }
 
   val q3ShippingPrioritySql: String =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      |                * (1 - CAST(l_discount AS DECIMAL(9,4)))) * 100 AS BIGINT)
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(9,4)))) * 100) AS BIGINT)
       |         AS revenue_cents
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
