@@ -1807,4 +1807,90 @@ object AnalyticsQueries {
       |FROM (SELECT *, row_number() OVER (PARTITION BY pa
       |        ORDER BY sim2_e8 DESC, pb ASC) AS rn FROM scored)
       |WHERE rn <= 5""".stripMargin
+
+  // ---------------------------------------------------- q18_large_orders
+  /** TPC-H Q18-shaped large-volume-order readout: orders whose total
+    * quantity clears a threshold, with the owning customer. The classic
+    * agg-filter-then-join headline: the lineitem aggregate runs FIRST
+    * (partial+final sum on l_orderkey — map-side combine collapses the
+    * ~4-rows-per-key fact before the exchange), the survivors are a tiny
+    * fraction (~1% at threshold 250), and both subsequent joins probe that
+    * small set — orders joins it broadcast, and the customer dim joins the
+    * result broadcast. At 100 TB the lineitem table is touched exactly
+    * once, by the aggregate, reading two columns.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 250)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("total_cents"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    ord.join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("total_cents"),
+        col("qty").cast("long").as("sum_qty"))
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH big AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |             FROM lineitem GROUP BY 1
+      |             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
+      |       CAST(qty AS BIGINT) AS sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ ivm_join
+  /** Delta-rule incremental maintenance of a JOIN view — the DBSP /
+    * differential-dataflow identity Δ(R ⋈ S) = ΔR⋈S₀ ∪ R₀⋈ΔS ∪ ΔR⋈ΔS,
+    * applied to the per-nation revenue view over orders ⋈ customer. The
+    * fixtures are split deterministically into a base snapshot and a
+    * delta batch on each side (orders: okey%10=0 is new; customer:
+    * ckey%20=0 is new); the query computes the view as base-view + the
+    * three delta joins and re-aggregates. The oracle computes the full
+    * snapshot join directly — a hash match proves the delta decomposition
+    * loses and double-counts nothing.
+    *
+    * Scale shape: this is the operation that replaces re-joining 100 TB
+    * on every ingest tick. Base-side aggregates collapse to per-nation
+    * partials (25 rows); only the delta batches — the small, new data —
+    * participate in joins, and the dimension sides broadcast.
+    */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ordAll = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey"), (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val custAll = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val ordBase  = ordAll.filter(col("o_orderkey") % 10 =!= 0)
+    val ordDelta = ordAll.filter(col("o_orderkey") % 10 === 0)
+    val custBase  = custAll.filter(col("c_custkey") % 20 =!= 0)
+    val custDelta = custAll.filter(col("c_custkey") % 20 === 0)
+    def view(o: DataFrame, c: DataFrame) = o
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+    val folded = view(ordBase, custBase)     // V₀: maintained materialization
+      .unionByName(view(ordDelta, custBase)) // ΔR ⋈ S₀
+      .unionByName(view(ordBase, custDelta)) // R₀ ⋈ ΔS
+      .unionByName(view(ordDelta, custDelta))// ΔR ⋈ ΔS
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("cents")).as("revenue_cents"), sum(col("n")).as("n_orders"))
+    folded.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revenue_cents"), col("n_orders"))
+  }
+
+  val ivmJoinSql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
 }

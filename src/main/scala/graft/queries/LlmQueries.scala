@@ -2560,4 +2560,152 @@ object LlmQueries {
        |SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, n_common,
        |       (10000 * n_common) // least(x.n, y.n) AS containment_bp
        |FROM i JOIN sizes x ON src_a = x.source JOIN sizes y ON src_b = y.source""".stripMargin
+
+  // ----------------------------------------- clustering: grid density scan
+  /** Grid-DBSCAN over the embedding's first two coordinates: density
+    * clustering where the unit of work is the occupied GRID CELL, not the
+    * point. Cells of side 1/20 replace the eps-ball; a cell holding ≥
+    * minPts points is core; clusters are connected components of
+    * 8-adjacent core cells (reusing the [[Dedup.duplicateClusters]] Pregel
+    * loop — cluster id = min member cell id); points in non-core cells
+    * adjacent to a core cell join as border points (min adjacent cluster,
+    * deterministic), everything else is noise (-1).
+    *
+    * Scale shape — this is why grid-DBSCAN and not pairwise DBSCAN: the
+    * point set is touched in exactly two shuffle-free map passes (cell
+    * assignment; label lookup against the broadcast cell→cluster map) plus
+    * one map-side-combined count per cell. Everything quadratic-ish
+    * (adjacency, components) runs on the CELL table, whose size is bounded
+    * by data geometry (occupied cells), not corpus row count. Float→cell
+    * is floor(x·20) in double — bit-identical in both engines.
+    */
+  def gridDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val gridF = 20
+    val minPts = 4
+    def cellOf(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
+      (cx + 1000L) * 100000L + cy + 1000L
+    val pts = Tables.embeddings(spark, dir).select(col("vec_id"),
+        floor(col("embedding")(0).cast("double") * gridF).cast("long").as("cx"),
+        floor(col("embedding")(1).cast("double") * gridF).cast("long").as("cy"))
+      .withColumn("cell", cellOf(col("cx"), col("cy")))
+      .persist()
+    val core = pts.groupBy("cell", "cx", "cy").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts).select("cell", "cx", "cy").persist()
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    def neighborCells = array(offs.map { case (dx, dy) =>
+      cellOf(col("cx") + dx.toLong, col("cy") + dy.toLong) }: _*)
+    // 9-neighborhood probes joined back against core = the adjacency pairs
+    // (self included, so isolated core cells keep their own label)
+    val corePairs = core.select(col("cell").as("doc_a"),
+        explode(neighborCells).as("doc_b"))
+      .join(core.select(col("cell").as("doc_b")), "doc_b")
+    val lab = Dedup.duplicateClusters(corePairs, maxIter = 64)
+      .select(col("doc_id").as("cell"), col("cluster_id"))
+    val corePts = pts.join(broadcast(lab), Seq("cell"))
+      .select(col("vec_id"), col("cluster_id"))
+    val nonCore = pts.join(broadcast(lab.select("cell")), Seq("cell"), "left_anti")
+    val border = nonCore.select(col("vec_id"), explode(neighborCells).as("cell"))
+      .join(broadcast(lab), Seq("cell"))
+      .groupBy("vec_id").agg(min("cluster_id").as("cluster_id"))
+    val noise = nonCore.select("vec_id")
+      .join(border.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(-1L).as("cluster_id"))
+    corePts.unionByName(border).unionByName(noise)
+  }
+
+  val gridDbscanSql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT vec_id,
+      |         CAST(floor(embedding[1]::DOUBLE * 20) AS BIGINT) AS cx,
+      |         CAST(floor(embedding[2]::DOUBLE * 20) AS BIGINT) AS cy
+      |  FROM embeddings),
+      |p2 AS (SELECT vec_id, cx, cy, (cx+1000)*100000 + cy + 1000 AS cell FROM pts),
+      |core AS (SELECT cell, cx, cy FROM (
+      |           SELECT cell, cx, cy, count(*) AS n FROM p2 GROUP BY 1, 2, 3)
+      |         WHERE n >= 4),
+      |ed AS (SELECT a.cell AS s, b.cell AS d FROM core a JOIN core b
+      |       ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+      |reach(s, d) AS (SELECT s, d FROM ed
+      |                UNION
+      |                SELECT r.s, e.d FROM reach r JOIN ed e ON r.d = e.s),
+      |lab AS (SELECT s AS cell, min(d) AS cluster_id FROM reach GROUP BY 1),
+      |corept AS (SELECT vec_id, cluster_id FROM p2 JOIN lab USING (cell)),
+      |border AS (SELECT p.vec_id, min(l.cluster_id) AS cluster_id
+      |           FROM p2 p JOIN core c
+      |             ON abs(p.cx - c.cx) <= 1 AND abs(p.cy - c.cy) <= 1
+      |           JOIN lab l ON c.cell = l.cell
+      |           WHERE p.cell NOT IN (SELECT cell FROM lab)
+      |           GROUP BY 1)
+      |SELECT vec_id, cluster_id FROM corept
+      |UNION ALL SELECT vec_id, cluster_id FROM border
+      |UNION ALL
+      |SELECT vec_id, CAST(-1 AS BIGINT) AS cluster_id FROM p2
+      |WHERE vec_id NOT IN (SELECT vec_id FROM corept)
+      |  AND vec_id NOT IN (SELECT vec_id FROM border)""".stripMargin
+
+  // ------------------------------------ vectors: quantized outlier mining
+  /** Per-label embedding outliers in EXACT integer arithmetic: vectors are
+    * int8-quantized against the corpus-global max-abs (one broadcast 1-row
+    * aggregate — per-vector scales would make distances incomparable), the
+    * per-label centroid is kept as raw (sum, count) so no division ever
+    * happens, and the squared distance to the centroid is computed in the
+    * count-cleared form D = Σ_d (q_d·cnt − s_d)² — exact integers, monotone
+    * in true L2-to-mean. Top-5 farthest per label, ties to lower vec_id:
+    * the label-noise / mislabeled-example miner.
+    *
+    * Scale shape: one posexplode feeds a map-side-combined (label, dim)
+    * sum whose result is dictionary-sized (|labels|×64) and broadcasts
+    * back; the per-row distance is a fused zip_with/aggregate over the
+    * quantized array (no second pass over exploded rows, no shuffle of the
+    * corpus); the per-label top-5 rank window gets Spark's group-limit
+    * pushdown.
+    */
+  def quantizedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val gma = emb.agg(max(array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))).as("gma"))
+    val q = emb.crossJoin(broadcast(gma))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 127 / col("gma")).cast("long")).as("qs"))
+      .persist()
+    val cent = q.select(col("label"), posexplode(col("qs")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("v")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("s_arr"))
+    val cnt = q.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val d2 = q
+      .join(broadcast(cent), "label").join(broadcast(cnt), "label")
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        aggregate(
+          zip_with(col("qs"), col("s_arr"),
+            (qv, s) => (qv * col("cnt") - s) * (qv * col("cnt") - s)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id").asc)
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("label"), col("vec_id"), col("d2"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  val quantizedOutliersSql: String =
+    """WITH g AS (SELECT max(list_max([abs(x::DOUBLE) for x in embedding])) AS gma
+      |           FROM embeddings),
+      |q AS (SELECT vec_id, label,
+      |             [CAST(floor(x::DOUBLE * 127 / gma) AS BIGINT) for x in embedding] AS qs
+      |      FROM embeddings, g),
+      |e AS (SELECT vec_id, label, UNNEST(qs) AS v, UNNEST(range(1, 65)) AS d FROM q),
+      |cntt AS (SELECT label, count(*) AS cnt FROM q GROUP BY 1),
+      |cent AS (SELECT label, d, SUM(v) AS s FROM e GROUP BY 1, 2),
+      |dist AS (SELECT e.vec_id, e.label,
+      |                SUM((e.v * cnt - s) * (e.v * cnt - s)) AS d2
+      |         FROM e JOIN cent ON e.label = cent.label AND e.d = cent.d
+      |         JOIN cntt ON e.label = cntt.label
+      |         GROUP BY 1, 2)
+      |SELECT CAST(label AS BIGINT) AS label, vec_id, CAST(d2 AS BIGINT) AS d2,
+      |       CAST(rn AS BIGINT) AS rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY label
+      |        ORDER BY d2 DESC, vec_id ASC) AS rn FROM dist)
+      |WHERE rn <= 5""".stripMargin
 }

@@ -1915,4 +1915,78 @@ object PipelineQueries {
       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------- k_anonymize
+  /** k-anonymity generalization over the customer quasi-identifiers
+    * (geography × market segment), the release gate a training-data
+    * pipeline applies before person-linked records leave curation. Each
+    * geography is generalized up a fixed hierarchy — nation → region →
+    * suppressed — by full-domain recoding per segment (Samarati): a
+    * segment keeps nation-level geography only if EVERY nation class in
+    * it holds ≥ k records, else it releases region level if every region
+    * class does, else geography is suppressed. Uniform recoding per
+    * segment means every emitted (qi_geo, qi_segment) class really holds
+    * ≥ k customers — per-record "least sufficient level" would leak
+    * smaller classes whenever a level-1 class's members mostly stayed at
+    * level 0.
+    *
+    * Scale shape: equivalence-class sizes are aggregates over LOW-
+    * cardinality QI tuples (|nations|×|segments|), so both level counts
+    * are map-side-combined partials that collapse to dictionary-sized
+    * tables and broadcast back onto the record stream — the 100 TB fact
+    * side is scanned once and never shuffled; generalization is then a
+    * per-row CASE.
+    */
+  def kAnonymize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Tables
+    val k = 20
+    val geo = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"), col("c_mktsegment"))
+    // smallest class per level per segment: the segment's release level is
+    // the first level whose MINIMUM class size clears k (full-domain)
+    val min0 = c.groupBy(col("c_mktsegment").as("seg"), col("n_name"))
+      .agg(count(lit(1)).as("n0"))
+      .groupBy(col("seg")).agg(min(col("n0")).as("min0"))
+    val min1 = c.groupBy(col("c_mktsegment").as("seg"), col("r_name"))
+      .agg(count(lit(1)).as("n1"))
+      .groupBy(col("seg")).agg(min(col("n1")).as("min1"))
+    val levels = min0.join(min1, "seg")
+      .select(col("seg"),
+        when(col("min0") >= k, 0L).when(col("min1") >= k, 1L)
+          .otherwise(2L).as("gen_level"))
+    c.join(broadcast(levels), col("c_mktsegment") === col("seg"))
+      .select(col("c_custkey"),
+        when(col("gen_level") === 0, col("n_name"))
+          .when(col("gen_level") === 1, col("r_name"))
+          .otherwise(lit("*")).as("qi_geo"),
+        when(col("gen_level") < 2, col("c_mktsegment"))
+          .otherwise(lit("*")).as("qi_segment"),
+        col("gen_level"))
+  }
+
+  val kAnonymizeSql: String =
+    """WITH c AS (SELECT c_custkey, n_name, r_name, c_mktsegment
+      |           FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |           JOIN region ON n_regionkey = r_regionkey),
+      |m0 AS (SELECT c_mktsegment AS seg, min(n0) AS min0 FROM (
+      |         SELECT c_mktsegment, n_name, count(*) AS n0 FROM c GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |m1 AS (SELECT c_mktsegment AS seg, min(n1) AS min1 FROM (
+      |         SELECT c_mktsegment, r_name, count(*) AS n1 FROM c GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |lv AS (SELECT m0.seg,
+      |              CASE WHEN min0 >= 20 THEN 0 WHEN min1 >= 20 THEN 1
+      |                   ELSE 2 END AS gen_level
+      |       FROM m0 JOIN m1 ON m0.seg = m1.seg)
+      |SELECT c_custkey,
+      |       CASE gen_level WHEN 0 THEN n_name WHEN 1 THEN r_name
+      |            ELSE '*' END AS qi_geo,
+      |       CASE WHEN gen_level < 2 THEN c_mktsegment ELSE '*' END AS qi_segment,
+      |       CAST(gen_level AS BIGINT) AS gen_level
+      |FROM c JOIN lv ON c.c_mktsegment = lv.seg""".stripMargin
 }

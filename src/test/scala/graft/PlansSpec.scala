@@ -57,6 +57,8 @@ class PlansSpec extends SparkSuite {
     "copurchase_pairs",
     // ann_recall_eval: the final 1-row x 1-row x 1-row count crosses
     "ann_recall_eval",
+    // quantized_outliers: the 1-row global max-abs scale fold-in
+    "quantized_outliers",
     // pareto_customers: the 1-row (total_cents, n_customers) fold-in
     "pareto_customers",
     // rrf_fusion: ann_topk's 1-vector broadcast query side + the 10-row
