@@ -54,7 +54,14 @@ object Plans {
     "rfm_segments",         // (r9) 3x two-pass global rank + closed-form ntile fold-in
     "late_arrival_stats",   // (r9) two-pass prefix max + map-side-combined lateness agg
     "concurrency_histogram", // (r9) sweep prefixes + rank+1 self-join (no global lead)
-    "compaction_bins")      // (r9) per-source keyed window + offset binning
+    "compaction_bins",      // (r9) per-source keyed window + offset binning
+    "q3_shipping_priority", // (r10) two broadcast fact joins + TakeOrdered top-10
+    "q18_large_orders",     // (r10) agg-filter first, tiny survivor set broadcast twice
+    "item_similarity_topk", // (r10) basket self-join + group-limit top-5 per part
+    "ivm_join",             // (r10) delta-rule join maintenance; dims broadcast
+    "k_anonymize",          // (r10) dictionary-sized class minima broadcast back
+    "grid_dbscan",          // (r10) cell-table components; point side never shuffles
+    "quantized_outliers")   // (r10) 1-row scale fold-in + zip_with distance, group-limit
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
