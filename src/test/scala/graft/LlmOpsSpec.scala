@@ -737,4 +737,52 @@ class LlmOpsSpec extends SparkSuite {
       }
     out.unpersist()
   }
+
+  test("grid_dbscan: cell-mates share labels; noise has no core neighbor") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.queries.LlmQueries.gridDbscan(spark, sf).cache()
+    assert(out.count() ==
+      graft.engine.Tables.embeddings(spark, sf).count(), "one row per vector")
+    val cells = graft.engine.Tables.embeddings(spark, sf).select(col("vec_id"),
+      floor(col("embedding")(0).cast("double") * 20).cast("long").as("cx"),
+      floor(col("embedding")(1).cast("double") * 20).cast("long").as("cy"))
+    val j = out.join(cells, "vec_id").cache()
+    // all points of one cell carry the same label (core or all-border-same
+    // only holds for core cells; restrict to cells with a clustered point
+    // count >= minPts, i.e. core cells, where membership is cell-driven)
+    val coreCells = j.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 4).select("cx", "cy")
+    val perCell = j.join(coreCells, Seq("cx", "cy"))
+      .groupBy("cx", "cy").agg(countDistinct(col("cluster_id")).as("k"),
+        min(col("cluster_id")).as("lo"))
+    assert(perCell.filter(col("k") > 1 || col("lo") === -1).count() == 0,
+      "a core cell's points split labels or stayed noise")
+    // no noise point may have a core cell in its 9-neighborhood
+    val noise = j.filter(col("cluster_id") === -1).select(
+      col("vec_id"), col("cx").as("px"), col("cy").as("py"))
+    val bad = noise.join(coreCells,
+      abs(col("px") - col("cx")) <= 1 && abs(col("py") - col("cy")) <= 1)
+    assert(bad.count() == 0, "noise point adjacent to a core cell")
+    j.unpersist(); out.unpersist()
+  }
+
+  test("quantized_outliers: dense ranks, monotone distances, every label served") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.queries.LlmQueries.quantizedOutliers(spark, sf).cache()
+    val perLabel = out.groupBy("label").agg(count(lit(1)).as("n"),
+      min(col("rn")).as("lo"), max(col("rn")).as("hi"))
+    assert(perLabel.filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
+      .count() == 0, "each label must emit exactly ranks 1..5")
+    assert(perLabel.count() ==
+      graft.engine.Tables.embeddings(spark, sf).select("label").distinct().count())
+    // distance non-increasing in rank within a label
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("rn"))
+    val nonMono = out.withColumn("prev", lag(col("d2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("d2") > col("prev"))
+    assert(nonMono.count() == 0, "d2 must be non-increasing in rank")
+    out.unpersist()
+  }
 }

@@ -596,4 +596,42 @@ class PipelinePropsSpec extends SparkSuite {
       == bins.select(countDistinct(col("source"))).head.getLong(0))
     bins.unpersist()
   }
+
+  test("k_anonymize: every non-suppressed equivalence class holds >= k records") {
+    // the property the operator exists to guarantee — sf0.01 so classes
+    // actually clear k=20 at some level (sf0.001 suppresses everything,
+    // which the second assertion covers as the degenerate case)
+    val k = 20
+    val rel = PipelineQueries.kAnonymize(spark, "/root/testdata/sf0.01").cache()
+    val small = rel.filter(col("gen_level") < 2)
+      .groupBy("qi_geo", "qi_segment").agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+    assert(small.count() == 0, "a released QI class has fewer than k members")
+    assert(rel.filter(col("gen_level") === 2)
+      .filter(col("qi_geo") =!= "*" || col("qi_segment") =!= "*").count() == 0,
+      "suppressed records must release no QI value")
+    // release is uniform per segment (full-domain recoding)
+    val seg = graft.engine.Tables.customer(spark, "/root/testdata/sf0.01")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    assert(rel.join(seg, "c_custkey")
+      .groupBy("c_mktsegment").agg(countDistinct(col("gen_level")).as("lv"))
+      .filter(col("lv") > 1).count() == 0, "mixed levels inside one segment")
+    rel.unpersist()
+  }
+
+  test("ivm_join: the delta decomposition equals the direct full-snapshot join") {
+    import graft.queries.AnalyticsQueries
+    val folded = AnalyticsQueries.ivmJoin(spark, sf1)
+      .orderBy("n_name").collect().toSeq
+    val ord = graft.engine.Tables.orders(spark, sf1)
+    val cust = graft.engine.Tables.customer(spark, sf1)
+    val nat = graft.engine.Tables.nation(spark, sf1)
+    val direct = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("revenue_cents"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name").collect().toSeq
+    assert(folded == direct, "delta rule drifted from the snapshot join")
+  }
 }
