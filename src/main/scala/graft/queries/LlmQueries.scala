@@ -2109,32 +2109,49 @@ object LlmQueries {
     * 64-bit aHash (8 bands × 8 bits — any pair within Hamming distance ≤ 7
     * shares an identical band, so the banded join is EXACT for the
     * asserted radius, `simhash_neardup`'s argument on the image hash).
-    * Spark plans the band equi-join + candidate-only verify; the oracle
-    * brute-forces all pairs at its scale — band recall being provably 100%
-    * is what lets the two meet. The per-row synth→decode→hash stage is
-    * `multimodal_phash`'s; the only exchange carries (doc, band, 8-char
-    * key) rows.
+    *
+    * Collapse-by-signature topology (the round-3 rewrite): image corpora
+    * are signature-degenerate by nature (at sf0.1 the 5,000 synthetic
+    * rasters hold only 194 distinct aHashes, with 994-doc band buckets),
+    * so banding the DOC table explodes into ~11M candidate pairs — while
+    * the same banding on the DISTINCT-HASH table is |H|×8 rows. So: group
+    * docs by hash first, enumerate + verify pairs on the distinct-hash
+    * table (integer XOR + `bit_count`, whole-stage codegen — never the
+    * interpreted per-character compare this replaced), and only then
+    * expand hash pairs back to doc pairs, a join whose size is the OUTPUT
+    * size, which no exact algorithm can undercut.
     */
   def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val hs = Multimodal.aHashFeatures(spark,
         Multimodal.withPngBlob16(spark, Tables.documents(spark, dir))).toDF()
       .select(col("doc_id"), col("ahash"))
-    val bandsDf = hs.select(col("doc_id"), col("ahash"),
+    // bitstring -> int64 in two 32-bit halves (conv output fits a long;
+    // shiftleft reassembles the high word without signed-overflow hazards)
+    val byHash = hs.withColumn("bits",
+        shiftleft(conv(substring(col("ahash"), 1, 32), 2, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("ahash"), 33, 32), 2, 10).cast("long")))
+      .groupBy(col("bits")).agg(collect_list(col("doc_id")).as("ids"))
+      .persist()
+    val bands = byHash.select(col("bits"),
         posexplode(array((0 until 8).map(b =>
-          substring(col("ahash"), b * 8 + 1, 8)): _*)))
-      .toDF("doc_id", "ahash", "band", "key")
-    bandsDf.as("a").join(bandsDf.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr(
-        """size(filter(sequence(0, 63),
-          |i -> substring(ha, i + 1, 1) != substring(hb, i + 1, 1)))""".stripMargin)
-        .cast("long"))
+          shiftright(col("bits"), b * 8).bitwiseAND(lit(255L))): _*)))
+      .toDF("bits", "band", "key")
+    val hashPairs = bands.toDF("ba_bits", "band", "key")
+      .join(bands.toDF("bb_bits", "band", "key"), Seq("band", "key"))
+      .filter(col("ba_bits") <= col("bb_bits"))
+      .select("ba_bits", "bb_bits").distinct()
+      .withColumn("hamming",
+        expr("bit_count(ba_bits ^ bb_bits)").cast("long"))
       .filter(col("hamming") <= 7)
-      .select("doc_a", "doc_b", "hamming")
+    hashPairs
+      .join(byHash.select(col("bits").as("ba_bits"), col("ids").as("ids_a")), "ba_bits")
+      .join(byHash.select(col("bits").as("bb_bits"), col("ids").as("ids_b")), "bb_bits")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      .distinct()
   }
 
   val phashNeardupSql: String =
