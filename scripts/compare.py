@@ -70,7 +70,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL  {name}: value diff in {diff_cols} "
                   f"(rows={len(got)})")
             for c in diff_cols[:2]:
-                neq = got[c].astype("object") != want[c].astype("object")
+                neq = (got[c].astype("object") != want[c].astype("object")) \
+                    & ~(got[c].isna() & want[c].isna())
                 idx = neq[neq].index[:3]
                 for i in idx:
                     print(f"      [{c}][{i}] spark={got[c][i]!r} duck={want[c][i]!r}")

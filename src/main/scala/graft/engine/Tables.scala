@@ -26,16 +26,16 @@ object Tables {
     * and downstream epoch arithmetic (`cast(ts as long)`) stays legal.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeNtz(raw(spark, sfDir, name))
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** The un-normalized scan — streaming sources need this schema (the file
-    * reader must be told the physical NTZ type; the cast happens after).
-    */
-  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
-
-  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP (a projection, applied
-    * equally to batch scans and stream sources — never changes row count).
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP (a projection — never
+    * changes row count). Two verified properties keep this a single
+    * normalization point: Catalyst unwraps the cast for comparison
+    * pushdown (q3's plan shows `GreaterThan(l_shipdate, …)` in
+    * PushedFilters through it), and the parquet STREAMING reader accepts
+    * an LTZ-declared schema over NTZ files (every `*_stream_parity` row
+    * passes a normalized schema to `readStream` and hash-matches its
+    * batch oracle), so stream sources may take `table().schema` directly.
     */
   def normalizeNtz(df: DataFrame): DataFrame = {
     val ntz = df.schema.fields.filter(

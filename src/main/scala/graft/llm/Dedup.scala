@@ -429,7 +429,8 @@ object Dedup {
     *
     * Scale topology: the classic Pregel loop — per iteration one equi-join
     * of labels onto edges + a min aggregation (both map-side combinable),
-    * converging in O(component diameter) rounds; near-dup clusters are
+    * plus a pointer-doubling shortcut (label(v) <- label(label(v))), so it
+    * converges in O(log component-diameter) rounds; near-dup clusters are
     * shallow (chains of a few docs), so 2–4 rounds in practice. Only the
     * scalar changed-count crosses the driver per round. Deterministic, so
     * the DuckDB oracle replays it as reachability (recursive CTE) +
@@ -471,17 +472,30 @@ object Dedup {
              min(when(col("own"), col("label"))).as("old"))
         .localCheckpoint(true)
       val changed = prop.filter(col("label") =!= col("old")).count()
-      labels = prop.select("id", "label")
+      // pointer-doubling shortcut: label(v) <- min(label(v), label(label(v))).
+      // Labels are always node ids present in the relation, so the self-join
+      // resolves; with it, convergence needs O(log diameter) rounds instead
+      // of O(diameter) — a 1,000-cell filament converges in ~10 rounds, and
+      // the default maxIter=20 covers diameters up to ~2^20 rather than 20.
+      // Same fixpoint (min id of the component), so the reachability oracle
+      // is untouched.
+      val short = prop.select(col("id"), col("label"))
+        .join(prop.select(col("id").as("l_id"), col("label").as("l2")),
+          col("label") === col("l_id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("l2"), col("label")))
+          .as("label"))
+        .localCheckpoint(true)
+      labels = short
       converged = changed == 0
       iter += 1
     }
-    // A component with diameter > maxIter would exit here with labels still
-    // in flight — silently wrong cluster ids. Near-dup graphs are shallow
-    // (the 20-round default covers diameter-20 chains), so hitting this is
-    // a signal the input is not a near-dup pair set; fail loudly.
+    // A component with log2(diameter) > maxIter would exit here with labels
+    // still in flight — silently wrong cluster ids. With the doubling
+    // shortcut the 20-round default covers any realistic diameter (~2^20);
+    // hitting this means the input is not a pair graph at all; fail loudly.
     if (!converged) throw new IllegalStateException(
-      s"duplicateClusters did not converge after $maxIter rounds: a component " +
-        s"has diameter > $maxIter; raise maxIter for deep-chain graphs")
+      s"duplicateClusters did not converge after $maxIter rounds " +
+        "(doubling shortcut active — this input is pathological)")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -2616,7 +2616,7 @@ object LlmQueries {
     val corePairs = core.select(col("cell").as("doc_a"),
         explode(neighborCells).as("doc_b"))
       .join(core.select(col("cell").as("doc_b")), "doc_b")
-    val lab = Dedup.duplicateClusters(corePairs, maxIter = 64)
+    val lab = Dedup.duplicateClusters(corePairs)
       .select(col("doc_id").as("cell"), col("cluster_id"))
     val corePts = pts.join(broadcast(lab), Seq("cell"))
       .select(col("vec_id"), col("cluster_id"))
@@ -2692,6 +2692,17 @@ object LlmQueries {
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s")).as("s_arr"))
     val cnt = q.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    // Int64 headroom gate (embed_neardup's guard pattern): the count-cleared
+    // distance peaks at 64·(254·cnt)², which clears 2^63 once a label holds
+    // more than ~1.49M vectors. Beyond that Spark's non-ANSI multiply wraps
+    // silently while DuckDB promotes to HUGEINT — the engines diverge and
+    // the ranking is garbage. Refuse loudly; the production form for larger
+    // labels normalizes the centroid to fixed-point first (divide once,
+    // bounded coordinates), trading exact replay for headroom.
+    val maxCnt = cnt.agg(max(col("cnt"))).head().getLong(0)
+    require(maxCnt <= 1490000L,
+      s"quantized_outliers: a label holds $maxCnt vectors; the exact " +
+        "count-cleared distance overflows Int64 above ~1.49M per label")
     val d2 = q
       .join(broadcast(cent), "label").join(broadcast(cnt), "label")
       .select(col("label").cast("long").as("label"), col("vec_id"),

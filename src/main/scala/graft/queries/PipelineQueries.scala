@@ -1938,7 +1938,6 @@ object PipelineQueries {
     * per-row CASE.
     */
   def kAnonymize(spark: SparkSession, dir: String): DataFrame = {
-    import graft.engine.Tables
     val k = 20
     val geo = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir)),
