@@ -61,7 +61,9 @@ object Plans {
     "ivm_join",             // (r10) delta-rule join maintenance; dims broadcast
     "k_anonymize",          // (r10) dictionary-sized class minima broadcast back
     "grid_dbscan",          // (r10) cell-table components; point side never shuffles
-    "quantized_outliers")   // (r10) 1-row scale fold-in + zip_with distance, group-limit
+    "quantized_outliers",   // (r10) 1-row scale fold-in + zip_with distance, group-limit
+    "q7_nation_volume",     // (r10) semi-reduced fact-fact join; dims broadcast
+    "decayed_engagement")   // (r10) integer halving decay; 1-row cutoff fold-in
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

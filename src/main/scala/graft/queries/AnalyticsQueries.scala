@@ -1845,6 +1845,63 @@ object AnalyticsQueries {
       |FROM orders JOIN big ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  // ------------------------------------------------- q7_nation_volume
+  /** TPC-H Q7-shaped bilateral trade volume: revenue between one nation
+    * pair, per direction per ship year. The fact–fact join (lineitem ⋈
+    * orders) is the interesting planning problem: both sides are first
+    * SEMI-REDUCED by the broadcast nation-filtered dims — lineitem keeps
+    * only the pair's suppliers' lines (~2/25), orders only the pair's
+    * customers' orders (~2/25) — so the one unavoidable shuffle join
+    * moves ~8% of each table, not the full facts. The pair predicate,
+    * date range, and the cross-filter (supp ≠ cust nation) all sit
+    * before the exchange.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("supp_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        floor(discPrice * 100).cast("long").as("cents"))
+    val ord = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |       CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(9,4))) * 100) AS BIGINT))
+      |            AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+      |  AND n1.n_name != n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------------ ivm_join
   /** Delta-rule incremental maintenance of a JOIN view — the DBSP /
     * differential-dataflow identity Δ(R ⋈ S) = ΔR⋈S₀ ∪ R₀⋈ΔS ∪ ΔR⋈ΔS,

@@ -1916,6 +1916,54 @@ object PipelineQueries {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------- decayed_engagement
+  /** Time-decayed engagement features — the freshness-weighted activity
+    * score every ranking/personalization pipeline derives, kept EXACT:
+    * the decay is a per-day halving implemented as an integer right
+    * shift (cents >> age_days), so the score is a sum of integers, not
+    * a float exp() — order-independent, partition-independent, and
+    * replayed bit-for-bit by the oracle. Reference time is the corpus
+    * max event time (broadcast 1-row aggregate, the tfidf pattern), so
+    * the query is deterministic with no wall clock.
+    *
+    * Scale shape: one scan, the 1-row cutoff fold-in, one map-side-
+    * combined aggregate on user_id. Shifts ≥ 63 are zeroed explicitly
+    * (Java's >> wraps the shift count at 64; DuckDB's doesn't — the
+    * guard is what keeps the engines identical on ancient events).
+    */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.Tables.events
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"),
+      col("ts"), (dec(col("value")) * 100).cast("long").as("cents"))
+    val cutoff = ev.agg(max(col("ts")).as("cut"))
+    ev.crossJoin(broadcast(cutoff))
+      .withColumn("age", datediff(col("cut"), col("ts")).cast("long"))
+      .withColumn("decayed",
+        when(col("age") >= 63, 0L)
+          .otherwise(expr("shiftright(cents, cast(age AS int))")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("decayed")).as("score"),
+        sum(when(col("event_type") === "purchase", col("decayed"))
+          .otherwise(0L)).as("purchase_score"),
+        max(col("age")).as("oldest_age"), count(lit(1)).as("n_events"))
+  }
+
+  val decayedEngagementSql: String =
+    """WITH ev AS (SELECT user_id, event_type, ts,
+      |              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |            FROM events),
+      |cut AS (SELECT max(ts) AS cut FROM ev),
+      |d AS (SELECT user_id, event_type,
+      |        CAST(date_diff('day', CAST(ts AS DATE), CAST(cut AS DATE)) AS BIGINT) AS age,
+      |        cents
+      |      FROM ev, cut)
+      |SELECT user_id,
+      |       CAST(SUM(CASE WHEN age >= 63 THEN 0 ELSE cents >> age END) AS BIGINT) AS score,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase' AND age < 63
+      |                     THEN cents >> age ELSE 0 END) AS BIGINT) AS purchase_score,
+      |       max(age) AS oldest_age, COUNT(*) AS n_events
+      |FROM d GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------- k_anonymize
   /** k-anonymity generalization over the customer quasi-identifiers
     * (geography × market segment), the release gate a training-data

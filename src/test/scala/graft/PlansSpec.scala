@@ -59,6 +59,8 @@ class PlansSpec extends SparkSuite {
     "ann_recall_eval",
     // quantized_outliers: the 1-row global max-abs scale fold-in
     "quantized_outliers",
+    // decayed_engagement: the 1-row corpus-max-ts cutoff fold-in
+    "decayed_engagement",
     // pareto_customers: the 1-row (total_cents, n_customers) fold-in
     "pareto_customers",
     // rrf_fusion: ann_topk's 1-vector broadcast query side + the 10-row
