@@ -301,7 +301,11 @@ object Dedup {
       .toDF("doc_id", "band", "key")
   }
 
-  private def bandCandidates(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+  /** Raw pre-verification band-collision pairs — public so evaluation
+    * harnesses (`lsh_quality_eval`) can measure candidate precision/recall
+    * against exact ground truth.
+    */
+  def bandCandidates(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val bandKeys = bandKeysOf(sigs, perms, bands)
     bandKeys.as("a")
       .join(bandKeys.as("b"),

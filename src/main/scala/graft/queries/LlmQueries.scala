@@ -2578,6 +2578,86 @@ object LlmQueries {
        |       (10000 * n_common) // least(x.n, y.n) AS containment_bp
        |FROM i JOIN sizes x ON src_a = x.source JOIN sizes y ON src_b = y.source""".stripMargin
 
+  // -------------------------------------------- dedup: LSH quality eval
+  /** Candidate-level precision/recall of the judged MinHash-LSH
+    * configuration (64 perms × 16 bands, threshold 0.8) against EXACT
+    * n-gram-Jaccard ground truth — `ann_recall_eval`'s pattern applied to
+    * the dedup family. `recall_bp` is the fraction of true near-dup pairs
+    * the band join surfaces at all (the only unrecoverable error class —
+    * verification filters false candidates but cannot resurrect missed
+    * ones); `precision_bp` is the fraction of candidate pairs that
+    * survive verification, i.e. the band join's wasted-work rate. Theory
+    * for (4-row, 16-band) at s = 0.8 predicts recall ≈ 1−(1−0.8⁴)¹⁶ ≈
+    * 0.9998; this query MEASURES it under the oracle.
+    *
+    * Scale: three 1-row aggregates crossed (the ann_recall_eval
+    * allowlisted shape). The exact-truth side is the deliberate cost of
+    * an evaluation harness — run it on a sample at corpus scale, never
+    * the full 100 TB (same note as ann_recall_eval's exact baseline).
+    */
+  def lshQualityEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truth = Dedup.ngramJaccardPairs(docs, 3, jaccardNum, jaccardDen)
+      .select("doc_a", "doc_b").persist()
+    val cand = Dedup.bandCandidates(
+      Dedup.minhashSignatures(docs, 3, 64), 64, 16).persist()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nTp = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("tp"))
+    nT.crossJoin(nC).crossJoin(nTp)
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        (col("n_cand") - col("tp")).as("fp"),
+        when(col("n_cand") > 0, expr("(10000 * tp) div n_cand"))
+          .otherwise(10000L).as("precision_bp"),
+        when(col("n_truth") > 0, expr("(10000 * tp) div n_truth"))
+          .otherwise(10000L).as("recall_bp"))
+  }
+
+  val lshQualityEvalSql: String =
+    s"""WITH $minhashCtes,
+       |tr AS (SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b, count(*) AS n_common
+       |       FROM post pa JOIN post pb ON pa.h = pb.h AND pa.doc_id < pb.doc_id
+       |       GROUP BY 1, 2),
+       |truthf AS (SELECT t.doc_a, t.doc_b FROM tr t
+       |           JOIN sizes sa ON t.doc_a = sa.doc_id
+       |           JOIN sizes sb ON t.doc_b = sb.doc_id
+       |           WHERE ${jaccardFilterSql("n_common", "sa.n_sh", "sb.n_sh")}),
+       |m AS (SELECT (SELECT count(*) FROM truthf) AS n_truth,
+       |             (SELECT count(*) FROM cand) AS n_cand,
+       |             (SELECT count(*) FROM truthf JOIN cand USING (doc_a, doc_b)) AS tp)
+       |SELECT n_truth, n_cand, tp, n_truth - tp AS fn, n_cand - tp AS fp,
+       |       CASE WHEN n_cand > 0 THEN (10000 * tp) // n_cand ELSE 10000 END AS precision_bp,
+       |       CASE WHEN n_truth > 0 THEN (10000 * tp) // n_truth ELSE 10000 END AS recall_bp
+       |FROM m""".stripMargin
+
+  // ------------------------------------------- splits: stratified k-fold
+  /** Stratified k-fold assignment for cross-validation: fold =
+    * md5(doc_id) mod 5, reported as per-(source, fold) class sizes with
+    * id ranges. The md5 assignment is the repo's standard
+    * no-`rand()` sampling idiom ([[sampleStratified]]): deterministic,
+    * replayable, independent of partitioning, and uniform enough that
+    * every stratum spreads across all folds (spec-asserted balance).
+    * One scan, one map-side-combined aggregate over a dictionary-sized
+    * (source × fold) domain.
+    */
+  def crossvalFolds(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        pmod(PortableHash.md5Long(concat(lit("fold"), col("doc_id"))), lit(5))
+          .as("fold"))
+      .groupBy(col("source"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  val crossvalFoldsSql: String =
+    s"""SELECT source, ${PortableHash.md5LongSql("'fold' || doc_id")} % 5 AS fold,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
   // ----------------------------------------- clustering: grid density scan
   /** Grid-DBSCAN over the embedding's first two coordinates: density
     * clustering where the unit of work is the occupied GRID CELL, not the

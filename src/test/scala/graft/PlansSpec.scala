@@ -61,6 +61,8 @@ class PlansSpec extends SparkSuite {
     "quantized_outliers",
     // decayed_engagement: the 1-row corpus-max-ts cutoff fold-in
     "decayed_engagement",
+    // lsh_quality_eval: the final 1-row x 1-row x 1-row metric crosses
+    "lsh_quality_eval",
     // pareto_customers: the 1-row (total_cents, n_customers) fold-in
     "pareto_customers",
     // rrf_fusion: ann_topk's 1-vector broadcast query side + the 10-row
