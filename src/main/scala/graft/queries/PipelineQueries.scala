@@ -1916,6 +1916,38 @@ object PipelineQueries {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------- shard_assignment
+  /** Hash-shard layout planning: every document is assigned a shard by
+    * the md5 idiom (deterministic, partition-independent), and the query
+    * emits the per-shard occupancy with its deviation from ideal in
+    * basis points — the pre-flight a 100 TB writer runs before
+    * committing to a shard count (`skew_bp` far from 10000 means the
+    * shard key is bad). One scan, one map-side-combined aggregate over
+    * the 64-row shard domain, one broadcast 1-row total fold-in.
+    */
+  def shardAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(PortableHash.md5Long(concat(lit("shard"), col("doc_id"))), lit(64))
+          .as("shard"))
+    val per = docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("all_docs"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("total_chars"),
+        expr("(10000 * n_docs * 64) div all_docs").as("skew_bp"))
+  }
+
+  val shardAssignmentSql: String =
+    s"""WITH per AS (SELECT ${PortableHash.md5LongSql("'shard' || doc_id")} % 64 AS shard,
+       |              count(*) AS n_docs,
+       |              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |            FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM per)
+       |SELECT shard, n_docs, total_chars,
+       |       (10000 * n_docs * 64) // all_docs AS skew_bp
+       |FROM per, tot""".stripMargin
+
   // -------------------------------------------------- decayed_engagement
   /** Time-decayed engagement features — the freshness-weighted activity
     * score every ranking/personalization pipeline derives, kept EXACT:

@@ -63,6 +63,8 @@ class PlansSpec extends SparkSuite {
     "decayed_engagement",
     // lsh_quality_eval: the final 1-row x 1-row x 1-row metric crosses
     "lsh_quality_eval",
+    // shard_assignment: the 1-row total fold-in over the 64-row shard table
+    "shard_assignment",
     // pareto_customers: the 1-row (total_cents, n_customers) fold-in
     "pareto_customers",
     // rrf_fusion: ann_topk's 1-vector broadcast query side + the 10-row
