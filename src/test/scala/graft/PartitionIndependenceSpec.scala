@@ -21,7 +21,11 @@ class PartitionIndependenceSpec extends SparkSuite {
     "dup_clusters",        // Pregel min-label propagation
     "minhash_lsh",         // banded signatures + verify join
     "markov_transitions",  // user-keyed lag + row-normalizing window
-    "time_to_convert")     // histogram order statistics
+    "time_to_convert",     // histogram order statistics
+    "grid_dbscan",         // cell components via Pregel + doubling shortcut
+    "item_similarity_topk", // basket self-join + per-part rank window
+    "quantized_outliers",  // broadcast centroid sums + rank window
+    "phash_neardup")       // collapse-by-signature banding + expansion
 
   for (name <- sensitive) {
     test(s"$name is invariant to shuffle width") {
