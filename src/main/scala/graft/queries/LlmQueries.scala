@@ -2597,7 +2597,9 @@ object LlmQueries {
     */
   def lshQualityEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val truth = Dedup.ngramJaccardPairs(docs, 3, jaccardNum, jaccardDen)
+    // prefix-filtered exact form: output-equal to the naive inverted-index
+    // join (spec-proven for ngram_jaccard) at a fraction of the candidates
+    val truth = Dedup.ngramJaccardPairsPrefix(docs, 3, jaccardNum, jaccardDen)
       .select("doc_a", "doc_b").persist()
     val cand = Dedup.bandCandidates(
       Dedup.minhashSignatures(docs, 3, 64), 64, 16).persist()

@@ -1932,8 +1932,14 @@ object PipelineQueries {
           .as("shard"))
     val per = docs.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    // full 0..63 domain: an EMPTY shard is the worst skew signal there is,
+    // and a plain groupBy would silently omit it
+    val domain = spark.range(64).select(col("id").as("shard"))
     val tot = per.agg(sum(col("n_docs")).as("all_docs"))
-    per.crossJoin(broadcast(tot))
+    domain.join(per, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("total_chars"), lit(0L)).as("total_chars"))
+      .crossJoin(broadcast(tot))
       .select(col("shard"), col("n_docs"), col("total_chars"),
         expr("(10000 * n_docs * 64) div all_docs").as("skew_bp"))
   }
@@ -1943,10 +1949,15 @@ object PipelineQueries {
        |              count(*) AS n_docs,
        |              CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |            FROM documents GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM per)
-       |SELECT shard, n_docs, total_chars,
+       |dom AS (SELECT range AS shard FROM range(64)),
+       |filled AS (SELECT dom.shard, coalesce(n_docs, 0) AS n_docs,
+       |                  coalesce(total_chars, 0) AS total_chars
+       |           FROM dom LEFT JOIN per ON dom.shard = per.shard),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM filled)
+       |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(total_chars AS BIGINT) AS total_chars,
        |       (10000 * n_docs * 64) // all_docs AS skew_bp
-       |FROM per, tot""".stripMargin
+       |FROM filled, tot""".stripMargin
 
   // -------------------------------------------------- decayed_engagement
   /** Time-decayed engagement features — the freshness-weighted activity
@@ -1963,6 +1974,16 @@ object PipelineQueries {
     * (Java's >> wraps the shift count at 64; DuckDB's doesn't — the
     * guard is what keeps the engines identical on ancient events).
     */
+  /** The guarded halving-decay kernel over columns `cents` and `age` —
+    * public so the wrap guard is spec-pinned ([[PipelinePropsSpec]]):
+    * Java's shift wraps its count at 64 (`cents >> 64 == cents`, i.e. an
+    * ancient event would come back UNDECAYED), DuckDB's returns 0, so the
+    * explicit `age >= 63` zero is what keeps the engines identical.
+    */
+  def decayedCentsExpr: Column =
+    when(col("age") >= 63, 0L)
+      .otherwise(expr("shiftright(cents, cast(age AS int))"))
+
   def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.Tables.events
     val ev = events(spark, dir).select(col("user_id"), col("event_type"),
@@ -1970,9 +1991,7 @@ object PipelineQueries {
     val cutoff = ev.agg(max(col("ts")).as("cut"))
     ev.crossJoin(broadcast(cutoff))
       .withColumn("age", datediff(col("cut"), col("ts")).cast("long"))
-      .withColumn("decayed",
-        when(col("age") >= 63, 0L)
-          .otherwise(expr("shiftright(cents, cast(age AS int))")))
+      .withColumn("decayed", decayedCentsExpr)
       .groupBy(col("user_id"))
       .agg(sum(col("decayed")).as("score"),
         sum(when(col("event_type") === "purchase", col("decayed"))

@@ -619,6 +619,32 @@ class PipelinePropsSpec extends SparkSuite {
     rel.unpersist()
   }
 
+  test("decayed_engagement: the shift-wrap guard zeroes ancient events") {
+    // no fixture row is >= 63 days old, so the guard's one edge case is
+    // pinned here with synthetic ages instead of relying on the oracle
+    import spark.implicits._
+    val rows = Seq((1000L, 0L), (1000L, 1L), (1000L, 62L), (1000L, 63L),
+      (1000L, 64L), (1000L, 200L)).toDF("cents", "age")
+    val got = rows.withColumn("d", PipelineQueries.decayedCentsExpr)
+      .orderBy("age").select("d").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1000L, 500L, 0L, 0L, 0L, 0L))
+    // the wrap the guard exists for: Java shift counts wrap at 64, so the
+    // UNGUARDED form returns the full undecayed value for age 64
+    val wrapped = rows.filter(col("age") === 64)
+      .withColumn("d", expr("shiftright(cents, cast(age AS int))"))
+      .select("d").head().getLong(0)
+    assert(wrapped == 1000L, "Java wrap semantics changed — revisit the guard")
+  }
+
+  test("shard_assignment: all 64 shards reported, occupancy sums to corpus") {
+    val out = PipelineQueries.shardAssignment(spark, sf1).cache()
+    assert(out.count() == 64, "empty shards must still be reported")
+    val total = out.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(total == graft.engine.Tables.documents(spark, sf1).count())
+    assert(out.filter(col("n_docs") === 0 && col("skew_bp") =!= 0).count() == 0)
+    out.unpersist()
+  }
+
   test("ivm_join: the delta decomposition equals the direct full-snapshot join") {
     import graft.queries.AnalyticsQueries
     val folded = AnalyticsQueries.ivmJoin(spark, sf1)
