@@ -1902,6 +1902,55 @@ object AnalyticsQueries {
       |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------ q10_returned_items
+  /** TPC-H Q10-shaped lost-revenue readout: the top-20 customers by
+    * revenue on RETURNED items in one quarter. Join-order inversion is
+    * the point: the textbook plan joins customer and nation before
+    * aggregating; here the (quarter-filtered, broadcast) orders probe
+    * the returnflag-pruned lineitem scan, the aggregate + top-20 cut
+    * runs on bare custkeys, and THEN the 20 survivors join the
+    * dimensions — at 100 TB the customer table is probed by exactly 20
+    * rows instead of participating in the fact shuffle. Both filters
+    * are in PushedFilters; the cut is a TakeOrdered, not a sort.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), floor(discPrice * 100).cast("long").as("cents"))
+    val top = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_cents").desc, col("o_custkey")).limit(20)
+    top.join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_cents"), col("n_items"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("acctbal_cents"))
+  }
+
+  val q10ReturnedItemsSql: String =
+    """WITH top AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * (1 - CAST(l_discount AS DECIMAL(9,4))) * 100) AS BIGINT))
+      |           AS BIGINT) AS revenue_cents,
+      |         COUNT(*) AS n_items
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1 ORDER BY revenue_cents DESC, o_custkey LIMIT 20)
+      |SELECT c_custkey, c_name, n_name, revenue_cents, n_items,
+      |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+      |FROM top JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
   // ------------------------------------------------------------ ivm_join
   /** Delta-rule incremental maintenance of a JOIN view — the DBSP /
     * differential-dataflow identity Δ(R ⋈ S) = ΔR⋈S₀ ∪ R₀⋈ΔS ∪ ΔR⋈ΔS,
