@@ -2578,6 +2578,73 @@ object LlmQueries {
        |       (10000 * n_common) // least(x.n, y.n) AS containment_bp
        |FROM i JOIN sizes x ON src_a = x.source JOIN sizes y ON src_b = y.source""".stripMargin
 
+  // ------------------------------------------------ corpus: dataset card
+  /** The one-row dataset datasheet ("dataset card" / Datasheets-for-
+    * Datasets readout): corpus size, token volume, exact-duplicate rate,
+    * mean quality, and the dominant language — the summary block a
+    * training-data release ships with, composed entirely from the
+    * repo's existing per-row kernels (normalized fingerprint, quality
+    * score, whitespace tokens). Mean quality is clipped at 0 before the
+    * integer division so the floor-vs-truncate divergence on negative
+    * sums can never reach the oracle.
+    *
+    * Scale: one scan feeds a multi-aggregate (plus the exact-distinct
+    * expand for the dup rate) collapsing to one row; the top-language
+    * row is a dictionary-sized aggregate. The final 1-row × 1-row cross
+    * is the allowlisted fold-in shape.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScoreOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("score_bp"),
+        col("n_ws").cast("long").as("n_tok"), Dedup.normFingerprint.as("fp"))
+    val base = scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_unique_docs"),
+        sum(col("score_bp")).as("sum_q"))
+    val topLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(max(struct(col("n"), col("lang"))).as("t"))
+      .select(col("t.lang").as("top_lang"), col("t.n").as("top_lang_docs"))
+    base.crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("total_chars"), col("total_tokens"),
+        col("n_unique_docs"),
+        expr("(10000 * (n_docs - n_unique_docs)) div n_docs").as("dup_rate_bp"),
+        expr("greatest(sum_q, 0L) div n_docs").as("mean_quality_bp"),
+        col("top_lang"), col("top_lang_docs"))
+  }
+
+  val datasetCardSql: String = {
+    val en = graft.llm.TextAnalysis.langMarkers.toMap.apply("en")
+      .map(graft.llm.TextAnalysis.escapeRegex).mkString("|")
+    s"""WITH s AS (SELECT doc_id, lang, n_chars,
+       |             $normFpSql AS fp,
+       |             len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tok,
+       |             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word,
+       |             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |             len(regexp_extract_all(text, '\\b($en)\\b')) AS stop_hits
+       |           FROM documents),
+       |s2 AS (SELECT *, least(n_chars, 1000) * 2
+       |              + (1000 * stop_hits) // greatest(n_tok, 1)
+       |              + (1000 * n_word) // greatest(n_tok, 1)
+       |              - n_punct * 50 AS score_bp FROM s),
+       |base AS (SELECT count(*) AS n_docs,
+       |                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |                count(DISTINCT fp) AS n_unique_docs,
+       |                CAST(SUM(score_bp) AS BIGINT) AS sum_q
+       |         FROM s2),
+       |tl AS (SELECT lang AS top_lang, n AS top_lang_docs
+       |       FROM (SELECT lang, count(*) AS n FROM s GROUP BY 1)
+       |       ORDER BY n DESC, lang DESC LIMIT 1)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs, total_chars, total_tokens,
+       |       CAST(n_unique_docs AS BIGINT) AS n_unique_docs,
+       |       (10000 * (n_docs - n_unique_docs)) // n_docs AS dup_rate_bp,
+       |       greatest(sum_q, 0) // n_docs AS mean_quality_bp,
+       |       top_lang, CAST(top_lang_docs AS BIGINT) AS top_lang_docs
+       |FROM base, tl""".stripMargin
+  }
+
   // -------------------------------------------- dedup: LSH quality eval
   /** Candidate-level precision/recall of the judged MinHash-LSH
     * configuration (64 perms × 16 bands, threshold 0.8) against EXACT

@@ -65,6 +65,8 @@ class PlansSpec extends SparkSuite {
     "lsh_quality_eval",
     // shard_assignment: the 1-row total fold-in over the 64-row shard table
     "shard_assignment",
+    // dataset_card: the 1-row corpus stats x 1-row top-language cross
+    "dataset_card",
     // pareto_customers: the 1-row (total_cents, n_customers) fold-in
     "pareto_customers",
     // rrf_fusion: ann_topk's 1-vector broadcast query side + the 10-row
