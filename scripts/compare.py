@@ -14,9 +14,45 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pa_ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_type(t: pa.DataType) -> str:
+    """Arrow type → comparison key, tuned against CORRECTNESS_r03 ground
+    truth: the driver's typed hash tolerates integer WIDTH drift (int8…64,
+    22 green queries carry int32-vs-int64 columns), date-vs-timestamp
+    (conversion_funnel is green), string widths, and list wrappers — but
+    NOT DuckDB HUGEINT/DECIMAL where Spark wrote an integer (all 9 r3
+    hash-fails), and we assume not int-vs-float either."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "datetime"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+
+def type_diffs(spark_schema: pa.Schema, duck_schema: pa.Schema):
+    """Per-column normalized-type mismatches between the Spark parquet dump
+    and the DuckDB oracle result (matched by name; missing columns are
+    reported by the column check, not here)."""
+    duck = {f.name: f.type for f in duck_schema}
+    out = []
+    for f in spark_schema:
+        if f.name in duck:
+            a, b = norm_type(f.type), norm_type(duck[f.name])
+            if a != b:
+                out.append(f"{f.name}: spark={a} duck={b}")
+    return out
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,14 +76,31 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_skip += 1
             continue
         try:
-            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            want = canon(con.sql(sql).df())
+            spark_tbl = pa_ds.dataset(f"{out_dir}/{name}", format="parquet").to_table()
+            duck_tbl = con.sql(sql).arrow()
+            got = spark_tbl.to_pandas()
+            want = duck_tbl.to_pandas()
+            # date-vs-timestamp is type-tolerated (see norm_type); align the
+            # VALUE representation too so midnight timestamps equal dates
+            for tbl, df in ((spark_tbl, got), (duck_tbl, want)):
+                for f in tbl.schema:
+                    if norm_type(f.type) == "datetime":
+                        df[f.name] = pd.to_datetime(df[f.name])
+            got, want = canon(got), canon(want)
         except Exception as e:
             print(f"FAIL  {name}: {e}")
             n_bad += 1
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL  {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_bad += 1
+            continue
+        # the driver hashes raw-TYPED values: a DuckDB HUGEINT column with
+        # values identical to Spark's BIGINT still hash-fails there, so any
+        # normalized arrow-type drift is a failure here too (round-3 lesson)
+        tdiff = type_diffs(spark_tbl.schema, duck_tbl.schema)
+        if tdiff:
+            print(f"FAIL  {name}: TYPE drift {tdiff}")
             n_bad += 1
             continue
         if len(got) != len(want):

@@ -65,11 +65,11 @@ object Bench {
     // DISAGREES with its own warm pass (the phantom shape — warm passes
     // include codegen so a clean measured pass is never much slower) pays
     // two more passes for a median-of-3.
-    def measure(name: String): Double = {
+    def measure(name: String): (Double, String) = {
       val t1 = runOnce(name)
-      if (t1 < 0) return -1.0
+      if (t1 < 0) return (-1.0, "single")
       val suspect = !isStreaming(name) && t1 > warm(name) * 1.5 + 0.3
-      if (!suspect) t1
+      if (!suspect) (t1, "single")
       else {
         // min, not median: timing noise here is strictly additive (GC /
         // compile hiccups, storage-memory churn from neighbors), and a
@@ -77,14 +77,28 @@ object Bench {
         // happily reports a degrading sequence (observed: warm 0.97 s,
         // passes 2.5/6.0/6.4 s under post-clearCache GC pressure)
         val ts = Seq(t1, runOnce(name), runOnce(name))
-        if (ts.exists(_ < 0)) -1.0 else ts.min
+        (if (ts.exists(_ < 0)) -1.0 else ts.min, "min3")
       }
     }
     val results = names.map(n => n -> measure(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // estimator provenance per query: "single" (one measured pass) vs
+    // "min3" (re-measured; optimistically biased) — so round-over-round
+    // and BASELINE.md comparisons know which protocol produced each number
+    val protos = results.map { case (k, (_, p)) => "\"" + k + "\":\"" + p + "\"" }
+      .mkString("{", ",", "}")
     // failed queries report -1 per query but must not subtract from the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"protocol":$protos,"sf":"$sfDir"}"""
+    // stable full record on disk: the driver tail-captures stdout and has
+    // truncated the (now ~10 KB) JSON line mid-object before (r3); the
+    // repo-path copy plus a SHORT headline line keep the round record whole
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_latest.json"), json + "\n")
+    println(json)
+    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.count(_._2._1 >= 0)},"detail":"target/bench_latest.json"}""")
     spark.stop()
   }
 }

@@ -32,10 +32,10 @@ object Prefix {
     * aggregate and the final join). Range partitioning is SAMPLE-based:
     * two independent materializations may pick different boundaries, and
     * local sums paired with offsets from a different partitioning would
-    * be silently wrong. The eager localCheckpoint pins ONE placement that
-    * both branches read (the duplicateClusters pattern); on a cluster,
-    * swap for reliable `checkpoint` against the checkpoint dir so the
-    * snapshot survives executor loss.
+    * be silently wrong. The eager [[Snapshot.pin]] pins ONE placement
+    * that both branches read (the duplicateClusters pattern); when the
+    * session has a checkpoint dir configured, pin writes a reliable
+    * `checkpoint` instead so the snapshot survives executor loss.
     */
   def exclusiveCumsum(df: DataFrame, order: Seq[Column], value: Column,
                       outCol: String): DataFrame = {
@@ -44,7 +44,7 @@ object Prefix {
       .repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
-      .localCheckpoint(true)
+      .transform(graft.engine.Snapshot.pin)
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsetW = Window.orderBy(col("__pid"))
@@ -75,7 +75,7 @@ object Prefix {
       .repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
-      .localCheckpoint(true)
+      .transform(graft.engine.Snapshot.pin)
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsetW = Window.orderBy(col("__pid"))

@@ -1,0 +1,109 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import scala.util.control.NonFatal
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.AvroBridge
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Avro single-record binary serde as native Catalyst expressions.
+  *
+  * Spark 4.1's image bundles the whole Avro CODEC layer in spark-sql
+  * (serializer/deserializer/schema converters) but not the separate
+  * spark-avro module that registers the `to_avro`/`from_avro` SQL
+  * functions — calling those throws
+  * `AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE`. These two expressions
+  * re-create the function layer over the bundled codec (via
+  * [[org.apache.spark.sql.graftbridge.AvroBridge]]; same construction as
+  * the upstream module: per-task transient writer/encoder state,
+  * `addReferenceObj` + boxed-eval codegen so the surrounding stage stays
+  * in whole-stage codegen).
+  *
+  * Closes the reference's declared-but-unused schema-registry serde path
+  * (docker-compose.yml:30-41; vulcan codec commented out, build.sbt:13).
+  * Wire format is the raw Avro record binary — registry framing (the
+  * 5-byte magic/schema-id prefix) is transport config, not semantics.
+  */
+object AvroSerde {
+
+  /** struct → Avro record bytes. Writer schema derived from the input type
+    * (non-null root; a null struct input yields SQL NULL upstream via the
+    * standard null-propagating unary eval). */
+  case class ToAvroBinary(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_to_avro"
+
+    @transient private lazy val avroType: Schema =
+      AvroBridge.toAvroType(child.dataType)
+    @transient private lazy val serialize: Any => Any =
+      AvroBridge.serializer(child.dataType, avroType)
+    @transient private lazy val writer = new GenericDatumWriter[Any](avroType)
+    @transient private lazy val out = new ByteArrayOutputStream()
+    @transient private var encoder: BinaryEncoder = _
+
+    override def nullSafeEval(input: Any): Any = {
+      out.reset()
+      encoder = EncoderFactory.get().directBinaryEncoder(out, encoder)
+      writer.write(serialize(input), encoder)
+      encoder.flush()
+      out.toByteArray
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val expr = ctx.addReferenceObj("this", this)
+      nullSafeCodeGen(ctx, ev, input =>
+        s"${ev.value} = (byte[]) $expr.nullSafeEval($input);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ToAvroBinary =
+      copy(child = newChild)
+  }
+
+  /** Avro record bytes → struct; PERMISSIVE: any decode failure (bad
+    * varint, truncated record, schema mismatch) yields a NULL STRUCT
+    * instead of failing the task — the reference's tolerant-serde
+    * contract (serdes/circe.scala:15-23) on the binary path. */
+  case class FromAvroBinary(child: Expression, jsonFormatSchema: String)
+      extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_from_avro"
+
+    override lazy val dataType: DataType = AvroBridge.toSqlType(jsonFormatSchema)
+
+    @transient private lazy val expectedSchema: Schema =
+      new Schema.Parser().parse(jsonFormatSchema)
+    @transient private lazy val deserialize: Any => Option[Any] =
+      AvroBridge.deserializer(expectedSchema, dataType)
+    @transient private lazy val reader = new GenericDatumReader[Any](expectedSchema)
+    @transient private var decoder: BinaryDecoder = _
+    @transient private var record: Any = _
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      try {
+        decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
+        record = reader.read(record, decoder)
+        deserialize(record).orNull
+      } catch { case NonFatal(_) => null }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val expr = ctx.addReferenceObj("this", this)
+      val obj = ctx.freshName("avroDecoded")
+      nullSafeCodeGen(ctx, ev, input => s"""
+        |Object $obj = $expr.nullSafeEval($input);
+        |if ($obj == null) { ${ev.isNull} = true; } else {
+        |  ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $obj;
+        |}""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): FromAvroBinary =
+      copy(child = newChild)
+  }
+}

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * 100 TB the word table is MBs after the first aggregation). Each round
   * is: adjacent-pair counts via one `lead` window + map-side-combined sum;
   * argmax on the driver (one row, the k-means-centroid pattern); greedy
-  * re-encode via windows. Round plans are cut with localCheckpoint so
-  * round N stays constant-size (the dup_clusters lesson).
+  * re-encode via windows. Round plans are cut with
+  * [[graft.engine.Snapshot.pin]] so round N stays constant-size (the
+  * dup_clusters lesson); pin is reliable-checkpoint-aware for clusters.
   *
   * Greedy re-encode parity: BPE merges occurrences LEFT TO RIGHT without
   * overlap. For a pair (a,b) with a ≠ b two matches can never be adjacent
@@ -92,7 +93,7 @@ object Bpe {
     * corpus-sized relation.
     */
   def learnAndEncode(docs: DataFrame, rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    var syms = charSymbols(wordFreqs(docs)).localCheckpoint(true)
+    var syms = charSymbols(wordFreqs(docs)).transform(graft.engine.Snapshot.pin)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
@@ -106,7 +107,7 @@ object Bpe {
         val best = top(0)
         val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((r.toLong, a, b, c))
-        syms = mergeRound(syms, a, b).localCheckpoint(true)
+        syms = mergeRound(syms, a, b).transform(graft.engine.Snapshot.pin)
       }
     }
     (merges.toSeq, syms)

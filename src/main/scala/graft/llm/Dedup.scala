@@ -441,12 +441,13 @@ object Dedup {
     * min-over-reachable — fixpoint label propagation and min-of-component
     * are the same function.
     *
-    * Each round ends in an eager localCheckpoint: without it the loop's
-    * logical plan doubles per iteration (every round embeds the full
-    * lineage of all prior rounds) and analysis alone OOMs after ~8 rounds.
-    * Cutting lineage keeps round N's plan a constant two-shuffle shape
-    * regardless of N — on a real cluster swap localCheckpoint for
-    * reliable `checkpoint` against the cluster checkpoint dir.
+    * Each round ends in an eager [[graft.engine.Snapshot.pin]]: without
+    * it the loop's logical plan doubles per iteration (every round embeds
+    * the full lineage of all prior rounds) and analysis alone OOMs after
+    * ~8 rounds. Cutting lineage keeps round N's plan a constant
+    * two-shuffle shape regardless of N; `pin` upgrades itself to reliable
+    * `checkpoint` whenever the session has a checkpoint dir configured
+    * (the executor-loss-safe cluster form).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
@@ -461,7 +462,7 @@ object Dedup {
     var labels = edges.select(col("s").as("id"), col("d").as("label"))
       .union(edges.select(col("s").as("id"), col("s").as("label")))
       .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Snapshot.pin)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -474,7 +475,7 @@ object Dedup {
         .groupBy("id")
         .agg(min("label").as("label"),
              min(when(col("own"), col("label"))).as("old"))
-        .localCheckpoint(true)
+        .transform(graft.engine.Snapshot.pin)
       val changed = prop.filter(col("label") =!= col("old")).count()
       // pointer-doubling shortcut: label(v) <- min(label(v), label(label(v))).
       // Labels are always node ids present in the relation, so the self-join
@@ -488,7 +489,7 @@ object Dedup {
           col("label") === col("l_id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("l2"), col("label")))
           .as("label"))
-        .localCheckpoint(true)
+        .transform(graft.engine.Snapshot.pin)
       labels = short
       converged = changed == 0
       iter += 1

@@ -170,15 +170,29 @@ object AnalyticsQueries {
       |  GROUPING(l_returnflag, l_linestatus) AS gid
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
-  /** Approximate distinct (A6): HyperLogLog++ sketch. No oracle — sketch
-    * values are engine-specific by construction; the driver records the
-    * weaker rows-only check, and `distinct_users` carries the exact twin.
+  /** Approximate distinct (A6): HyperLogLog++ sketch, made driver-checkable
+    * despite engine-specific sketch values by hashing the ERROR ENVELOPE
+    * instead of the estimate (the `ann_recall_eval` pattern): the exact
+    * count rides along from the same aggregation pass, and the output is
+    * the boolean "estimate within the sketch's configured 5% rsd", which
+    * the oracle asserts as `true` per group. `distinct_users` carries the
+    * plain exact twin, `approx_distinct_kmv` a bit-portable sketch.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.05)).as("within_tol"))
+
+  val approxDistinctUsersSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       true AS within_tol
+      |FROM events GROUP BY 1""".stripMargin
 
   /** Engine-portable approximate distinct: a K-Minimum-Values sketch over
     * md5-derived 60-bit hashes. Unlike HLL (engine-specific register
@@ -1203,7 +1217,7 @@ object AnalyticsQueries {
       |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
       |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
       |SELECT prev_type, next_type, n,
-      |       (10000 * n) // SUM(n) OVER (PARTITION BY prev_type) AS prob_bp
+      |       CAST((10000 * n) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_bp
       |FROM c""".stripMargin
 
   /** CDC / MERGE apply: a keyed changelog (latest order per customer,
@@ -1832,7 +1846,10 @@ object AnalyticsQueries {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("total_cents"),
-        col("qty").cast("long").as("sum_qty"))
+        // floor BEFORE the long cast: Spark's decimal→long truncates toward
+        // zero while DuckDB's CAST rounds half away — explicit FLOOR on both
+        // sides pins one semantics (the q3/q7/q10 convention)
+        floor(col("qty")).cast("long").as("sum_qty"))
   }
 
   val q18LargeOrdersSql: String =
@@ -1841,7 +1858,7 @@ object AnalyticsQueries {
       |             HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
       |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
       |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
-      |       CAST(qty AS BIGINT) AS sum_qty
+      |       CAST(FLOOR(qty) AS BIGINT) AS sum_qty
       |FROM orders JOIN big ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
@@ -1901,6 +1918,87 @@ object AnalyticsQueries {
       |  AND n1.n_name != n2.n_name
       |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------ q16_supplier_counts
+  /** TPC-H Q16-shaped supplier-diversity count, deliberately written as
+    * SQL TEXT with a `NOT IN (subquery)` — the one relational idiom the
+    * surface had not exercised: Catalyst must plan the null-aware anti
+    * join itself (reference has no SQL surface; TPC-H Q16 pattern,
+    * `ps_suppkey NOT IN (SELECT s_suppkey … complaints)`). Supplier
+    * "complaints" analog: negative account balance. Scale shape: the
+    * distinct (part, supplier) relation is the only fact-sized exchange;
+    * the excluded-supplier set is dimension-sized and broadcast (Spark
+    * plans NOT IN as BroadcastHashJoin LeftAnti, null-aware — legal here
+    * because `s_suppkey` is non-null; a nullable column would demand the
+    * full null-aware fallback), and the filtered part dim broadcasts
+    * into the probe. PlansSpec asserts the anti join stays broadcast.
+    */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q16_lineitem_v")
+    Tables.supplier(spark, dir).createOrReplaceTempView("q16_supplier_v")
+    Tables.part(spark, dir).createOrReplaceTempView("q16_part_v")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM q16_lineitem_v) ps
+        |JOIN q16_part_v ON p_partkey = ps.l_partkey
+        |WHERE p_brand <> 'BRAND_1'
+        |  AND p_size <= 25
+        |  AND ps.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM q16_supplier_v WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
+  val q16SupplierCountsSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = ps.l_partkey
+      |WHERE p_brand <> 'BRAND_1'
+      |  AND p_size <= 25
+      |  AND ps.l_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  // ------------------------------------------------ q2_min_cost_supplier
+  /** TPC-H Q2-shaped cheapest-supplier lookup via a CORRELATED scalar
+    * subquery in SQL text (`cost = (SELECT min(cost) … WHERE same
+    * part)`) — Catalyst de-correlates it into an aggregate + equi-join
+    * (reference: Q2's `ps_supplycost = (SELECT min(ps_supplycost) …)`).
+    * The offers relation (cheapest line per part–supplier, standing in
+    * for partsupp) is aggregated once and feeds both the probe and the
+    * de-correlated min — group-domain-sized, so the correlated idiom
+    * costs one extra aggregate over an already-collapsed relation, not
+    * a rescan of lineitem. Ties (two suppliers at the min) emit both
+    * rows in both engines — deterministic without a tiebreak.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q2_lineitem_v")
+    Tables.part(spark, dir).createOrReplaceTempView("q2_part_v")
+    spark.sql(
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           AS cost_cents
+        |  FROM q2_lineitem_v GROUP BY l_partkey, l_suppkey)
+        |SELECT p.p_partkey, p.p_brand, o.l_suppkey AS suppkey, o.cost_cents
+        |FROM q2_part_v p JOIN offers o ON o.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1
+        |  AND o.cost_cents = (SELECT min(o2.cost_cents) FROM offers o2
+        |                      WHERE o2.l_partkey = p.p_partkey)""".stripMargin)
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |           AS cost_cents
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT p.p_partkey, p.p_brand, o.l_suppkey AS suppkey, o.cost_cents
+      |FROM part p JOIN offers o ON o.l_partkey = p.p_partkey
+      |WHERE p.p_size = 1
+      |  AND o.cost_cents = (SELECT min(o2.cost_cents) FROM offers o2
+      |                      WHERE o2.l_partkey = p.p_partkey)""".stripMargin
 
   // ------------------------------------------------ q10_returned_items
   /** TPC-H Q10-shaped lost-revenue readout: the top-20 customers by

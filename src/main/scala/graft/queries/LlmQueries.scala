@@ -1378,7 +1378,7 @@ object LlmQueries {
     s"""WITH pred AS ($langIdSql),
        |c AS (SELECT labeled_lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2)
        |SELECT labeled_lang, pred_lang, n,
-       |       (10000 * n) // SUM(n) OVER (PARTITION BY labeled_lang) AS share_bp
+       |       CAST((10000 * n) // SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS share_bp
        |FROM c""".stripMargin
 
   // ----------------------------------------------------- text: quality score
@@ -1474,9 +1474,9 @@ object LlmQueries {
       |        coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
       |      FROM t)
-      |SELECT doc_id, n_tokens, start_tok // 256 AS seq_id,
-      |       start_tok % 256 AS seq_offset,
-      |       ((start_tok + n_tokens - 1) // 256) - (start_tok // 256) AS n_seq_spanned
+      |SELECT doc_id, n_tokens, CAST(start_tok // 256 AS BIGINT) AS seq_id,
+      |       CAST(start_tok % 256 AS BIGINT) AS seq_offset,
+      |       CAST(((start_tok + n_tokens - 1) // 256) - (start_tok // 256) AS BIGINT) AS n_seq_spanned
       |FROM c WHERE n_tokens > 0""".stripMargin
 
   // ------------------------------------------------ text: repetition score
@@ -2369,7 +2369,7 @@ object LlmQueries {
        |pr0 AS (SELECT doc_id, 1000000000000 // nt.n_total AS pr
        |        FROM documents CROSS JOIN nt),
        |$rounds
-       |SELECT doc_id, pr FROM pr$prIters""".stripMargin
+       |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr$prIters""".stripMargin
   }
 
   // ------------------------------------------------- token-budget sampling

@@ -83,23 +83,23 @@ object PipelineQueries {
 
   val dqAuditSql: String =
     """SELECT 'lineitem.quantity_range' AS rule,
-      |       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS violations,
+      |       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
       |       count(*) AS checked FROM lineitem
       |UNION ALL
       |SELECT 'lineitem.discount_range',
-      |       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), count(*)
+      |       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT), count(*)
       |FROM lineitem
       |UNION ALL
       |SELECT 'lineitem.tax_range',
-      |       sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END), count(*)
+      |       CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS BIGINT), count(*)
       |FROM lineitem
       |UNION ALL
       |SELECT 'orders.custkey_not_null',
-      |       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), count(*)
+      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
       |FROM orders
       |UNION ALL
       |SELECT 'orders.status_domain',
-      |       sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), count(*)
+      |       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT), count(*)
       |FROM orders
       |UNION ALL
       |SELECT 'orders.pk_unique', count(*) - count(DISTINCT o_orderkey), count(*)
@@ -277,7 +277,7 @@ object PipelineQueries {
       |         sum(x*y) AS sxy, sum(x*x) AS sxx
       |  FROM daily GROUP BY 1)
       |SELECT event_type, n AS n_days,
-      |       n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+      |       CAST(n*sxy - sx*sy AS BIGINT) AS num, CAST(n*sxx - sx*sx AS BIGINT) AS den,
       |       CAST(FLOOR(((n*sxy - sx*sy) * 1000000.0) / (n*sxx - sx*sx)) AS BIGINT) AS slope_ppm
       |FROM stats WHERE n >= 2""".stripMargin
 
@@ -318,7 +318,7 @@ object PipelineQueries {
       |  ('p0_micro', 0, 1000), ('p1_small', 1000, 4500), ('p2_mid', 4500, 12000),
       |  ('p3_large', 12000, 40000), ('p4_jumbo', 40000, 50100)),
       |ev AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events)
-      |SELECT band, count(*) AS n_events, sum(cents) AS sum_cents
+      |SELECT band, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM ev JOIN bands ON ev.cents >= bands.lo AND ev.cents < bands.hi
       |GROUP BY band""".stripMargin
 
@@ -677,9 +677,9 @@ object PipelineQueries {
     """WITH blocks AS (
       |  SELECT substr(c_name, 13, 6) AS blk, count(*) AS s
       |  FROM customer GROUP BY 1)
-      |SELECT count(*) AS n_blocks, max(s) AS max_block, sum(s) AS n_rows,
-      |       sum(s * (s - 1) // 2) AS candidate_pairs,
-      |       sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS singleton_blocks
+      |SELECT count(*) AS n_blocks, max(s) AS max_block, CAST(sum(s) AS BIGINT) AS n_rows,
+      |       CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs,
+      |       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_blocks
       |FROM blocks""".stripMargin
 
   // --------------------------------------------------------- epoch_shuffle
@@ -1281,10 +1281,10 @@ object PipelineQueries {
     * `copurchase_pairs`). One distinct (order, part) exchange; the
     * self-join keys on the order, so postings per key are bounded by
     * BASKET SIZE, not corpus size. Emitted in both directions, eagerly
-    * localCheckpoint'ed: the iterative callers (BFS rounds, k-core peels)
-    * re-read it every round, and a pinned placement keeps their plans
-    * constant-size (the `dup_clusters` Pregel rule; on a cluster swap for
-    * reliable `checkpoint`).
+    * [[graft.engine.Snapshot.pin]]'ed: the iterative callers (BFS
+    * rounds, k-core peels) re-read it every round, and a pinned placement
+    * keeps their plans constant-size (the `dup_clusters` Pregel rule;
+    * `pin` is reliable-checkpoint-aware for clusters).
     */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(spark, dir)
@@ -1296,7 +1296,7 @@ object PipelineQueries {
       .filter(col("c") >= 2)
       .select(col("src"), col("dst"))
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .transform(graft.engine.Snapshot.pin)
   }
 
   private val copurchaseEdgesSql: String =
@@ -1328,7 +1328,7 @@ object PipelineQueries {
         .select(col("dst").as("node"), (col("d") + 1).as("d"))
       labels = labels.unionByName(next)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .transform(graft.engine.Snapshot.pin)
     }
     labels.select(col("node"), col("d").cast("long").as("dist"))
   }
@@ -1367,7 +1367,7 @@ object PipelineQueries {
       val pruned = edges
         .join(keep.withColumnRenamed("n", "src"), "src", "left_semi")
         .join(keep.withColumnRenamed("n", "dst"), "dst", "left_semi")
-        .select(col("src"), col("dst")).localCheckpoint(true)
+        .select(col("src"), col("dst")).transform(graft.engine.Snapshot.pin)
       converged = pruned.count() == edges.count()
       edges = pruned
       round += 1
@@ -1911,7 +1911,7 @@ object PipelineQueries {
       |  COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_chars
       |  FROM documents)
-      |SELECT source, prior_chars // 65536 AS bin, count(*) AS n_docs,
+      |SELECT source, CAST(prior_chars // 65536 AS BIGINT) AS bin, count(*) AS n_docs,
       |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY 1, 2""".stripMargin

@@ -248,6 +248,27 @@ object ReferenceQueries {
   val jsonRoundtripSql: String =
     "SELECT event_id, event_type, value FROM events"
 
+  /** S5/E2 Avro twin of [[jsonRoundtrip]]: events encoded to Avro binary
+    * (single-record, registry-less — see [[graft.engine.Serde.toAvro]])
+    * and decoded back through the permissive path; the oracle is the
+    * source table itself, so any codec asymmetry (double bits, string
+    * encoding, field order) breaks the hash. Closes the reference's
+    * declared-but-unused schema-registry serde surface
+    * (docker-compose.yml:30-41; vulcan dep commented out, build.sbt:13).
+    * Both codec sides are Catalyst expressions — codegen'd, no UDF.
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val avroSchema = graft.engine.Serde.avroSchemaOf(ev, "event_type", "value")
+    ev.withColumn("wire", graft.engine.Serde.toAvro(col("event_type"), col("value")))
+      .withColumn("decoded", graft.engine.Serde.parseAvro(col("wire"), avroSchema))
+      .select(col("event_id"), col("decoded.event_type").as("event_type"),
+        col("decoded.value").as("value"))
+  }
+
+  val avroRoundtripSql: String =
+    "SELECT event_id, event_type, value FROM events"
+
   /** S8 file-format scans under the oracle: the events table is written
     * out as CSV, JSON-lines and ORC, read back through the corresponding
     * built-in scans, and ALL THREE read-backs are emitted tagged by

@@ -324,6 +324,56 @@ object StreamParity {
       | AND p.ts >= c.ts - INTERVAL '10 minutes'
       | AND p.ts <= c.ts + INTERVAL '10 minutes'""".stripMargin
 
+  /** J3's FULL OUTER form through real streaming execution (Spark 4
+    * supports full-outer stream–stream joins): null extension on EITHER
+    * side requires the watermark to close that side's window, so state
+    * eviction correctness is exercised for both join inputs at once.
+    * Finite-input bound, symmetric version of the left-parity rule: a row
+    * (either side) is provably final once its ts sits a full tolerance
+    * window below the converged watermark `min(max click, max purchase)`
+    * — matched pairs were emitted eagerly, unmatched rows null-extended
+    * on eviction. The output filter keeps exactly the rows where every
+    * PRESENT side is below the cutoff, and the oracle applies the same
+    * bound to the batch full outer join.
+    */
+  def fullOuterStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val cutoff = Tables.events(ss, dir)
+      .agg(least(
+        max(when(col("event_type") === "click", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        .as("c"))
+      .select(col("c") - expr("INTERVAL 10 MINUTES") - expr("INTERVAL 1 SECOND"))
+      .head.getTimestamp(0)
+    val clicks = eventsStream(ss, dir).filter(col("event_type") === "click")
+    val purchases = eventsStream(ss, dir).filter(col("event_type") === "purchase")
+    runAppend(ss,
+      Streaming.intervalJoinStream(clicks, purchases, tolerance = "10 MINUTES",
+          joinType = "fullOuter")
+        .filter((col("l.ts").isNull || col("l.ts") < lit(cutoff)) &&
+          (col("r.ts").isNull || col("r.ts") < lit(cutoff)))
+        .select(
+          coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+          col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id")))
+  }
+
+  val fullOuterStreamParitySql: String =
+    """WITH b AS (SELECT least(
+      |    max(ts) FILTER (event_type = 'click'),
+      |    max(ts) FILTER (event_type = 'purchase'))
+      |    - INTERVAL '10 minutes' - INTERVAL '1 second' AS cutoff FROM events),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |       c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM c FULL JOIN p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts - INTERVAL '10 minutes'
+      | AND p.ts <= c.ts + INTERVAL '10 minutes'
+      |WHERE (c.ts IS NULL OR c.ts < (SELECT cutoff FROM b))
+      |  AND (p.ts IS NULL OR p.ts < (SELECT cutoff FROM b))""".stripMargin
+
   /** S2/T6 — the KTable itself through real streaming execution: the
     * orders CHANGELOG arrives as a stream, and latest-per-key
     * materialization runs as an incremental `max_by` aggregation (the

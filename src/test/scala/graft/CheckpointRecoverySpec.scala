@@ -48,4 +48,45 @@ class CheckpointRecoverySpec extends SparkSuite {
     assert(fin == Map(1L -> 12.0, 2L -> 6.5, 3L -> 7.0),
       "restarted query must resume prior state, not recount or drop it")
   }
+
+  test("Snapshot.pin upgrades to reliable checkpoint when a dir is configured") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite session must start unconfigured")
+    val df = spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    // unconfigured → localCheckpoint (executor-local blocks, no ckpt files)
+    val local = graft.engine.Snapshot.pin(df)
+    assert(local.count() == 100)
+    assert(local.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+
+    val dir = Files.createTempDirectory("snap-ck").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val rel = graft.engine.Snapshot.pin(df)
+      assert(rel.count() == 100)
+      assert(rel.selectExpr("sum(v)").as[Long].head() == 9900L)
+      // reliable form must have written RDD checkpoint data under the dir
+      val wrote = Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"expected reliable checkpoint files under $dir")
+
+      // iterative-family smoke under the reliable path: pointer-doubling
+      // components still converge when every round pins via checkpoint()
+      import spark.implicits._
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+        .toDF("doc_a", "doc_b")
+      val comp = graft.llm.Dedup.duplicateClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      // session is JVM-shared across suites — restore the unconfigured
+      // default so every other spec keeps exercising the local path
+      // (no public unset API; the setter is private[spark])
+      val unset = sc.getClass.getDeclaredMethods
+        .find(_.getName == "checkpointDir_$eq").get
+      unset.setAccessible(true)
+      unset.invoke(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
 }

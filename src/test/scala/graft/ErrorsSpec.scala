@@ -66,4 +66,26 @@ class ErrorsSpec extends SparkSuite {
     assert(good.count() == 4)
     assert(bad.select("props").as[String].collect().forall(_.startsWith("not-json")))
   }
+
+  test("avro serde round-trips and nulls malformed payloads (E2 avro twin)") {
+    val src = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
+    val avroSchema = Serde.avroSchemaOf(src, "s", "v")
+    val coded = src.withColumn("wire", Serde.toAvro(col("s"), col("v")))
+    val back = coded
+      .withColumn("decoded", Serde.parseAvro(col("wire"), avroSchema))
+      .select(col("id"), col("decoded.s").as("s"), col("decoded.v").as("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "b", -2.25)))
+
+    // corrupt wire bytes: PERMISSIVE mode must yield a null struct (so the
+    // JSON path's all-fields-null corrupt test applies), never throw
+    val schema2 = StructType(Seq(StructField("s", org.apache.spark.sql.types.StringType),
+      StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val corrupt = Seq((9L, Array[Byte](0x7f.toByte, 0x00, 0x13))).toDF("id", "wire")
+      .withColumn("decoded", Serde.parseAvro(col("wire"), avroSchema))
+    val row = corrupt.select(Serde.isCorrupt(col("decoded"), schema2).as("bad"))
+      .as[Boolean].collect()
+    assert(row.sameElements(Array(true)),
+      "malformed avro must classify corrupt via the shared isCorrupt test")
+  }
 }

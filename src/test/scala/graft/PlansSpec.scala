@@ -162,6 +162,14 @@ class PlansSpec extends SparkSuite {
       s"event_type must push into the surviving files, got:\n$pushedLines")
   }
 
+  test("q16 NOT IN subquery plans a broadcast anti join, not a shuffle") {
+    val p = plans("q16_supplier_counts")
+    val antiLine = p.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(antiLine.contains("BroadcastHashJoin"),
+      s"q16_supplier_counts: NOT IN must plan as a BROADCAST anti join " +
+        s"(dimension-sized exclusion set), got:\n${if (antiLine.isEmpty) p else antiLine}")
+  }
+
   test("dpp_scan plants a dynamicpruning subquery on the fact scan") {
     val partLines = plans("dpp_scan").linesIterator
       .filter(_.contains("PartitionFilters:")).mkString("\n")
