@@ -278,6 +278,99 @@ object AnalyticsQueries {
        |FROM c LEFT JOIN kth USING (event_type)
        |JOIN d USING (event_type) JOIN x USING (event_type)""".stripMargin
 
+  // ---------------------------------------------- approx_quantiles_sample
+  /** Mergeable quantile sketch — the order-statistics member of the
+    * portable sketch family ([[graft.functions.BottomKSample]]; KMV covers
+    * distinct, CMS covers heavy hitters). A bottom-k-by-hash sample is a
+    * uniform random sample with NO RNG, so per-day tier sketches merge
+    * losslessly (k-min-of-k-mins = k-min of the union — KMV's theorem,
+    * value-carrying form) and the whole pipeline is deterministic enough
+    * for DuckDB to replay bit-for-bit: the oracle computes the FLAT
+    * bottom-k sample while Spark computes through daily tiers, so the
+    * hash match doubles as the tiering-equivalence proof.
+    *
+    * Estimates are empirical quantiles of the sample (integer rank
+    * selection, ⌈p·m⌉); the exact pass joins back in to verify the DKW
+    * envelope (ε ≈ 6% at k = 512) as hash-checked booleans — the
+    * `ann_recall_eval` / `approx_distinct_users` accuracy-oracle pattern.
+    *
+    * Scale: the daily tier bounds every partition's shuffle contribution
+    * to ≤ k pairs per (type, day); the merge moves tier-count·k pairs;
+    * the envelope pass is one conditional aggregate over a broadcast of
+    * |groups| rows. At 100 TB you store the daily sketches and skip the
+    * raw rescan entirely — the envelope join here exists to let the
+    * driver VERIFY the sketch, not as part of the production read path.
+    */
+  private val sampleK = 512
+
+  def approxQuantilesSample(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = udaf(new graft.functions.BottomKSketch(sampleK))
+    val mergeSample = udaf(new graft.functions.BottomKMergeSample(sampleK))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(dec(col("value")) * 100).cast("long").as("cents"),
+        graft.engine.PortableHash.md5Long(col("event_id").cast("string")).as("h"))
+    val tiers = Tables.events(spark, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        floor(dec(col("value")) * 100).cast("long").as("cents"),
+        graft.engine.PortableHash.md5Long(col("event_id").cast("string")).as("h"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sketch(col("h"), col("cents")).as("sk"))
+    val ests = tiers.groupBy(col("event_type"))
+      .agg(mergeSample(col("sk")).as("sample"), count(lit(1)).as("days"))
+      .withColumn("m", size(col("sample")).cast("long"))
+      .withColumn("p25_est", expr(
+        "element_at(sample, cast(greatest(1L, (25*m+99) div 100) as int))"))
+      .withColumn("p50_est", expr(
+        "element_at(sample, cast(greatest(1L, (50*m+99) div 100) as int))"))
+      .withColumn("p75_est", expr(
+        "element_at(sample, cast(greatest(1L, (75*m+99) div 100) as int))"))
+      .drop("sample")
+    ev.join(broadcast(ests), "event_type")
+      .groupBy(col("event_type"), col("days"), col("m"),
+        col("p25_est"), col("p50_est"), col("p75_est"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("cents") <= col("p25_est"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col("cents") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("cents") <= col("p75_est"), 1L).otherwise(0L)).as("le75"))
+      .select(col("event_type"), col("n_events"), col("days"), col("m"),
+        col("p25_est"), col("p50_est"), col("p75_est"),
+        expr("abs((le25 * 10000) div n_events - 2500) <= 1000").as("p25_ok"),
+        expr("abs((le50 * 10000) div n_events - 5000) <= 1000").as("p50_ok"),
+        expr("abs((le75 * 10000) div n_events - 7500) <= 1000").as("p75_ok"))
+  }
+
+  val approxQuantilesSampleSql: String =
+    s"""WITH ev AS (SELECT event_type,
+       |      CAST(FLOOR(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+       |      ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h,
+       |      strftime(ts, '%Y-%m-%d') AS day
+       |    FROM events),
+       |r AS (SELECT event_type, cents,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h, cents) AS rn
+       |    FROM ev),
+       |s AS (SELECT event_type, cents FROM r WHERE rn <= $sampleK),
+       |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM s GROUP BY 1),
+       |v AS (SELECT event_type, cents,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr FROM s),
+       |est AS (SELECT v.event_type, m,
+       |      max(CASE WHEN vr = GREATEST(1, (25*m+99) // 100) THEN cents END) AS p25_est,
+       |      max(CASE WHEN vr = GREATEST(1, (50*m+99) // 100) THEN cents END) AS p50_est,
+       |      max(CASE WHEN vr = GREATEST(1, (75*m+99) // 100) THEN cents END) AS p75_est
+       |    FROM v JOIN sz ON v.event_type = sz.event_type GROUP BY 1, 2),
+       |d AS (SELECT event_type, count(DISTINCT day) AS days FROM ev GROUP BY 1)
+       |SELECT ev.event_type, count(*) AS n_events, d.days, est.m,
+       |       est.p25_est, est.p50_est, est.p75_est,
+       |       abs(CAST(SUM(CASE WHEN cents <= p25_est THEN 1 ELSE 0 END) * 10000
+       |            // count(*) AS BIGINT) - 2500) <= 1000 AS p25_ok,
+       |       abs(CAST(SUM(CASE WHEN cents <= p50_est THEN 1 ELSE 0 END) * 10000
+       |            // count(*) AS BIGINT) - 5000) <= 1000 AS p50_ok,
+       |       abs(CAST(SUM(CASE WHEN cents <= p75_est THEN 1 ELSE 0 END) * 10000
+       |            // count(*) AS BIGINT) - 7500) <= 1000 AS p75_ok
+       |FROM ev JOIN est ON ev.event_type = est.event_type
+       |JOIN d ON ev.event_type = d.event_type
+       |GROUP BY ev.event_type, d.days, est.m, est.p25_est, est.p50_est, est.p75_est""".stripMargin
+
   /** Exact distinct-count per group (dropDuplicates/approx_count_distinct
     * family; the HLL variant is benchmarked but not oracled — sketches are
     * engine-specific).

@@ -170,6 +170,26 @@ class PlansSpec extends SparkSuite {
         s"(dimension-sized exclusion set), got:\n${if (antiLine.isEmpty) p else antiLine}")
   }
 
+  test("q4 EXISTS plans a semi join on the order key") {
+    val p = plans("q4_order_priority")
+    assert(p.contains("LeftSemi"),
+      s"q4_order_priority: correlated EXISTS must plan a LeftSemi join, got:\n$p")
+  }
+
+  test("q21 EXISTS + NOT EXISTS plan a semi AND an anti join") {
+    val p = plans("q21_waiting_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"q21_waiting_supplier: the double correlation must plan LeftSemi + " +
+        s"LeftAnti joins, got:\n$p")
+  }
+
+  test("q19 factors the equi-key out of the disjunction into a hash join") {
+    val p = plans("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q19_disjunctive: the common l_partkey = p_partkey must become a " +
+        s"hash-join key (residual OR as join filter), got:\n$p")
+  }
+
   test("dpp_scan plants a dynamicpruning subquery on the fact scan") {
     val partLines = plans("dpp_scan").linesIterator
       .filter(_.contains("PartitionFilters:")).mkString("\n")
