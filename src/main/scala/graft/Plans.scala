@@ -63,7 +63,12 @@ object Plans {
     "grid_dbscan",          // (r10) cell-table components; point side never shuffles
     "quantized_outliers",   // (r10) 1-row scale fold-in + zip_with distance, group-limit
     "q7_nation_volume",     // (r10) semi-reduced fact-fact join; dims broadcast
-    "decayed_engagement")   // (r10) integer halving decay; 1-row cutoff fold-in
+    "decayed_engagement",   // (r10) integer halving decay; 1-row cutoff fold-in
+    "q8_market_share",      // (r11) deepest dim-chain: all chains broadcast, one fact-fact exchange
+    "q21_waiting_supplier", // (r11) EXISTS+NOT EXISTS -> LeftSemi+LeftAnti on one key
+    "q19_disjunctive",      // (r11) OR factored to hash-join key + residual join filter
+    "q6_forecast_revenue",  // (r11) no-join scan: 3 pushed range predicates, 1-row agg
+    "approx_quantiles_sample") // (r11) tiered bottom-k sample agg + 1-row-per-group envelope join
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
