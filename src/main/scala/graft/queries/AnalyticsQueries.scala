@@ -303,19 +303,36 @@ object AnalyticsQueries {
     */
   private val sampleK = 512
 
-  def approxQuantilesSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The tier input projection: one row per event with its sampling hash,
+    * integer-cents value, and tier day — shared by the batch query and the
+    * streaming parity ingest ([[StreamParity]]).
+    */
+  def quantileTierInput(events: DataFrame): DataFrame = events
+    .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      floor(col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+      graft.engine.PortableHash.md5Long(col("event_id").cast("string")).as("h"))
+
+  /** The per-(type, day) tier sketch aggregation. Order-independent
+    * (bottom-k is a commutative monoid), so a streaming incremental
+    * execution converges to the identical tier table.
+    */
+  def quantileTiers(tierInput: DataFrame): DataFrame = {
     val sketch = udaf(new graft.functions.BottomKSketch(sampleK))
+    tierInput.groupBy(col("event_type"), col("day"))
+      .agg(sketch(col("h"), col("cents")).as("sk"))
+  }
+
+  /** Everything downstream of the stored tiers: merge to the flat sample,
+    * integer rank selection, and the exact-rank DKW envelope join against
+    * the batch events table. Factored out so the streaming parity row can
+    * apply it per micro-batch to the converged tier table (the
+    * materialized-view-sink pattern).
+    */
+  def quantileReadout(spark: SparkSession, dir: String)(tiers: DataFrame): DataFrame = {
     val mergeSample = udaf(new graft.functions.BottomKMergeSample(sampleK))
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
-        floor(dec(col("value")) * 100).cast("long").as("cents"),
-        graft.engine.PortableHash.md5Long(col("event_id").cast("string")).as("h"))
-    val tiers = Tables.events(spark, dir)
-      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        floor(dec(col("value")) * 100).cast("long").as("cents"),
-        graft.engine.PortableHash.md5Long(col("event_id").cast("string")).as("h"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sketch(col("h"), col("cents")).as("sk"))
+        floor(dec(col("value")) * 100).cast("long").as("cents"))
     val ests = tiers.groupBy(col("event_type"))
       .agg(mergeSample(col("sk")).as("sample"), count(lit(1)).as("days"))
       .withColumn("m", size(col("sample")).cast("long"))
@@ -339,6 +356,10 @@ object AnalyticsQueries {
         expr("abs((le50 * 10000) div n_events - 5000) <= 1000").as("p50_ok"),
         expr("abs((le75 * 10000) div n_events - 7500) <= 1000").as("p75_ok"))
   }
+
+  def approxQuantilesSample(spark: SparkSession, dir: String): DataFrame =
+    quantileReadout(spark, dir)(
+      quantileTiers(quantileTierInput(Tables.events(spark, dir))))
 
   val approxQuantilesSampleSql: String =
     s"""WITH ev AS (SELECT event_type,

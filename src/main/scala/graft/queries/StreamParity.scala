@@ -709,4 +709,24 @@ object StreamParity {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type"))
   }
+
+  /** The quantile SKETCH maintained by real incremental execution — the
+    * sketch-fed-by-a-stream deployment shape: the per-(type, day) bottom-k
+    * tier aggregation ([[AnalyticsQueries.quantileTiers]]) runs as a
+    * streaming aggregation whose state-store rows ARE the serialized
+    * sketch buffers, and the full readout (tier merge → rank selection →
+    * DKW envelope) applies per micro-batch to the converged tier table —
+    * the materialized-view-sink pattern. Bottom-k is a commutative monoid,
+    * so whatever order micro-batches deliver events, the converged tiers
+    * equal the batch tiers and the result hash-matches the same flat-replay
+    * oracle as `approx_quantiles_sample`. This is the 100 TB ingest shape:
+    * the raw stream updates ≤ 2k-pair state rows per (type, day) and is
+    * never stored; quantile queries read sketches.
+    */
+  def quantileSketchStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val tiers = AnalyticsQueries.quantileTiers(
+      AnalyticsQueries.quantileTierInput(eventsStream(ss, dir)))
+    runComplete(ss, tiers, transform = AnalyticsQueries.quantileReadout(ss, dir))
+  }
 }

@@ -178,4 +178,49 @@ class FunctionsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(out == hof)
   }
+
+  test("BottomKSample: any reduce/merge schedule equals the sorted bottom-k") {
+    val k = 8
+    val s = new graft.functions.BottomKSample(k)
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = rng.nextInt(40) + 1
+      val pairs = Vector.fill(n)((rng.nextLong() & 0xFFFFFFFL, rng.nextInt(1000).toLong))
+      val expect = pairs.sortBy(p => (p._1, p._2)).take(k).map(_._2).sorted
+      // sequential reduce in a shuffled order
+      val seq = s.finish(rng.shuffle(pairs).foldLeft(s.zero)(s.reduce))
+      assert(seq == expect, s"trial $trial: sequential != sorted bottom-k")
+      // arbitrary two-way merge split (the partial-aggregation path)
+      val cut = rng.nextInt(n + 1)
+      val (a, b) = rng.shuffle(pairs).splitAt(cut)
+      val merged = s.finish(s.merge(
+        a.foldLeft(s.zero)(s.reduce), b.foldLeft(s.zero)(s.reduce)))
+      assert(merged == expect, s"trial $trial: merged != sorted bottom-k")
+    }
+  }
+
+  test("BottomKSample tiers merge losslessly (k-min-of-k-mins = k-min of union)") {
+    val k = 8
+    val s = new graft.functions.BottomKSample(k)
+    val sk = new graft.functions.BottomKSketch(k)
+    val ms = new graft.functions.BottomKMergeSample(k)
+    val rng = new scala.util.Random(7)
+    val tiers = Vector.fill(6)(
+      Vector.fill(rng.nextInt(30) + 1)((rng.nextLong() & 0xFFFFFFFL, rng.nextInt(1000).toLong)))
+    val flat = s.finish(tiers.flatten.foldLeft(s.zero)(s.reduce))
+    val tiered = ms.finish(
+      tiers.map(t => sk.finish(t.foldLeft(sk.zero)(sk.reduce)))
+        .foldLeft(ms.zero)(ms.reduce))
+    assert(tiered == flat, "tiered merge must equal the flat sample bit-for-bit")
+    // every stored tier sketch is compacted to ≤ k pairs
+    tiers.foreach { t =>
+      assert(sk.finish(t.foldLeft(sk.zero)(sk.reduce)).length <= k)
+    }
+  }
+
+  test("BottomKSample under-k groups keep EVERY value (exact small-group path)") {
+    val s = new graft.functions.BottomKSample(16)
+    val pairs = Vector.tabulate(10)(i => (i.toLong * 31, i.toLong))
+    assert(s.finish(pairs.foldLeft(s.zero)(s.reduce)) == (0L until 10L).toVector)
+  }
 }
