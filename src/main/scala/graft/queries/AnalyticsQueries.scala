@@ -392,6 +392,141 @@ object AnalyticsQueries {
        |JOIN d ON ev.event_type = d.event_type
        |GROUP BY ev.event_type, d.days, est.m, est.p25_est, est.p50_est, est.p75_est""".stripMargin
 
+  // ------------------------------------------------------------ auc_ranking
+  /** Exact ROC-AUC of a score against a binary label (does event value
+    * separate purchases from other events?) via the Mann–Whitney rank-sum
+    * identity AUC = U / (n⁺·n⁻) — the standard ranking-quality eval for
+    * scorers, recommenders, and quality filters.
+    *
+    * Scale shape: NO global sort of raw rows and no unpartitioned window.
+    * Events collapse map-side to the (score-cents, n, n⁺) histogram; the
+    * global rank prefix runs over that value-domain relation with
+    * [[graft.engine.Prefix.exclusiveCumsum]] (range-partitioned two-pass),
+    * and ties use exact integer midranks doubled to stay integral:
+    * 2·midrank(v) = 2·cum_before(v) + n(v) + 1, so
+    * U·2 = Σ n⁺(v)·(2·cum_before + n + 1) − n⁺·(n⁺+1) with zero floats
+    * anywhere. AUC surfaces in basis points by integer division.
+    */
+  def aucRanking(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(floor(dec(col("value")) * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    graft.engine.Prefix.exclusiveCumsum(hist, Seq(col("cents")), col("n"), "cum_before")
+      .agg(sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * (col("cum_before") * 2 + col("n") + 1)).as("s2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("((s2 - n_pos * (n_pos + 1)) * 10000) div (2 * n_pos * n_neg)")
+          .as("auc_bp"))
+  }
+
+  val aucRankingSql: String =
+    """WITH ev AS (SELECT
+      |      CAST(FLOOR(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+      |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |    FROM events),
+      |h AS (SELECT cents, count(*) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      |      FROM ev GROUP BY 1),
+      |p AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY cents
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |      FROM h),
+      |a AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+      |             CAST(SUM(n - np) AS BIGINT) AS n_neg,
+      |             CAST(SUM(np * (2 * cum_before + n + 1)) AS BIGINT) AS s2
+      |      FROM p)
+      |SELECT n_pos, n_neg,
+      |       CAST((s2 - n_pos * (n_pos + 1)) * 10000
+      |            // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+      |FROM a""".stripMargin
+
+  // ----------------------------------------------------------- lift_deciles
+  /** Exact cumulative-gains / lift table over score deciles — AUC's
+    * ([[aucRanking]]) operational companion: "the top 10% of scores
+    * captures X% of purchases at Y× random". Same scale shape: the raw
+    * events collapse to the (score-cents, n, n⁺) histogram, the
+    * descending-rank prefix runs on [[graft.engine.Prefix]], and decile
+    * membership is computed by INTERVAL OVERLAP — each histogram row
+    * occupies rank positions (cum_before, cum_before+n], and its overlap
+    * with decile d's position range ((d−1)·N÷10, d·N÷10] is pure integer
+    * min/max, so tie groups split across boundaries EXACTLY. Within a tie
+    * group, negatives order first (documented pessimistic-gains
+    * convention; both engines replay it, and it makes the table a pure
+    * function of the data rather than of row order).
+    *
+    * The final cumulative pass windows over the 10 decile rows — a
+    * constant-domain window, not a data-sized one. Ratios stay in basis
+    * points via division of already-reduced terms (gain_bp·10⁴ ÷ rows_bp)
+    * so no product ever exceeds 10⁸× a row count — overflow-safe at any
+    * scale, unlike the naive cum_pos·N cross-multiplication.
+    */
+  def liftDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(floor(dec(col("value")) * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val pref = graft.engine.Prefix
+      .exclusiveCumsum(hist, Seq((-col("cents")).as("ord")), col("n"), "c")
+    val totals = pref.agg(sum(col("n")).as("tot"), sum(col("np")).as("totp"))
+    val perDecile = pref.crossJoin(broadcast(totals))
+      .select(col("c"), col("n"), col("np"), col("tot"), col("totp"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .select(col("decile"), col("tot"), col("totp"),
+        // decile d covers rank positions ((d-1)*tot div 10, d*tot div 10]
+        expr("greatest(0, least((decile * tot) div 10, c + n) " +
+          "- greatest(((decile - 1) * tot) div 10 + 1, c + 1) + 1)").as("o_rows"),
+        // ties pessimistic: the row's positives sit at its HIGH rank end
+        expr("greatest(0, least((decile * tot) div 10, c + n) " +
+          "- greatest(((decile - 1) * tot) div 10 + 1, c + n - np + 1) + 1)").as("o_pos"))
+      .groupBy(col("decile"), col("tot"), col("totp"))
+      .agg(sum(col("o_rows")).as("n_rows"), sum(col("o_pos")).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile")) // 10-row constant domain
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDecile
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("decile").cast("long").as("decile"),
+        col("n_rows"), col("n_pos"), col("cum_rows"), col("cum_pos"),
+        expr("(cum_pos * 10000) div totp").as("gain_bp"),
+        expr("((cum_pos * 10000 div totp) * 10000) div ((cum_rows * 10000) div tot)")
+          .as("lift_bp"))
+  }
+
+  val liftDecilesSql: String =
+    """WITH ev AS (SELECT
+      |      CAST(FLOOR(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+      |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |    FROM events),
+      |h AS (SELECT cents, count(*) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      |      FROM ev GROUP BY 1),
+      |p AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY cents DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      |      FROM h),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(np) AS BIGINT) AS totp FROM h),
+      |x AS (SELECT d.decile, t.tot, t.totp,
+      |        greatest(0, least((d.decile * t.tot) // 10, c + n)
+      |          - greatest(((d.decile - 1) * t.tot) // 10 + 1, c + 1) + 1) AS o_rows,
+      |        greatest(0, least((d.decile * t.tot) // 10, c + n)
+      |          - greatest(((d.decile - 1) * t.tot) // 10 + 1, c + n - np + 1) + 1) AS o_pos
+      |      FROM p CROSS JOIN t
+      |      CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS decile) d),
+      |g AS (SELECT decile, tot, totp,
+      |        CAST(SUM(o_rows) AS BIGINT) AS n_rows,
+      |        CAST(SUM(o_pos) AS BIGINT) AS n_pos
+      |      FROM x GROUP BY 1, 2, 3),
+      |cum AS (SELECT *,
+      |        CAST(SUM(n_rows) OVER (ORDER BY decile) AS BIGINT) AS cum_rows,
+      |        CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      |      FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos, cum_rows, cum_pos,
+      |       CAST((cum_pos * 10000) // totp AS BIGINT) AS gain_bp,
+      |       CAST(((cum_pos * 10000 // totp) * 10000) // ((cum_rows * 10000) // tot)
+      |            AS BIGINT) AS lift_bp
+      |FROM cum""".stripMargin
+
   /** Exact distinct-count per group (dropDuplicates/approx_count_distinct
     * family; the HLL variant is benchmarked but not oracled — sketches are
     * engine-specific).

@@ -195,8 +195,8 @@ object TpchQueries {
   /** TPC-H Q9: profit by supplier nation × order year over one part
     * family. Without partsupp, line cost stands in as half the part's
     * retail price × quantity (deterministic, decimal-exact); the part
-    * family predicate is Q9's `p_name LIKE '%green%'` verbatim against
-    * the fixture's color-word part names.
+    * family predicate keeps Q9's `p_name LIKE '%color%'` shape against
+    * the fixture's color-word part names (`'%red%'`).
     *
     * Scale shape: the filtered part dim and the supplier→nation chain
     * broadcast into lineitem; orders joins on l_orderkey purely to read
@@ -289,10 +289,10 @@ object TpchQueries {
 
   // --------------------------------------------------------- q12_ship_delay
   /** TPC-H Q12: order-priority mix by shipping-delay class. Without
-    * l_shipmode/l_receiptdate, the two "modes" are delay bands (line
-    * shipped ≤ 60 / > 60 days after order) and the counted split is Q12's
-    * verbatim high-priority (URGENT|HIGH) vs low. Pure conditional
-    * aggregation over the one fact–fact join.
+    * l_shipmode/l_receiptdate, the two "modes" are order-to-ship delay
+    * bands (line shipped ≤ 60 / > 60 days after its order date) and the
+    * counted split is Q12's verbatim high-priority (URGENT|HIGH) vs low.
+    * Pure conditional aggregation over the one fact–fact join.
     *
     * Scale shape: one shuffle (l_orderkey ⋈ o_orderkey); the year filter
     * prunes lineitem at the scan; the CASE sums fold map-side into 2
@@ -304,22 +304,21 @@ object TpchQueries {
         col("l_shipdate") < lit("1997-01-01"))
       .select(col("l_orderkey"), col("l_shipdate"))
     val ord = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("delay_class",
         when(datediff(col("l_shipdate").cast("date"),
-          // join carries no o_orderdate: delay measured within ship year
-          lit("1996-01-01").cast("date")) <= 180, "H1").otherwise("H2"))
+          col("o_orderdate").cast("date")) <= 60, "FAST").otherwise("SLOW"))
       .groupBy(col("delay_class"))
       .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
   }
 
   val q12ShipDelaySql: String =
-    """SELECT CASE WHEN date_diff('day', DATE '1996-01-01',
-      |                           CAST(l_shipdate AS DATE)) <= 180
-      |            THEN 'H1' ELSE 'H2' END AS delay_class,
+    """SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      |                           CAST(l_shipdate AS DATE)) <= 60
+      |            THEN 'FAST' ELSE 'SLOW' END AS delay_class,
       |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
       |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

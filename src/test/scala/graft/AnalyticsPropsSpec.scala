@@ -408,4 +408,46 @@ class AnalyticsPropsSpec extends SparkSuite {
     assert(rfm.agg(sum(col("monetary_cents"))).head.getLong(0) == totalCents)
     rfm.unpersist()
   }
+
+  test("auc_ranking: label inversion complements the statistic (rank-sum identity)") {
+    import spark.implicits._
+    val Array((nPos, nNeg, auc)) = AnalyticsQueries.aucRanking(spark, sf1)
+      .as[(Long, Long, Long)].collect()
+    assert(nPos > 0 && nNeg > 0 && auc >= 0 && auc <= 10000)
+    // independent recompute with inverted labels: U⁺2 + U⁻2 = 2·n⁺·n⁻
+    // exactly, so the floored bp pair sums to 9999 or 10000
+    val histInv = graft.engine.Tables.events(spark, sf1)
+      .select(floor(col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 0L).otherwise(1L).as("pos"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val Array((nPosInv, nNegInv, aucInv)) =
+      graft.engine.Prefix.exclusiveCumsum(histInv, Seq(col("cents")), col("n"), "cum_before")
+        .agg(sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+          sum(col("np") * (col("cum_before") * 2 + col("n") + 1)).as("s2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("((s2 - n_pos * (n_pos + 1)) * 10000) div (2 * n_pos * n_neg)"))
+        .as[(Long, Long, Long)].collect()
+    assert(nPosInv == nNeg && nNegInv == nPos)
+    assert(auc + aucInv == 10000 || auc + aucInv == 9999,
+      s"complement violated: $auc + $aucInv")
+  }
+
+  test("lift_deciles tiles the population exactly and captures every positive") {
+    import spark.implicits._
+    val rows = AnalyticsQueries.liftDeciles(spark, sf1)
+      .select($"decile", $"n_rows", $"n_pos", $"cum_rows", $"cum_pos")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val ev = graft.engine.Tables.events(spark, sf1)
+    val n = ev.count()
+    val p = ev.filter(col("event_type") === "purchase").count()
+    // interval-overlap decile split loses and double-counts nothing
+    assert(rows.map(_._2).sum == n && rows.last._4 == n)
+    assert(rows.map(_._3).sum == p && rows.last._5 == p)
+    // every decile holds exactly its integer share of the population
+    rows.foreach { case (d, nr, _, _, _) =>
+      assert(nr == d * n / 10 - (d - 1) * n / 10, s"decile $d holds $nr rows")
+    }
+  }
 }

@@ -80,7 +80,9 @@ class PlansSpec extends SparkSuite {
     // fold-ins (spend_deciles' pattern, applied three times)
     "rfm_segments",
     // quantile_normalize: the 1-row population-count fold-in
-    "quantile_normalize")
+    "quantile_normalize",
+    // lift_deciles: the 1-row (N, P) totals fold-in (spend_deciles' pattern)
+    "lift_deciles")
 
   /** Selective scans: these queries push a real predicate (not just
     * IsNotNull) into the parquet scan, and must keep doing so.
