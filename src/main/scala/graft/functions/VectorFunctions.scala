@@ -400,7 +400,12 @@ case class Quant8FP(child: Expression)
     copy(child = newChild)
 }
 
-/** Session extensions registering graft's native functions. */
+/** Session extensions registering graft's native functions plus the whole-
+  * operator tier: the as-of join planner strategy and its pushdown rule
+  * ([[graft.plans.AsofJoinStrategy]], [[graft.plans.PushFilterThroughAsofJoin]]).
+  * Live sessions get the same two via `spark.experimental.*`, installed
+  * idempotently by [[graft.plans.AsofJoin.join]].
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(VectorFunctions.registration)
@@ -409,6 +414,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(TextFunctions.registrationAll)
     e.injectFunction(TextFunctions.registrationSimhash)
     e.injectFunction(TextFunctions.registrationMinhash)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
   }
 }
 

@@ -1,0 +1,284 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, Ascending}
+import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.IntervalUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native as-of join: the whole-operator Catalyst extension tier.
+  *
+  * The reference's as-of semantics (each left event matched to the most
+  * recent right event at-or-before it, per key, within a lookback — the
+  * kdb/pandas `merge_asof` shape; composed form in
+  * `graft.api.KStream.asOfJoin`, reference join semantics at
+  * `JoinsExample.scala`) have no single Spark operator: the DataFrame
+  * composition is a range join that materializes every candidate pair and
+  * then reduces with `max_by`. Correct, but the intermediate is
+  * O(matches-in-window) — at 100 TB with busy keys the pair blow-up is the
+  * bottleneck, not the shuffle.
+  *
+  * This is the case the custom-plan ladder exists for: a logical node
+  * ([[AsofJoinNode]]), a planner strategy ([[AsofJoinStrategy]]) and a
+  * physical sort-merge operator ([[AsofJoinExec]]) that declares
+  * `requiredChildDistribution` = clustered-by-key on both sides and
+  * `requiredChildOrdering` = (key, time) — so EnsureRequirements plans
+  * exactly ONE co-partitioned exchange per side (AQE-compatible, same as
+  * SortMergeJoinExec) — and then emits matches in a single forward merge
+  * pass per partition: O(|L| + |R|) with ONE buffered right row, never the
+  * candidate-pair intermediate, no per-group heap, no window function.
+  *
+  * Scale: shuffle volume is the two inputs exactly once; memory per task is
+  * one row regardless of key skew (a hot key costs time, not space); output
+  * preserves the left side's partitioning and ordering, so a downstream
+  * per-key aggregation reuses the exchange.
+  */
+object AsofJoin {
+
+  /** Left/inner as-of join of `left` to `right`.
+    *
+    * @param keys        equi-key pairs (leftCol, rightCol)
+    * @param leftTime    left event-time column (timestamp or long)
+    * @param rightTime   right event-time column; the match is the right row
+    *                    with the greatest `rightTime <= leftTime`
+    * @param rightTiebreak additional right columns breaking equal-time ties
+    *                    (greatest wins — mirrors `ORDER BY t DESC, id DESC
+    *                    LIMIT 1`)
+    * @param tolerance   optional lookback ("1 hour"): matches older than
+    *                    `leftTime - tolerance` are discarded
+    * @param inner       true drops unmatched left rows; false null-extends
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Seq[String] = Nil,
+      tolerance: Option[String] = None,
+      inner: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsofJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsofJoin
+    }
+    val lplan = PlanBridge.analyzed(left)
+    val rplan = PlanBridge.analyzed(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    val tolMicros = tolerance.map { s =>
+      val iv = IntervalUtils.fromIntervalString(s)
+      require(iv.months == 0, s"calendar-month tolerance is ambiguous: $s")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val node = AsofJoinNode(
+      lplan, rplan,
+      keys.map(k => attr(lplan, k._1)), keys.map(k => attr(rplan, k._2)),
+      attr(lplan, leftTime), attr(rplan, rightTime),
+      rightTiebreak.map(attr(rplan, _)),
+      tolMicros, inner)
+    PlanBridge.ofRows(spark, node)
+  }
+}
+
+/** Logical as-of join. Built already-resolved (attributes come from the
+  * children's analyzed plans), so no analyzer rule is needed — only the
+  * planner strategy.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightTiebreak: Seq[Attribute],
+    toleranceMicros: Option[Long],
+    inner: Boolean) extends BinaryNode {
+
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
+  require(Seq(TimestampType, LongType).contains(leftTime.dataType) &&
+    rightTime.dataType == leftTime.dataType,
+    "as-of time columns must both be timestamp or both long")
+
+  override def output: Seq[Attribute] =
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Custom nodes BLOCK Catalyst's own predicate pushdown — `PushDownPredicates`
+  * only rewrites operators it knows. This rule restores it for the as-of
+  * node: a conjunct above the join that references only LEFT columns commutes
+  * with per-left-row matching (filtering left rows never changes any other
+  * row's match), so it moves below the join and from there Catalyst's normal
+  * machinery carries it into the scan. Right-side conjuncts must NOT move:
+  * they would remove match CANDIDATES and change results (a filtered-out
+  * most-recent click would silently fall back to an older one).
+  *
+  * Registered via `spark.experimental.extraOptimizations` (live sessions) —
+  * the user-provided-rules batch runs after the main optimizer, but V1 file
+  * planning collapses Filter/Project chains itself (`PhysicalOperation`),
+  * so the relocated filter still lands in `PushedFilters` (PlansSpec-pinned).
+  */
+object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsofJoinNode) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(leftOnly.reduce(And), a.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
+/** Plans [[AsofJoinNode]] to [[AsofJoinExec]]; registered per-session via
+  * `spark.experimental.extraStrategies` (idempotently, by [[AsofJoin.join]]).
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lt, rt, tb, tol, inner) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, tol, inner, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join: children arrive clustered by key and sorted by
+  * (key, time[, tiebreak]); one forward pass per partition keeps, for the
+  * current left key, the single most recent right row at-or-before the
+  * current left time. Per-task state is ONE buffered right row.
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightTiebreak: Seq[Attribute],
+    toleranceMicros: Option[Long],
+    inner: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTiebreak)).map(SortOrder(_, Ascending)))
+
+  // The merge preserves the left side's partitioning and row order.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val tol = toleranceMicros.getOrElse(Long.MaxValue)
+    val innerJoin = inner
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val allOut = output
+    val keyTypes = leftKeys.map(_.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime: Expression), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime: Expression), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // bind against a nullable right schema when null-extending, so the
+      // generated projection null-checks originally non-nullable columns
+      val projIn =
+        if (innerJoin) lOut ++ rOut
+        else lOut ++ rOut.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(allOut, projIn)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      // Single-row lookahead into the right side plus the current best
+      // candidate; both copied because child iterators reuse row buffers.
+      var rNext: InternalRow = null
+      var cand: InternalRow = null
+      var candKey: InternalRow = null
+      var candTime: Long = 0L
+
+      lIter.flatMap { l =>
+        val lk = lKeyProj(l)
+        var matched: InternalRow = null
+        if (!lk.anyNull) {
+          val ltRow = lTimeProj(l)
+          if (!ltRow.isNullAt(0)) {
+            val lt = ltRow.getLong(0)
+            // Key advanced past the buffered candidate: drop it.
+            if (cand != null && keyOrd.compare(candKey, lk) != 0) cand = null
+            // Advance the right side up to (key, time]; the LAST row taken
+            // is the greatest (time, tiebreak) — the as-of match.
+            var break = false
+            while (!break && (rNext != null || rIter.hasNext)) {
+              if (rNext == null) rNext = rIter.next()
+              val rk = rKeyProj(rNext)
+              val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
+              if (cmp < 0) rNext = null // earlier key (or null key): skip
+              else if (cmp == 0) {
+                val rtRow = rTimeProj(rNext)
+                if (rtRow.isNullAt(0)) rNext = null // null time never matches
+                else {
+                  val rt = rtRow.getLong(0)
+                  if (rt <= lt) {
+                    cand = rNext.copy(); candKey = rk.copy(); candTime = rt
+                    rNext = null
+                  } else break = true
+                }
+              } else break = true
+            }
+            if (cand != null && lt - candTime <= tol) matched = cand
+          }
+        }
+        if (matched != null) {
+          numOutputRows += 1; numMatched += 1
+          Iterator.single(resultProj(joined(l, matched)))
+        } else if (innerJoin) Iterator.empty
+        else {
+          numOutputRows += 1
+          Iterator.single(resultProj(joined(l, nullRight)))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -486,6 +486,32 @@ object ReferenceQueries {
       |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour')
       |WHERE rn = 1""".stripMargin
 
+  /** The same as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsofJoinExec]]): one co-partitioned exchange per side
+    * and a single forward merge pass — no candidate-pair intermediate, no
+    * `max_by` reduction. Same oracle as `asof_join`, so the driver check
+    * doubles as an equivalence proof between the composed and native forms;
+    * PlansSpec pins the physical shape (AsofJoin node, exactly two
+    * exchanges).
+    */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.join(
+        purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = Some("1 hour"), inner = true)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofJoinNativeSql: String = asofJoinSql
+
   /** Left-outer interval join (gap J3): clicks with their matching purchase
     * if any — unmatched clicks survive with null purchase columns.
     */

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoin
+
+/** The native as-of operator ([[graft.plans.AsofJoinExec]]): semantics
+  * pinned against the composed range-join form and on hand-built edges the
+  * fixtures may not cover (exact-boundary tolerance, equal-time ties, null
+  * keys, empty right partitions).
+  */
+class AsofJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    // (key, t, id)
+    ("a", 100L, 1L), ("a", 200L, 2L), ("a", 200L, 3L), ("b", 50L, 4L),
+    ("b", 300L, 5L), ("c", 10L, 6L), (null.asInstanceOf[String], 100L, 7L)
+  ).toDF("k", "t", "lid")
+
+  private def rightDf = Seq(
+    ("a", 90L, 10L), ("a", 150L, 11L), ("a", 150L, 12L), ("a", 201L, 13L),
+    ("b", 290L, 14L), (null.asInstanceOf[String], 5L, 15L)
+  ).toDF("rk", "rt", "rid")
+
+  test("left as-of join: most recent right at-or-before, ties to greatest id") {
+    val out = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"))
+      .select("lid", "rid").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(
+      1L -> 10L,  // a@100: latest ≤100 is 90
+      2L -> 12L,  // a@200: latest ≤200 is 150, tie → rid 12
+      3L -> 12L,
+      4L -> -1L,  // b@50: nothing ≤50
+      5L -> 14L,  // b@300 → 290
+      6L -> -1L,  // c: no right key
+      7L -> -1L)) // null key never matches
+  }
+
+  test("tolerance is a closed bound: exactly-at-lookback matches, older does not") {
+    // a@200 vs right a@150: distance 50
+    val at = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), tolerance = Some("50 microseconds"))
+      .filter($"lid" === 2L).select("rid").collect()
+    assert(at.head.getLong(0) == 12L)
+    val under = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), tolerance = Some("49 microseconds"))
+      .filter($"lid" === 2L).select("rid").collect()
+    assert(under.head.isNullAt(0), "a match older than the lookback must drop")
+  }
+
+  test("inner form drops unmatched left rows") {
+    val out = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+      rightTiebreak = Seq("rid"), inner = true)
+    assert(out.count() == 4L)
+    assert(out.filter($"rid".isNull).count() == 0L)
+  }
+
+  test("native operator reproduces the composed asof_join query bit-for-bit") {
+    val composed = queries.ReferenceQueries.asofJoin(spark, sf1)
+      .orderBy("purchase_id").collect().toSeq
+    val native = queries.ReferenceQueries.asofJoinNative(spark, sf1)
+      .orderBy("purchase_id").collect().toSeq
+    assert(native == composed)
+  }
+
+  test("results are invariant to shuffle width (co-partitioning, not luck)") {
+    val base = AsofJoin.join(leftDf.repartition(7), rightDf.repartition(3),
+        Seq("k" -> "rk"), "t", "rt", rightTiebreak = Seq("rid"))
+      .collect().toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val one = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid")).collect().toSet
+      assert(one == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("left-side conjuncts push through the native node; right-side stay put") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val ev = engine.Tables.events(spark, sf1)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("cid"))
+    val joined = AsofJoin.join(l, r, Seq("user_id" -> "cu"), "ts", "cts",
+      rightTiebreak = Seq("cid"))
+    val f = joined.filter(col("event_id") > 5000L && col("cid") > 100L)
+    val plan = f.queryExecution.explainString(FormattedMode)
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThan(event_id,5000)"),
+      s"left conjunct must reach the parquet scan through the custom node, " +
+        s"got pushed filters:\n$pushed\nplan:\n$plan")
+    // semantics: identical to post-hoc filtering of the unfiltered join —
+    // in particular the right conjunct did NOT reduce match candidates
+    val all = joined.collect()
+    val ei = joined.columns.indexOf("event_id")
+    val ci = joined.columns.indexOf("cid")
+    val expect = all.filter(row => !row.isNullAt(ei) && row.getLong(ei) > 5000L &&
+      !row.isNullAt(ci) && row.getLong(ci) > 100L).toSet
+    assert(f.collect().toSet == expect)
+  }
+
+  test("timestamp time columns work end-to-end (micros semantics)") {
+    val l = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L))
+      .toDF("k", "t", "lid")
+    val r = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:09:59"), 11L))
+      .toDF("rk", "rt", "rid")
+    val hit = AsofJoin.join(l, r, Seq("k" -> "rk"), "t", "rt",
+      tolerance = Some("1 minute")).select("rid").collect().head
+    assert(hit.getLong(0) == 11L)
+    val miss = AsofJoin.join(l, r, Seq("k" -> "rk"), "t", "rt",
+      tolerance = Some("500 milliseconds")).select("rid").collect().head
+    assert(miss.isNullAt(0))
+  }
+}

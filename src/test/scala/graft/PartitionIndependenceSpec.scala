@@ -25,7 +25,8 @@ class PartitionIndependenceSpec extends SparkSuite {
     "grid_dbscan",         // cell components via Pregel + doubling shortcut
     "item_similarity_topk", // basket self-join + per-part rank window
     "quantized_outliers",  // broadcast centroid sums + rank window
-    "phash_neardup")       // collapse-by-signature banding + expansion
+    "phash_neardup",       // collapse-by-signature banding + expansion
+    "asof_join_native")    // custom exec: co-partitioned zip + merge pass
 
   for (name <- sensitive) {
     test(s"$name is invariant to shuffle width") {

@@ -192,6 +192,20 @@ class PlansSpec extends SparkSuite {
         s"hash-join key (residual OR as join filter), got:\n$p")
   }
 
+  test("asof_join_native plans the custom exec with one exchange per side") {
+    val p = plans("asof_join_native")
+    assert(p.contains("AsofJoin"),
+      s"asof_join_native must plan graft's AsofJoinExec, got:\n$p")
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(n == 2,
+      s"asof_join_native: expected exactly 2 exchanges (one co-partitioning " +
+        s"shuffle per side), found $n:\n$p")
+    // and no pair-materializing fallback: the whole point of the native
+    // operator is that no range join + reduction appears
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"asof_join_native degraded to a composed join:\n$p")
+  }
+
   test("dpp_scan plants a dynamicpruning subquery on the fact scan") {
     val partLines = plans("dpp_scan").linesIterator
       .filter(_.contains("PartitionFilters:")).mkString("\n")
