@@ -723,6 +723,37 @@ object AnalyticsQueries {
        |FROM orders GROUP BY o_orderpriority""".stripMargin
   }
 
+  /** The inverse surface: `unpivot` (melt) — a wide per-event-type
+    * aggregate (events, users, cents) folded to (event_type, metric,
+    * value) long form. Spark compiles unpivot to an Expand (each input row
+    * emitted once per metric) over the 5-row aggregate — constant-size, no
+    * shuffle beyond the aggregation's own; the same operator applied
+    * BEFORE aggregation is the standard wide→long normalization for
+    * metric-store ingestion, and it stays a projection-only Expand at any
+    * scale. All three measures cast to BIGINT: unpivot requires a common
+    * value type, and integer metrics keep the oracle engine-exact.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(dec(col("value")) * 100).cast("long")).as("sum_cents"))
+      .unpivot(Array(col("event_type")),
+        Array(col("n_events"), col("n_users"), col("sum_cents")),
+        "metric", "value")
+
+  val unpivotMetricsSql: String =
+    """WITH a AS (SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(FLOOR(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, 'n_events' AS metric, n_events AS value FROM a
+      |UNION ALL
+      |SELECT event_type, 'n_users' AS metric, n_users AS value FROM a
+      |UNION ALL
+      |SELECT event_type, 'sum_cents' AS metric, sum_cents AS value FROM a""".stripMargin
+
   /** Per-event running spend (cumulative window sum) — the classic ordered
     * analytic. Decimal money math keeps every prefix sum exact and
     * order-independent across engines; ties on ts break on the unique

@@ -512,6 +512,38 @@ object ReferenceQueries {
 
   val asofJoinNativeSql: String = asofJoinSql
 
+  /** Left-outer form of the native operator with a TIGHT lookback (5 min),
+    * so unmatched purchases actually occur and the null-extension path runs
+    * under the driver oracle (the inner form can't show it).
+    */
+  def asofJoinNativeLeft(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.join(
+        purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = Some("5 minutes"), inner = false)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofJoinNativeLeftSql: String =
+    """SELECT purchase_id, user_id, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |         c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '5 minutes')
+      |WHERE rn = 1""".stripMargin
+
   /** Left-outer interval join (gap J3): clicks with their matching purchase
     * if any — unmatched clicks survive with null purchase columns.
     */
