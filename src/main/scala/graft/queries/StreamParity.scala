@@ -374,6 +374,59 @@ object StreamParity {
       |WHERE (c.ts IS NULL OR c.ts < (SELECT cutoff FROM b))
       |  AND (p.ts IS NULL OR p.ts < (SELECT cutoff FROM b))""".stripMargin
 
+  /** STREAMING AS-OF ENRICHMENT through real streaming execution — the
+    * streaming twin of the native batch operator (`asof_join_native_left`
+    * family): each purchase waits until the watermark passes its event
+    * time, then is matched to the latest click at-or-before it within a
+    * 1-hour lookback ([[Streaming.AsofEnrichProcessor]] — buffered lefts,
+    * watermark-pruned rights, re-armed event-time timers). Spark has NO
+    * built-in stream–stream as-of join; this is the custom-state shape the
+    * reference's temporal-enrichment processors hand-build.
+    *
+    * Finite-input bound (same rule as the interval-join parity rows, on
+    * the OUTPUT): a purchase is provably matured once its ts sits below
+    * the converged watermark max(click∪purchase ts); rows under
+    * `cutoff = that max − 1 s` are exactly the ones emitted — the 1 s
+    * absorbs the watermark's millisecond floor — and the oracle applies
+    * the same static bound. The watermark input is NOT filtered, so the
+    * bound never shifts the watermark basis itself.
+    */
+  def asofStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val maxTs = Tables.events(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoffMicros =
+      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - 1000000L
+    val tagged = eventsStream(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "purchase").as("isLeft"))
+      .as[Streaming.AsofEvent](org.apache.spark.sql.Encoders.product[Streaming.AsofEvent])
+    val matches = Streaming.asofEnrichStream(tagged, 3600L * 1000000L)
+      .filter(_.purchase_micros < cutoffMicros)
+    runAppend(ss, matches.toDF())
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofStreamParitySql: String =
+    """WITH b AS (SELECT max(ts) - INTERVAL '1 second' AS cutoff
+      |           FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT purchase_id, user_id, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |         c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT e.* FROM events e, b
+      |        WHERE e.event_type = 'purchase' AND e.ts < b.cutoff) p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour')
+      |WHERE rn = 1""".stripMargin
+
   /** S2/T6 — the KTable itself through real streaming execution: the
     * orders CHANGELOG arrives as a stream, and latest-per-key
     * materialization runs as an incremental `max_by` aggregation (the

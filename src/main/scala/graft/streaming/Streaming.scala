@@ -344,6 +344,136 @@ object Streaming {
     }
   }
 
+  /** Tagged input for the streaming as-of processor: one keyed stream
+    * carrying both sides (`isLeft` = enrichment target; right rows are the
+    * reference data). Carries the event-time TIMESTAMP so the upstream
+    * watermark column survives into the typed stream; the processor works
+    * in microseconds (the fixtures' precision).
+    */
+  final case class AsofEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                             isLeft: Boolean)
+
+  /** One enriched left row: the most recent right id at-or-before it
+    * (within the lookback), or None — emitted exactly once, when the
+    * watermark proves its candidate set is complete. Carries the left
+    * row's event-time micros so a finite-input parity run can bound its
+    * OUTPUT (emitted ⇔ matured) without touching the watermark's input.
+    */
+  final case class AsofMatch(purchase_id: Long, user_id: Long,
+                             click_id: Option[Long], purchase_micros: Long)
+
+  /** STREAMING as-of enrichment — the streaming twin of the native batch
+    * operator ([[graft.plans.AsofJoinExec]]), a shape Spark has no built-in
+    * stream–stream form for (interval joins need a two-sided window; as-of
+    * needs "latest ≤ t", which is order-sensitive).
+    *
+    * Correctness under out-of-order arrival: a left row at time t may NOT
+    * be answered on arrival — a right row with rt ≤ t can still arrive
+    * late (within the watermark delay) and CHANGE the answer (a newer
+    * "latest"). So left rows buffer until the watermark passes t; at that
+    * point any still-missing right candidate would be late-dropped by
+    * contract, the candidate set is final, and the match is emitted
+    * exactly once (append semantics, batch-oracle-checkable).
+    *
+    * State per key, both watermark-bounded:
+    *  - rights: candidates with rt ≥ watermark − tolerance (older ones can
+    *    only match already-emitted lefts — pruned every maturation);
+    *  - lefts: rows with t > watermark (pending), drained as the watermark
+    *    advances — fired by one re-armed event-time timer per key, so keys
+    *    with no further input still emit.
+    *
+    * This is the reference's temporal-enrichment processor shape
+    * (state-store lookup by event time) with the arrival-order hazard made
+    * explicit and handled by stream time, not arrival luck.
+    */
+  final class AsofEnrichProcessor(tolMicros: Long)
+      extends StatefulProcessor[Long, AsofEvent, AsofMatch] {
+    @transient private var rights: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var lefts: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      rights = getHandle.getListState[(Long, Long)]("asof-rights", pairEnc, TTLConfig.NONE)
+      lefts = getHandle.getListState[(Long, Long)]("asof-pending-lefts", pairEnc, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("asof-timer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Emit every pending left with t ≤ the watermark; prune rights the
+      * surviving lefts can no longer need. Returns the emissions.
+      */
+    private def mature(key: Long, wmMicros: Long): Seq[AsofMatch] = {
+      val allLefts = lefts.get().toSeq
+      val (ready, pending) = allLefts.partition(_._1 <= wmMicros)
+      if (ready.isEmpty) Seq.empty
+      else {
+        val rs = rights.get().toSeq
+        val out = ready.sorted.map { case (lt, lid) =>
+          val cand = rs.filter(r => r._1 <= lt && lt - r._1 <= tolMicros)
+          AsofMatch(lid, key,
+            if (cand.isEmpty) None else Some(cand.max._2), lt)
+        }
+        lefts.clear()
+        if (pending.nonEmpty) lefts.appendList(pending.toArray)
+        val keep = rs.filter(_._1 >= wmMicros - tolMicros)
+        if (keep.length < rs.length) {
+          rights.clear()
+          if (keep.nonEmpty) rights.appendList(keep.toArray)
+        }
+        out
+      }
+    }
+
+    /** Keep exactly one live timer per key, at the earliest pending left's
+      * maturation instant (+1 ms: the watermark is millisecond-floored).
+      */
+    private def rearm(): Unit = {
+      val pending = lefts.get().toSeq
+      if (pending.nonEmpty) {
+        val at = pending.map(_._1).min / 1000L + 1L
+        if (!armed.exists() || armed.get() != at) {
+          if (armed.exists()) getHandle.deleteTimer(armed.get())
+          getHandle.registerTimer(at)
+          armed.update(at)
+        }
+      } else if (armed.exists()) {
+        getHandle.deleteTimer(armed.get())
+        armed.clear()
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsofEvent],
+                                 timers: TimerValues): Iterator[AsofMatch] = {
+      // microsecond precision (same fix as RecentEventsProcessor):
+      // Timestamp.getTime is millis, and the fixtures are micros
+      def micros(e: AsofEvent): Long =
+        e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+      rows.foreach { e =>
+        if (e.isLeft) lefts.appendValue((micros(e), e.event_id))
+        else rights.appendValue((micros(e), e.event_id))
+      }
+      val out = mature(key, timers.getCurrentWatermarkInMs() * 1000L)
+      rearm()
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[AsofMatch] = {
+      armed.clear()
+      val out = mature(key, timers.getCurrentWatermarkInMs() * 1000L)
+      rearm()
+      out.iterator
+    }
+  }
+
+  /** Wire the as-of processor over a tagged, watermarked stream. */
+  def asofEnrichStream(tagged: Dataset[AsofEvent],
+                       tolMicros: Long): Dataset[AsofMatch] =
+    tagged.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new AsofEnrichProcessor(tolMicros),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[AsofMatch])
+
   /** Wire the filtered-table processor over a typed event stream. */
   def filteredTableUpdates(events: Dataset[Event],
                            pred: Double => Boolean): Dataset[TableUpdate] =

@@ -200,4 +200,33 @@ class TransformWithStateSpec extends SparkSuite {
     // converged view: customer 1 gone, customer 2 at C(55), customer 3 at A(70)
     assert(sums == Map("C" -> ((1L, 55L)), "A" -> ((1L, 70L))), sums.toString)
   }
+
+  test("AsofEnrichProcessor holds a left until matured; an out-of-order right changes its answer") {
+    import graft.streaming.Streaming.{AsofEvent, AsofMatch}
+    val ms = MemoryStream[AsofEvent](spark)
+    val matches = Streaming.asofEnrichStream(
+      ms.toDS().withWatermark("ts", "5 seconds"), tolMicros = 3600L * 1000000L)
+    val q = matches.toDF().writeStream.format("memory")
+      .queryName("tws_asof").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-asof").toString)
+      .start()
+    // batch 1: left L100 @10s and right R1 @2s — L100 must NOT answer yet
+    // (watermark 5s < 10s; a later right ≤ 10s could still arrive)
+    ms.addData(Seq(AsofEvent(1, ts(10), 100, isLeft = true),
+      AsofEvent(1, ts(2), 1, isLeft = false)))
+    q.processAllAvailable()
+    assert(spark.table("tws_asof").isEmpty,
+      "a left must not be answered before the watermark passes its time")
+    // batch 2: an OUT-OF-ORDER right R2 @8s (newer than R1, still ≤ L100's
+    // 10s, inside the 5s delay) plus a right @20s that pushes the
+    // watermark to 15s — maturing L100, whose answer must be R2, not R1
+    ms.addData(Seq(AsofEvent(1, ts(8), 2, isLeft = false),
+      AsofEvent(1, ts(20), 3, isLeft = false)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tws_asof").as[AsofMatch].collect().toSeq
+    assert(out == Seq(AsofMatch(100, 1, Some(2), 10000000L)),
+      s"expected L100 matched to the late-arriving R2, got $out")
+  }
 }
