@@ -544,6 +544,50 @@ object ReferenceQueries {
       |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '5 minutes')
       |WHERE rn = 1""".stripMargin
 
+  /** The feature-store chain: native as-of enrichment followed IMMEDIATELY
+    * by a per-key aggregation (per user: purchases, matched purchases,
+    * total click→purchase lag). The scale property this query pins:
+    * [[graft.plans.AsofJoinExec]] declares its output partitioning as the
+    * left side's hash partitioning, so the downstream groupBy(user_id)
+    * REUSES the join's exchange — the whole two-operator chain plans
+    * exactly the join's own 2 shuffles and nothing more (PlansSpec-pinned).
+    * The composed as-of form cannot do this: its max_by reduction keys on
+    * purchase id, so the per-user aggregation re-shuffles.
+    */
+  def asofFeaturize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.join(
+        purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = Some("1 hour"), inner = false)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("click_id")).as("n_matched"),
+        sum(col("ts").cast("long") - col("c_ts").cast("long")).as("lag_s_total"))
+  }
+
+  val asofFeaturizeSql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |m AS (SELECT p.user_id, p.ts, c.ts AS c_ts, c.event_id AS click_id,
+      |        row_number() OVER (PARTITION BY p.event_id
+      |                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |      FROM p LEFT JOIN c
+      |        ON c.user_id = p.user_id
+      |       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour')
+      |SELECT user_id, count(*) AS n_purchases, count(click_id) AS n_matched,
+      |       CAST(SUM(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+      |                - CAST(floor(epoch(c_ts::TIMESTAMP)) AS BIGINT)) AS BIGINT)
+      |         AS lag_s_total
+      |FROM m WHERE rn = 1 GROUP BY 1""".stripMargin
+
   /** Left-outer interval join (gap J3): clicks with their matching purchase
     * if any — unmatched clicks survive with null purchase columns.
     */

@@ -206,6 +206,15 @@ class PlansSpec extends SparkSuite {
       s"asof_join_native degraded to a composed join:\n$p")
   }
 
+  test("asof_featurize reuses the join's exchange: 2 shuffles for join + aggregation") {
+    val p = plans("asof_featurize")
+    assert(p.contains("AsofJoin") && p.contains("HashAggregate"), p)
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(n == 2,
+      s"asof_featurize: the groupBy(user_id) must reuse AsofJoinExec's " +
+        s"left-side partitioning — expected 2 exchanges total, found $n:\n$p")
+  }
+
   test("dpp_scan plants a dynamicpruning subquery on the fact scan") {
     val partLines = plans("dpp_scan").linesIterator
       .filter(_.contains("PartitionFilters:")).mkString("\n")
