@@ -754,6 +754,69 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT event_type, 'sum_cents' AS metric, sum_cents AS value FROM a""".stripMargin
 
+  /** Linear recursion surface: `WITH RECURSIVE` (Spark 4's recursive CTE
+    * execution — the UnionLoop operator) walking each customer's order
+    * chain in succession order, folding an ORDER-SENSITIVE feature (max
+    * gap in days between consecutive orders) that a plain aggregate cannot
+    * express without the walk. The ranked relation is computed ONCE
+    * (persisted temp view) — left inline, the loop would recompute the
+    * window per iteration; iteration count = max chain length (≤ 25 on
+    * the fixtures, bounded by orders-per-customer, under Spark's
+    * 100-level default). The running-cents fold arriving at each chain's
+    * total is the self-check that the walk visited every link exactly
+    * once; DuckDB evaluates the SAME recursion as the oracle. UNION ALL
+    * recursion only (Spark 4.1 rejects UNION-dedup loops), so this shape
+    * is for ACYCLIC succession relations — cyclic closure stays with the
+    * bounded-round Pregel family (`graph_bfs`, `dup_clusters`), which also
+    * scales better: the CTE loop cannot checkpoint between iterations.
+    */
+  def orderChainCte(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("long").as("od_s"),
+        floor(dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("od_s"), col("o_orderkey"))))
+      .persist()
+    ranked.createOrReplaceTempView("graft_orders_ranked")
+    spark.sql(
+      """WITH RECURSIVE walk(o_custkey, rk, od_s, depth, run_cents, max_gap_days) AS (
+        |  SELECT o_custkey, rk, od_s, CAST(1 AS BIGINT), cents, CAST(0 AS BIGINT)
+        |  FROM graft_orders_ranked WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.o_custkey, r.rk, r.od_s, w.depth + 1, w.run_cents + r.cents,
+        |         GREATEST(w.max_gap_days, (r.od_s - w.od_s) DIV 86400)
+        |  FROM walk w JOIN graft_orders_ranked r
+        |    ON r.o_custkey = w.o_custkey AND r.rk = w.rk + 1)
+        |SELECT o_custkey, max(depth) AS n_orders,
+        |       max_by(run_cents, depth) AS total_cents,
+        |       max_by(max_gap_days, depth) AS max_gap_days
+        |FROM walk GROUP BY o_custkey""".stripMargin)
+  }
+
+  val orderChainCteSql: String =
+    """WITH RECURSIVE ranked AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(floor(epoch(o_orderdate::TIMESTAMP)) AS BIGINT) AS od_s,
+      |         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey) AS rk
+      |  FROM orders),
+      |walk(o_custkey, rk, od_s, depth, run_cents, max_gap_days) AS (
+      |  SELECT o_custkey, rk, od_s, CAST(1 AS BIGINT), cents, CAST(0 AS BIGINT)
+      |  FROM ranked WHERE rk = 1
+      |  UNION ALL
+      |  SELECT r.o_custkey, r.rk, r.od_s, w.depth + 1, w.run_cents + r.cents,
+      |         GREATEST(w.max_gap_days, (r.od_s - w.od_s) // 86400)
+      |  FROM walk w JOIN ranked r
+      |    ON r.o_custkey = w.o_custkey AND r.rk = w.rk + 1)
+      |SELECT o_custkey, max(depth) AS n_orders,
+      |       max_by(run_cents, depth) AS total_cents,
+      |       max_by(max_gap_days, depth) AS max_gap_days
+      |FROM walk GROUP BY o_custkey""".stripMargin
+
   /** Per-event running spend (cumulative window sum) — the classic ordered
     * analytic. Decimal money math keeps every prefix sum exact and
     * order-independent across engines; ties on ts break on the unique
