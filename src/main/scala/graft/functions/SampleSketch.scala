@@ -46,9 +46,16 @@ class BottomKSample(k: Int)
 
   override def reduce(buf: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
     // prefix-k-th prune: buf(k-1) exists sorted whenever length ≥ k
-    // (compaction fires at exactly k and from 2k on), and any hash ≥ it
-    // can never be among the k minima — the saturated fast path
-    if (buf.length >= k && in._1 >= buf(k - 1)._1) buf
+    // (compaction fires at exactly k and from 2k on), and any pair ≥ it
+    // under the FULL (hash, value) order can never be among the k minima.
+    // The tie-break matters: pruning on the hash alone would reject a pair
+    // that ties the k-th hash with a SMALLER value — which the flat
+    // (hash, value)-sorted oracle replay keeps — making the sample
+    // arrival-order-dependent exactly when 60-bit hashes collide.
+    if (buf.length >= k && {
+      val kth = buf(k - 1)
+      in._1 > kth._1 || (in._1 == kth._1 && in._2 >= kth._2)
+    }) buf
     else {
       val b = buf :+ in
       if (b.length == k || b.length >= 2 * k) compact(b) else b

@@ -111,6 +111,13 @@ case class AsofJoinNode(
     inner: Boolean) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
+  // fail fast on key-type drift: the exec's comparator and co-partitioning
+  // both assume identical key types — an int-vs-long pair would read the
+  // wrong bytes and hash to different partitions, silently matching nothing
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of key type mismatch: ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType}")
+  }
   require(Seq(TimestampType, LongType).contains(leftTime.dataType) &&
     rightTime.dataType == leftTime.dataType,
     "as-of time columns must both be timestamp or both long")

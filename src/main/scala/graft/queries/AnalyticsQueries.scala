@@ -184,9 +184,14 @@ object AnalyticsQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      // 3σ envelope, not 1σ: HLL++ at rsd = 0.05 EXPECTS ~1/3 of dense-mode
+      // groups beyond one relative standard deviation — a 5% bound would
+      // pass only by luck of the current fixtures and flake on any
+      // regeneration. 15% keeps the check meaningful (a broken sketch is
+      // off by far more) without asserting statistical luck.
       .select(col("event_type"), col("n_events"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users"))
-          <= col("exact_users") * lit(0.05)).as("within_tol"))
+          <= col("exact_users") * lit(0.15)).as("within_tol"))
 
   val approxDistinctUsersSql: String =
     """SELECT event_type, count(*) AS n_events,
@@ -413,12 +418,19 @@ object AnalyticsQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       .groupBy(col("cents"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    // rank-sum terms in DECIMAL(38,0): a single row's np·(2·cum+n+1) is
+    // O(N²) and the ×10000 numerator O(N²·10⁴) — past signed-64 around a
+    // billion balanced rows, where DuckDB's HUGEINT pipeline would keep
+    // going and the engines would diverge. 38 exact digits cover 1e38;
+    // `div` on decimals yields BIGINT, so only in-range values surface.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     graft.engine.Prefix.exclusiveCumsum(hist, Seq(col("cents")), col("n"), "cum_before")
       .agg(sum(col("np")).as("n_pos"),
         sum(col("n") - col("np")).as("n_neg"),
-        sum(col("np") * (col("cum_before") * 2 + col("n") + 1)).as("s2"))
+        sum(col("np").cast(d38) * (col("cum_before") * 2 + col("n") + 1)).as("s2"))
       .select(col("n_pos"), col("n_neg"),
-        expr("((s2 - n_pos * (n_pos + 1)) * 10000) div (2 * n_pos * n_neg)")
+        expr("((s2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 10000) " +
+          "div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)")
           .as("auc_bp"))
   }
 
@@ -434,11 +446,11 @@ object AnalyticsQueries {
       |      FROM h),
       |a AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
       |             CAST(SUM(n - np) AS BIGINT) AS n_neg,
-      |             CAST(SUM(np * (2 * cum_before + n + 1)) AS BIGINT) AS s2
+      |             SUM(np::HUGEINT * (2 * cum_before + n + 1)) AS s2
       |      FROM p)
       |SELECT n_pos, n_neg,
-      |       CAST((s2 - n_pos * (n_pos + 1)) * 10000
-      |            // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+      |       CAST((s2 - n_pos::HUGEINT * (n_pos + 1)) * 10000
+      |            // (2 * n_pos::HUGEINT * n_neg) AS BIGINT) AS auc_bp
       |FROM a""".stripMargin
 
   // ----------------------------------------------------------- lift_deciles

@@ -400,12 +400,16 @@ object Streaming {
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    /** Emit every pending left with t ≤ the watermark; prune rights the
-      * surviving lefts can no longer need. Returns the emissions.
+    /** Emit every pending left STRICTLY below the watermark; prune rights
+      * the surviving lefts can no longer need. Returns the emissions.
+      * Strict, not ≤: Spark drops late rows with ts < watermark, so a
+      * right AT the watermark can still arrive in a later batch and be a
+      * valid better match — a left at exactly the watermark is not yet
+      * final.
       */
     private def mature(key: Long, wmMicros: Long): Seq[AsofMatch] = {
       val allLefts = lefts.get().toSeq
-      val (ready, pending) = allLefts.partition(_._1 <= wmMicros)
+      val (ready, pending) = allLefts.partition(_._1 < wmMicros)
       if (ready.isEmpty) Seq.empty
       else {
         val rs = rights.get().toSeq

@@ -218,6 +218,23 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("BottomKSample hash ties resolve by value, independent of arrival order") {
+    // adversarial: many pairs SHARE the k-th hash; the saturated-path prune
+    // must tie-break on the full (hash, value) order or a later-arriving
+    // smaller value at the tied hash is wrongly rejected (review finding)
+    val k = 4
+    val s = new graft.functions.BottomKSample(k)
+    val pairs = Vector((1L, 50L), (2L, 60L), (7L, 90L), (7L, 80L), (7L, 70L),
+      (7L, 95L), (3L, 40L), (7L, 65L))
+    val expect = pairs.sortBy(p => (p._1, p._2)).take(k).map(_._2).sorted
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 30) {
+      val order = rng.shuffle(pairs)
+      assert(s.finish(order.foldLeft(s.zero)(s.reduce)) == expect,
+        s"trial $trial order $order")
+    }
+  }
+
   test("BottomKSample under-k groups keep EVERY value (exact small-group path)") {
     val s = new graft.functions.BottomKSample(16)
     val pairs = Vector.tabulate(10)(i => (i.toLong * 31, i.toLong))
