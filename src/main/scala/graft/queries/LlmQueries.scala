@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * LSH, SimHash bands, sign-plane LSH) are replayed bit-for-bit by the
   * oracle — the SQL computes the identical signatures, candidates, and
   * verified outputs.
+  *
+  * Caching contract: a few queries `persist()` an intermediate that the
+  * returned (lazy) plan references more than once — unpersisting before
+  * return would recompute it per reference, so the blocks outlive the call.
+  * Long-lived sessions must reclaim them after materializing a result via
+  * `spark.catalog.clearCache()` (what [[graft.Bench]] and [[graft.Verify]]
+  * do between queries); one-session-per-job callers need nothing.
   */
 object LlmQueries {
 
