@@ -776,7 +776,14 @@ object AnalyticsQueries {
     * the fixtures, bounded by orders-per-customer, under Spark's
     * 100-level default). The running-cents fold arriving at each chain's
     * total is the self-check that the walk visited every link exactly
-    * once; DuckDB evaluates the SAME recursion as the oracle. UNION ALL
+    * once; DuckDB evaluates the SAME recursion as the oracle. The loop
+    * body BROADCASTs the ranked relation: the frontier (≤ one row per
+    * customer, shrinking as chains end) then never re-shuffles, and the
+    * per-iteration cost is one broadcast-hash probe — without the hint
+    * every iteration re-exchanges both sides. Wall time is dominated by
+    * the iteration-scheduling floor (~0.3 s × max-chain-length), which is
+    * exactly why cyclic/deep closure belongs to the Pregel family, not
+    * this surface. UNION ALL
     * recursion only (Spark 4.1 rejects UNION-dedup loops), so this shape
     * is for ACYCLIC succession relations — cyclic closure stays with the
     * bounded-round Pregel family (`graph_bfs`, `dup_clusters`), which also
@@ -798,7 +805,8 @@ object AnalyticsQueries {
         |  SELECT o_custkey, rk, od_s, CAST(1 AS BIGINT), cents, CAST(0 AS BIGINT)
         |  FROM graft_orders_ranked WHERE rk = 1
         |  UNION ALL
-        |  SELECT r.o_custkey, r.rk, r.od_s, w.depth + 1, w.run_cents + r.cents,
+        |  SELECT /*+ BROADCAST(r) */
+        |         r.o_custkey, r.rk, r.od_s, w.depth + 1, w.run_cents + r.cents,
         |         GREATEST(w.max_gap_days, (r.od_s - w.od_s) DIV 86400)
         |  FROM walk w JOIN graft_orders_ranked r
         |    ON r.o_custkey = w.o_custkey AND r.rk = w.rk + 1)
