@@ -2087,4 +2087,53 @@ object PipelineQueries {
       |       CASE WHEN gen_level < 2 THEN c_mktsegment ELSE '*' END AS qi_segment,
       |       CAST(gen_level AS BIGINT) AS gen_level
       |FROM c JOIN lv ON c.c_mktsegment = lv.seg""".stripMargin
+
+  // ----------------------------------------------------- observed_metrics
+  /** Piggybacked pipeline telemetry via Spark's `Observation`/`observe`
+    * API: the query performs a REAL pass (filtered cents projection of
+    * lineitem driven through the noop sink — the stand-in for the write a
+    * production pipeline was making anyway) and the metrics fall out of
+    * `CollectMetricsExec`'s accumulators on that same pass. This is the
+    * scale-critical difference from [[dqAudit]]: dq_audit IS a scan whose
+    * output is metrics; observed_metrics costs ZERO extra scans — at
+    * 100 TB the sink pass happens regardless, and the observe node adds a
+    * per-partition partial aggregate folded into task completion, so rule
+    * counters, row counts, and value envelopes arrive with the write for
+    * free. (Spark exposes the same listener path on streaming queries per
+    * micro-batch.) Only non-distinct aggregates are legal in `observe` —
+    * exactly the map-side-foldable ones, which is what makes it free.
+    * The returned frame replays the observation row long-typed so the
+    * DuckDB oracle verifies the counters bit-exactly.
+    */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation("graft_pass_metrics")
+    val pass = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0)
+      .select(col("l_orderkey"),
+        floor(dec(col("l_extendedprice")) * 100).cast("long").as("price_cents"),
+        col("l_returnflag"))
+      .observe(obs,
+        count(lit(1)).as("rows_out"),
+        sum(col("price_cents")).as("cents_out"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_rows"),
+        min(col("price_cents")).as("min_cents"),
+        max(col("price_cents")).as("max_cents"))
+    pass.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq("rows_out", "cents_out", "returned_rows", "min_cents", "max_cents")
+      .map(k => (k, m(k).asInstanceOf[Long]))
+      .toDF("metric", "value")
+  }
+
+  val observedMetricsSql: String =
+    """WITH p AS (SELECT CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+      |                  l_returnflag
+      |           FROM lineitem WHERE l_quantity > 0)
+      |SELECT 'rows_out' AS metric, CAST(count(*) AS BIGINT) AS value FROM p
+      |UNION ALL SELECT 'cents_out', CAST(SUM(cents) AS BIGINT) FROM p
+      |UNION ALL SELECT 'returned_rows',
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      |UNION ALL SELECT 'min_cents', CAST(MIN(cents) AS BIGINT) FROM p
+      |UNION ALL SELECT 'max_cents', CAST(MAX(cents) AS BIGINT) FROM p""".stripMargin
 }

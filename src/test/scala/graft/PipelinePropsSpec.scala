@@ -660,4 +660,31 @@ class PipelinePropsSpec extends SparkSuite {
       .orderBy("n_name").collect().toSeq
     assert(folded == direct, "delta rule drifted from the snapshot join")
   }
+
+  test("observed_metrics: counters equal an independent aggregate; metrics ride the pass, not a second scan") {
+    val m = PipelineQueries.observedMetrics(spark, sf1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent recomputation straight off the table
+    val li = graft.engine.Tables.lineitem(spark, sf1)
+      .filter(col("l_quantity") > 0)
+      .select(floor(col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"), col("l_returnflag"))
+    val exp = li.agg(
+      count(lit(1)).as("rows_out"), sum(col("cents")).as("cents_out"),
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_rows"),
+      min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents")).head()
+    assert(m("rows_out") == exp.getLong(0))
+    assert(m("cents_out") == exp.getLong(1))
+    assert(m("returned_rows") == exp.getLong(2))
+    assert(m("min_cents") == exp.getLong(3))
+    assert(m("max_cents") == exp.getLong(4))
+    // the piggyback property: an observed pass plans a CollectMetrics node
+    // over the SINGLE projected scan (no second aggregate subtree)
+    val obs = org.apache.spark.sql.Observation()
+    val pass = li.observe(obs, count(lit(1)).as("n"))
+    val plan = pass.queryExecution.optimizedPlan.toString
+    assert(plan.contains("CollectMetrics"), plan)
+    pass.write.format("noop").mode("overwrite").save()
+    assert(obs.get("n").asInstanceOf[Long] == m("rows_out"))
+  }
 }
