@@ -782,4 +782,64 @@ object StreamParity {
       AnalyticsQueries.quantileTierInput(eventsStream(ss, dir)))
     runComplete(ss, tiers, transform = AnalyticsQueries.quantileReadout(ss, dir))
   }
+
+  /** The streaming face of [[PipelineQueries.observedMetrics]]: `observe`
+    * attached to an UNBOUNDED pass. Per micro-batch the CollectMetrics
+    * aggregates surface on `StreamingQueryProgress.observedMetrics` — the
+    * production hook for pipeline telemetry (row counts, rule counters,
+    * value envelopes) with ZERO extra scans and zero state stores: the
+    * metrics ride the batch the sink was writing anyway. The fold across
+    * batches (sums add, envelopes min/max) is exactly the partial-merge
+    * the counters were built from, so the converged readout equals the
+    * batch aggregate bit-for-bit — which is what the oracle verifies.
+    * Streaming uses the named `observe` + progress listener (the blocking
+    * `Observation` helper is batch-only by design: a stream never
+    * "completes" its one action).
+    */
+  def observedStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val src = eventsStream(ss, dir)
+      .filter(col("value") > 0)
+      .select(col("event_id"), col("event_type"),
+        floor(expr("CAST(value AS DECIMAL(18,2))") * 100).cast("long").as("cents"))
+      .observe("graft_stream_metrics",
+        count(lit(1)).as("rows_out"),
+        sum(col("cents")).as("cents_out"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+    val q = src.writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-obs-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_stream_metrics")))
+    require(perBatch.nonEmpty, "streaming query recorded no observed metrics")
+    val nonEmpty = perBatch.filter(_.getAs[Long]("rows_out") > 0)
+    require(nonEmpty.nonEmpty, "no micro-batch carried rows")
+    val folded = Seq(
+      "rows_out"      -> perBatch.map(_.getAs[Long]("rows_out")).sum,
+      "cents_out"     -> nonEmpty.map(_.getAs[Long]("cents_out")).sum,
+      "purchase_rows" -> nonEmpty.map(_.getAs[Long]("purchase_rows")).sum,
+      "min_cents"     -> nonEmpty.map(_.getAs[Long]("min_cents")).min,
+      "max_cents"     -> nonEmpty.map(_.getAs[Long]("max_cents")).max)
+    import ss.implicits._
+    folded.toDF("metric", "value")
+  }
+
+  /** Oracle for [[observedStreamParity]] — the same counters as one batch
+    * aggregate over events.
+    */
+  val observedStreamSql: String =
+    """WITH p AS (SELECT CAST(FLOOR(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+      |                  event_type
+      |           FROM events WHERE value > 0)
+      |SELECT 'rows_out' AS metric, CAST(count(*) AS BIGINT) AS value FROM p
+      |UNION ALL SELECT 'cents_out', CAST(SUM(cents) AS BIGINT) FROM p
+      |UNION ALL SELECT 'purchase_rows',
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      |UNION ALL SELECT 'min_cents', CAST(MIN(cents) AS BIGINT) FROM p
+      |UNION ALL SELECT 'max_cents', CAST(MAX(cents) AS BIGINT) FROM p""".stripMargin
 }
