@@ -777,11 +777,20 @@ object AnalyticsQueries {
     * 100-level default). The running-cents fold arriving at each chain's
     * total is the self-check that the walk visited every link exactly
     * once; DuckDB evaluates the SAME recursion as the oracle. The loop
-    * body BROADCASTs the ranked relation: the frontier (≤ one row per
-    * customer, shrinking as chains end) then never re-shuffles, and the
-    * per-iteration cost is one broadcast-hash probe — without the hint
-    * every iteration re-exchanges both sides. Wall time is dominated by
-    * the iteration-scheduling floor (~0.3 s × max-chain-length), which is
+    * body's physical join strategy is SIZE-GATED (round-4 verdict #1): the
+    * BROADCAST(r) hint — under which the frontier (≤ one row per customer,
+    * shrinking as chains end) never re-shuffles and each iteration is one
+    * broadcast-hash probe — is applied only when the ranked relation is
+    * dimension-sized ([[chainBroadcastMaxRows]]; ~100 MB of 5-column
+    * rows, far under both driver memory and the 8 GB broadcast cap).
+    * Above the gate the hint is withheld: the ranked relation is
+    * pre-partitioned by o_custkey and persisted, so each iteration plans
+    * a co-partitioned shuffle join where the BIG side's exchange reads
+    * the already-hash-clustered cache and only the shrinking frontier
+    * pays a real shuffle — strictly scale-safe (never a fact-table
+    * broadcast, never an OOM), at the cost of per-iteration exchange
+    * scheduling. Wall time in either regime is dominated by the
+    * iteration-scheduling floor (~0.3 s × max-chain-length), which is
     * exactly why cyclic/deep closure belongs to the Pregel family, not
     * this surface. UNION ALL
     * recursion only (Spark 4.1 rejects UNION-dedup loops), so this shape
@@ -798,15 +807,35 @@ object AnalyticsQueries {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("o_custkey"))
           .orderBy(col("od_s"), col("o_orderkey"))))
+      // the rank window's own exchange leaves this cache hash-clustered
+      // by o_custkey (verified in-plan: exactly one Exchange, the window's)
+      // — when the gate withholds the broadcast hint, loop iterations
+      // probe an already-key-partitioned cache, not raw orders
       .persist()
     ranked.createOrReplaceTempView("graft_orders_ranked")
+    // count() materializes the cache (the loop would anyway) and is the
+    // size probe for the gate — an exact row count, not a stats estimate,
+    // so the decision can't be wrong-sided by missing statistics
+    orderChainWalk(spark, broadcastProbe = ranked.count() <= chainBroadcastMaxRows)
+  }
+
+  /** Broadcast gate for [[orderChainCte]]'s loop body: 4M ranked rows ≈
+    * 160 MB exchanged — comfortably broadcastable; beyond it the loop
+    * joins shuffle-side against the pre-partitioned cache. */
+  private[graft] val chainBroadcastMaxRows = 4L * 1000 * 1000
+
+  /** The recursive walk over the (already registered, persisted)
+    * `graft_orders_ranked` view; exposed with an explicit gate decision so
+    * PlansSpec can pin BOTH regimes — hinted (small relation) and
+    * hint-free (the 100 TB shape). */
+  private[graft] def orderChainWalk(spark: SparkSession, broadcastProbe: Boolean): DataFrame = {
+    val hint = if (broadcastProbe) "/*+ BROADCAST(r) */ " else ""
     spark.sql(
-      """WITH RECURSIVE walk(o_custkey, rk, od_s, depth, run_cents, max_gap_days) AS (
+      s"""WITH RECURSIVE walk(o_custkey, rk, od_s, depth, run_cents, max_gap_days) AS (
         |  SELECT o_custkey, rk, od_s, CAST(1 AS BIGINT), cents, CAST(0 AS BIGINT)
         |  FROM graft_orders_ranked WHERE rk = 1
         |  UNION ALL
-        |  SELECT /*+ BROADCAST(r) */
-        |         r.o_custkey, r.rk, r.od_s, w.depth + 1, w.run_cents + r.cents,
+        |  SELECT ${hint}r.o_custkey, r.rk, r.od_s, w.depth + 1, w.run_cents + r.cents,
         |         GREATEST(w.max_gap_days, (r.od_s - w.od_s) DIV 86400)
         |  FROM walk w JOIN graft_orders_ranked r
         |    ON r.o_custkey = w.o_custkey AND r.rk = w.rk + 1)

@@ -215,6 +215,32 @@ class PlansSpec extends SparkSuite {
         s"left-side partitioning — expected 2 exchanges total, found $n:\n$p")
   }
 
+  test("order_chain_cte: the loop-body broadcast is size-gated, never unconditional") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LogicalJoin}
+    // registers + persists the ranked view (and runs the gated query once)
+    queries.AnalyticsQueries.orderChainCte(spark, sf1).collect()
+    def walk(b: Boolean) =
+      queries.AnalyticsQueries.orderChainWalk(spark, broadcastProbe = b)
+    def loopJoins(b: Boolean) = walk(b)
+      .queryExecution.optimizedPlan.collect { case j: LogicalJoin => j }
+    // small relation (gate passes): the hint must reach the loop join
+    val hinted = loopJoins(true)
+    assert(hinted.exists(_.hint.rightHint.exists(_.strategy.nonEmpty)),
+      s"gated-ON walk lost its BROADCAST hint: ${hinted.map(_.hint)}")
+    // above the gate: NO broadcast hint anywhere in the loop — each
+    // iteration plans a co-partitioned shuffle join against the persisted
+    // key-clustered cache (the 100 TB regime; round-4 verdict #1)
+    val unhinted = loopJoins(false)
+    assert(unhinted.nonEmpty &&
+      unhinted.forall(j => j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
+      s"gated-OFF walk still carries a join hint: ${unhinted.map(_.hint)}")
+    // and the two regimes are RESULT-equivalent
+    val on = walk(true).collect().map(_.toSeq).toSet
+    val off = walk(false).collect().map(_.toSeq).toSet
+    assert(on == off, "broadcast-gated and shuffle-join walks disagree")
+    spark.catalog.clearCache()
+  }
+
   test("dpp_scan plants a dynamicpruning subquery on the fact scan") {
     val partLines = plans("dpp_scan").linesIterator
       .filter(_.contains("PartitionFilters:")).mkString("\n")
