@@ -2104,6 +2104,13 @@ object PipelineQueries {
     * exactly the map-side-foldable ones, which is what makes it free.
     * The returned frame replays the observation row long-typed so the
     * DuckDB oracle verifies the counters bit-exactly.
+    *
+    * EAGER-EXECUTION CONTRACT (round-4 advice; unlike the registry's
+    * lazy-plan norm): the lineitem pass runs INSIDE this builder —
+    * `Observation.get` blocks on the noop write — and the returned 5-row
+    * frame is a pre-computed local relation. Callers wanting only the
+    * schema/plan should not invoke this builder, the same caveat the
+    * `_stream_parity` rows carry (their builders likewise execute).
     */
   def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation("graft_pass_metrics")
@@ -2121,8 +2128,17 @@ object PipelineQueries {
     pass.write.format("noop").mode("overwrite").save()
     val m = obs.get
     import spark.implicits._
+    // Null-discipline (round-4 advice): on an empty post-filter input the
+    // sum/min/max observations are NULL — extracting via asInstanceOf[Long]
+    // would silently unbox them to 0 where the oracle emits NULL. Fail
+    // loudly instead: the fixture is never empty, so a NULL here is a real
+    // defect (empty pass, cast overflow), not a value to launder.
     Seq("rows_out", "cents_out", "returned_rows", "min_cents", "max_cents")
-      .map(k => (k, m(k).asInstanceOf[Long]))
+      .map(k => (k, m(k) match {
+        case null    => sys.error(s"observed metric $k is NULL (empty pass or overflow?)")
+        case v: Long => v
+        case v       => sys.error(s"observed metric $k has unexpected type: $v")
+      }))
       .toDF("metric", "value")
   }
 

@@ -792,13 +792,31 @@ object StreamParity {
     * batches (sums add, envelopes min/max) is exactly the partial-merge
     * the counters were built from, so the converged readout equals the
     * batch aggregate bit-for-bit — which is what the oracle verifies.
-    * Streaming uses the named `observe` + progress listener (the blocking
+    * Streaming uses the named `observe` + a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * accumulating EVERY batch's metrics as they are posted (round-4
+    * verdict #2: the earlier `recentProgress` fold read a ring buffer
+    * capped at `spark.sql.streaming.numRecentProgressUpdates`, silently
+    * dropping early batches past the cap — a long catch-up run would
+    * under-count). To keep the independence PROVEN, this query pins the
+    * ring buffer to 1 on its child session: any regression back to
+    * `recentProgress` fails the oracle immediately. (The blocking
     * `Observation` helper is batch-only by design: a stream never
-    * "completes" its one action).
+    * "completes" its one action.)
     */
   def observedStreamParity(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
-    val src = eventsStream(ss, dir)
+    ss.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1")
+    observedFoldRun(ss, eventsStream(ss, dir))
+  }
+
+  /** The observe→listener→fold machinery of [[observedStreamParity]],
+    * parameterized on the source so the multi-batch spec can drive it with
+    * a `maxFilesPerTrigger=1` source (tens of micro-batches) under the
+    * same pinned-ring-buffer session. Building the frame RUNS the
+    * streaming query (eager, like every parity row).
+    */
+  private[graft] def observedFoldRun(ss: SparkSession, events: DataFrame): DataFrame = {
+    val src = events
       .filter(col("value") > 0)
       .select(col("event_id"), col("event_type"),
         floor(expr("CAST(value AS DECIMAL(18,2))") * 100).cast("long").as("cents"))
@@ -808,23 +826,50 @@ object StreamParity {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase_rows"),
         min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"))
-    val q = src.writeStream.format("noop")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-obs-ck").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val perBatch = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get("graft_stream_metrics")))
+    // Accumulate per-batch observation rows on the listener bus — unbounded
+    // by any retention conf. Events are delivered async but IN ORDER per
+    // listener, so once the terminated event lands, every progress event
+    // before it has been folded in.
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get("graft_stream_metrics"))
+          .foreach(batches.add)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = done.countDown()
+    }
+    ss.streams.addListener(listener)
+    try {
+      val q = src.writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-obs-ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "listener never saw the query terminate")
+    } finally ss.streams.removeListener(listener)
+    val perBatch = batches.toArray(Array.empty[org.apache.spark.sql.Row]).toSeq
     require(perBatch.nonEmpty, "streaming query recorded no observed metrics")
-    val nonEmpty = perBatch.filter(_.getAs[Long]("rows_out") > 0)
+    // Null-discipline (round-4 advice): a row-less batch observes NULL for
+    // sum/min/max — those batches are excluded from the value folds by the
+    // rows_out>0 filter; a NULL in a row-carrying batch is a real defect
+    // (e.g. cast overflow) and must fail loudly, never unbox to 0.
+    def metric(r: org.apache.spark.sql.Row, k: String): Long =
+      r.getAs[java.lang.Long](k) match {
+        case null => sys.error(s"observed metric $k is NULL in a row-carrying batch")
+        case v    => v.longValue()
+      }
+    val nonEmpty = perBatch.filter(metric(_, "rows_out") > 0)
     require(nonEmpty.nonEmpty, "no micro-batch carried rows")
     val folded = Seq(
-      "rows_out"      -> perBatch.map(_.getAs[Long]("rows_out")).sum,
-      "cents_out"     -> nonEmpty.map(_.getAs[Long]("cents_out")).sum,
-      "purchase_rows" -> nonEmpty.map(_.getAs[Long]("purchase_rows")).sum,
-      "min_cents"     -> nonEmpty.map(_.getAs[Long]("min_cents")).min,
-      "max_cents"     -> nonEmpty.map(_.getAs[Long]("max_cents")).max)
+      "rows_out"      -> perBatch.map(metric(_, "rows_out")).sum,
+      "cents_out"     -> nonEmpty.map(metric(_, "cents_out")).sum,
+      "purchase_rows" -> nonEmpty.map(metric(_, "purchase_rows")).sum,
+      "min_cents"     -> nonEmpty.map(metric(_, "min_cents")).min,
+      "max_cents"     -> nonEmpty.map(metric(_, "max_cents")).max)
     import ss.implicits._
     folded.toDF("metric", "value")
   }

@@ -161,4 +161,29 @@ class StreamingParitySpec extends SparkSuite {
       .select(col("l_event_id"), col("r_event_id")).as[(Long, Long)].collect().toSet
     assert(batch == got)
   }
+
+  test("observed-metrics fold sees every micro-batch, independent of the progress ring buffer") {
+    // 12 one-row files -> 12 micro-batches under maxFilesPerTrigger=1, with
+    // the progress ring buffer pinned to ONE entry: a fold reading
+    // recentProgress would see only the final batch and under-count — the
+    // listener accumulation must still equal the batch recompute.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1")
+    val evs = (1 to 12).map(i => Event(i, ts(i * 10L), i % 3,
+      if (i % 4 == 0) "purchase" else "click", i * 1.5, "{}"))
+    val src = java.nio.file.Files.createTempDirectory("graft-obs-src").toString
+    evs.toDF().repartition(12).write.mode("overwrite").parquet(src)
+    val stream = ss.readStream.schema(evs.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val got = graft.queries.StreamParity.observedFoldRun(ss, stream)
+      .as[(String, Long)].collect().toMap
+    val cents = evs.map(e => math.floor(BigDecimal(e.value)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble * 100).toLong)
+    assert(got("rows_out") == 12L)
+    assert(got("cents_out") == cents.sum)
+    assert(got("purchase_rows") == evs.count(_.event_type == "purchase").toLong)
+    assert(got("min_cents") == cents.min)
+    assert(got("max_cents") == cents.max)
+  }
 }
