@@ -15,6 +15,14 @@ Test / fork := true
 // suite execution — run suites sequentially.
 Test / parallelExecution := false
 run / fork := true
+// The driver tail-captures stdout of `sbt runMain graft.Bench` and parses
+// the LAST line as the round's bench record. Two sbt defaults broke that
+// every round: forked output is re-logged with an "[info] " prefix, and
+// sbt appends its own "[success] Total time" line after the JSON. Pass
+// child stdout through verbatim and drop the success banner so the final
+// stdout line IS the machine-readable JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

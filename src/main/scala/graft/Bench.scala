@@ -56,6 +56,25 @@ object Bench {
     // clock of a naive all-queries x 4-passes protocol.
     def isStreaming(n: String) = n.endsWith("_stream_parity")
     val warm = names.filterNot(isStreaming).map(n => n -> runOnce(n)).toMap
+    // Previous-round per-query record (committed snapshot of that round's
+    // target/bench_latest.json): the like-for-like yardstick. Protocol
+    // hardening from the round-4 verdict: a single pass that exceeds 1.5x
+    // its PREVIOUS-ROUND record re-measures (min-of-3) exactly like one
+    // that disagrees with its own warm pass — host-load inflation then
+    // can't masquerade as a plan regression in the round record.
+    val prev: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_PREV", "scripts/bench_prev.json")
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(path)).get("queries")
+        import scala.jdk.CollectionConverters._
+        node.fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).filter(_._2 >= 0).toMap
+      } catch { case _: Throwable =>
+        System.err.println("[bench] no previous-round record; ratio omitted")
+        Map.empty
+      }
+    }
     // Adaptive passes. Single-pass records have twice carried multi-second
     // phantoms (r1 agg_count_reduce 3.8s->0.4s, r2 cube_revenue
     // 9.8s->1.15s isolated) from GC/compile hiccups landing on one unlucky
@@ -63,12 +82,14 @@ object Bench {
     // the bench wall clock, most of it on queries whose warm and measured
     // times already agree. So: one measured pass; only a measurement that
     // DISAGREES with its own warm pass (the phantom shape — warm passes
-    // include codegen so a clean measured pass is never much slower) pays
-    // two more passes for a median-of-3.
+    // include codegen so a clean measured pass is never much slower) or
+    // with its previous-round record pays two more passes for a min-of-3.
     def measure(name: String): (Double, String) = {
       val t1 = runOnce(name)
       if (t1 < 0) return (-1.0, "single")
-      val suspect = !isStreaming(name) && t1 > warm(name) * 1.5 + 0.3
+      val suspect = !isStreaming(name) &&
+        (t1 > warm(name) * 1.5 + 0.3 ||
+          prev.get(name).exists(p => t1 > p * 1.5 + 0.3))
       if (!suspect) (t1, "single")
       else {
         // min, not median: timing noise here is strictly additive (GC /
@@ -89,8 +110,18 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries report -1 per query but must not subtract from the total
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // like-for-like round-over-round comparison, machine-readable (round-4
+    // verdict #6): the subset of queries present in BOTH this run and the
+    // previous-round record, summed on each side — new queries and host
+    // noise then can't be conflated in the grand total
+    val common = results.filter { case (n, (t, _)) => t >= 0 && prev.contains(n) }
+    val prevSubset = common.map { case (n, _) => prev(n) }.sum
+    val curSubset = common.map(_._2._1).sum
+    val ratioFields =
+      if (common.isEmpty) ""
+      else f""","prev_subset_total":$prevSubset%.1f,"cur_subset_total":$curSubset%.1f,"prev_subset_ratio":${curSubset / prevSubset}%.3f,"prev_subset_n":${common.size}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"protocol":$protos,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"protocol":$protos$ratioFields,"sf":"$sfDir"}"""
     // stable full record on disk: the driver tail-captures stdout and has
     // truncated the (now ~10 KB) JSON line mid-object before (r3); the
     // repo-path copy plus a SHORT headline line keep the round record whole
@@ -98,7 +129,9 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_latest.json"), json + "\n")
     println(json)
-    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.count(_._2._1 >= 0)},"detail":"target/bench_latest.json"}""")
+    // the LAST stdout line (build.sbt suppresses sbt's success banner) —
+    // short enough to survive any tail window, parseable on its own
+    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.count(_._2._1 >= 0)}$ratioFields,"detail":"target/bench_latest.json"}""")
     spark.stop()
   }
 }
