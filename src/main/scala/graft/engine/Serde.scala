@@ -94,6 +94,27 @@ object Serde {
       ColumnBridge.expression(c), jsonFormatSchema))
   }
 
+  /** [[toAvro]] with the 5-byte registry wire header (magic 0x00 +
+    * big-endian schema id): the bytes a Confluent-style registry consumer
+    * expects on the wire. The id is config — what the registry assigned
+    * the subject — since this engine is schema-first.
+    */
+  def toAvroFramed(schemaId: Int, cols: Column*): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.AvroSerde.ToAvroBinary(
+      ColumnBridge.expression(struct(cols: _*)), frameSchemaId = Some(schemaId)))
+  }
+
+  /** [[parseAvro]] for registry-framed payloads: header absent, wrong
+    * magic, or a FOREIGN schema id → NULL struct (the permissive contract;
+    * a registry consumer would fail the id lookup the same way).
+    */
+  def parseAvroFramed(c: Column, jsonFormatSchema: String, schemaId: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.AvroSerde.FromAvroBinary(
+      ColumnBridge.expression(c), jsonFormatSchema, frameSchemaId = Some(schemaId)))
+  }
+
   /** Count corrupt rows into an accumulator while passing good rows through —
     * used by the deserialization-error-handler parity path
     * (ErrorHandlingExample.scala:41-43). The accumulator is the distributed

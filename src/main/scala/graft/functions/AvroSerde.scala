@@ -34,8 +34,19 @@ object AvroSerde {
 
   /** struct → Avro record bytes. Writer schema derived from the input type
     * (non-null root; a null struct input yields SQL NULL upstream via the
-    * standard null-propagating unary eval). */
-  case class ToAvroBinary(child: Expression) extends UnaryExpression {
+    * standard null-propagating unary eval).
+    *
+    * `frameSchemaId`: when set, each payload is prefixed with the 5-byte
+    * registry wire header — magic `0x00` + the schema id as a big-endian
+    * 32-bit int — so the bytes are exactly what a registry-framed consumer
+    * expects (the transport the reference provisions via its
+    * schema-registry container, docker-compose.yml:30-41). The id is
+    * caller-assigned: this engine is schema-first, so the id is config
+    * (what the registry would have returned at subject registration),
+    * not a lookup.
+    */
+  case class ToAvroBinary(child: Expression, frameSchemaId: Option[Int] = None)
+      extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "graft_to_avro"
 
@@ -49,6 +60,10 @@ object AvroSerde {
 
     override def nullSafeEval(input: Any): Any = {
       out.reset()
+      frameSchemaId.foreach { id =>
+        out.write(0) // registry wire-format magic byte
+        out.write(id >>> 24); out.write(id >>> 16); out.write(id >>> 8); out.write(id)
+      }
       encoder = EncoderFactory.get().directBinaryEncoder(out, encoder)
       writer.write(serialize(input), encoder)
       encoder.flush()
@@ -68,8 +83,17 @@ object AvroSerde {
   /** Avro record bytes → struct; PERMISSIVE: any decode failure (bad
     * varint, truncated record, schema mismatch) yields a NULL STRUCT
     * instead of failing the task — the reference's tolerant-serde
-    * contract (serdes/circe.scala:15-23) on the binary path. */
-  case class FromAvroBinary(child: Expression, jsonFormatSchema: String)
+    * contract (serdes/circe.scala:15-23) on the binary path.
+    *
+    * `frameSchemaId`: when set, the payload must carry the 5-byte registry
+    * wire header (magic `0x00` + big-endian schema id) and the id must
+    * equal the expected one; a missing header, wrong magic, or foreign id
+    * is an UNDECODABLE payload under the same permissive contract (a
+    * registry consumer would fail the id lookup) — NULL struct, task
+    * survives. The record body is then decoded from offset 5.
+    */
+  case class FromAvroBinary(child: Expression, jsonFormatSchema: String,
+      frameSchemaId: Option[Int] = None)
       extends UnaryExpression {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_from_avro"
@@ -86,8 +110,17 @@ object AvroSerde {
 
     override def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
+      val off = frameSchemaId match {
+        case None => 0
+        case Some(id) =>
+          val ok = bytes.length >= 5 && bytes(0) == 0 &&
+            (((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+              ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)) == id
+          if (!ok) return null
+          5
+      }
       try {
-        decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
+        decoder = DecoderFactory.get().binaryDecoder(bytes, off, bytes.length - off, decoder)
         record = reader.read(record, decoder)
         deserialize(record).orNull
       } catch { case NonFatal(_) => null }

@@ -269,6 +269,30 @@ object ReferenceQueries {
   val avroRoundtripSql: String =
     "SELECT event_id, event_type, value FROM events"
 
+  /** Registry-FRAMED Avro round-trip (round-4 verdict #7): the wire bytes
+    * carry the 5-byte magic+schema-id header a Confluent-style registry
+    * consumer expects (the transport of the reference's provisioned
+    * registry, docker-compose.yml:30-41). Two contracts under one oracle:
+    * decoding with the MATCHING id must recover every field (identity),
+    * and decoding the same bytes with a FOREIGN id must yield NULL — the
+    * filter keeps only rows whose wrong-id decode rejected, so a framing
+    * regression on either side breaks the row count, not just the hash.
+    */
+  def avroFramedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val avroSchema = graft.engine.Serde.avroSchemaOf(ev, "event_type", "value")
+    ev.withColumn("wire",
+        graft.engine.Serde.toAvroFramed(7, col("event_type"), col("value")))
+      .withColumn("decoded",
+        graft.engine.Serde.parseAvroFramed(col("wire"), avroSchema, 7))
+      .filter(graft.engine.Serde.parseAvroFramed(col("wire"), avroSchema, 8).isNull)
+      .select(col("event_id"), col("decoded.event_type").as("event_type"),
+        col("decoded.value").as("value"))
+  }
+
+  val avroFramedRoundtripSql: String =
+    "SELECT event_id, event_type, value FROM events"
+
   /** S8 file-format scans under the oracle: the events table is written
     * out as CSV, JSON-lines and ORC, read back through the corresponding
     * built-in scans, and ALL THREE read-backs are emitted tagged by

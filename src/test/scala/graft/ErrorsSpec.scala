@@ -88,4 +88,36 @@ class ErrorsSpec extends SparkSuite {
     assert(row.sameElements(Array(true)),
       "malformed avro must classify corrupt via the shared isCorrupt test")
   }
+
+  test("registry-framed avro: matching id round-trips; foreign id, bad magic, unframed all reject") {
+    val src = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
+    val avroSchema = Serde.avroSchemaOf(src, "s", "v")
+    val framed = src.withColumn("wire", Serde.toAvroFramed(42, col("s"), col("v")))
+    // wire layout: magic 0x00 + big-endian id + record body
+    val bytes = framed.select("wire").as[Array[Byte]].head()
+    assert(bytes.take(5).sameElements(Array[Byte](0, 0, 0, 0, 42)))
+    val back = framed
+      .withColumn("decoded", Serde.parseAvroFramed(col("wire"), avroSchema, 42))
+      .select(col("id"), col("decoded.s").as("s"), col("decoded.v").as("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "b", -2.25)))
+    // foreign schema id → null struct (permissive reject, no throw)
+    assert(framed.select(Serde.parseAvroFramed(col("wire"), avroSchema, 43))
+      .collect().forall(_.isNullAt(0)))
+    // unframed payload decoded through the framed parser (magic byte is
+    // the record body's first byte) → reject
+    val raw = src.withColumn("wire", Serde.toAvro(col("s"), col("v")))
+    assert(raw.select(Serde.parseAvroFramed(col("wire"), avroSchema, 42))
+      .collect().forall(_.isNullAt(0)))
+    // truncated header (< 5 bytes) → reject
+    val short = Seq((9L, Array[Byte](0x00, 0x00))).toDF("id", "wire")
+    assert(short.select(Serde.parseAvroFramed(col("wire"), avroSchema, 42))
+      .collect().forall(_.isNullAt(0)))
+    // and the framed parser on a MATCHING id ignores nothing: stripping the
+    // header and decoding unframed agrees with the framed decode
+    val stripped = framed.withColumn("body", expr("substring(wire, 6)"))
+      .withColumn("decoded", Serde.parseAvro(col("body"), avroSchema))
+      .select(col("decoded.s").as("s")).as[String].collect().toSet
+    assert(stripped == Set("a", "b"))
+  }
 }
