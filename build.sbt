@@ -23,6 +23,9 @@ run / fork := true
 // stdout line IS the machine-readable JSON.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by the command layer, not a task — exclude it from
+// the unused-key lint so every sbt invocation stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

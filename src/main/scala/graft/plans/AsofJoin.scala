@@ -93,6 +93,57 @@ object AsofJoin {
       tolMicros, inner)
     PlanBridge.ofRows(spark, node)
   }
+
+  /** SQL surface for the native operator (round-4 verdict #8): registers
+    * the table-valued function
+    * {{{
+    *   graft_asof_join(left, right, leftKey, rightKey,
+    *                   leftTime, rightTime, tiebreak, tolerance, mode)
+    * }}}
+    * so SQL-only users reach [[AsofJoinExec]] from query text:
+    * `SELECT ... FROM graft_asof_join('trades', 'quotes', 'sym', 'sym',
+    * 'ts', 'ts', 'quote_id', '1 hour', 'inner')`. All nine arguments are
+    * string literals: table/view names resolved against the session
+    * catalog, single equi-key per side (multi-key stays on the DataFrame
+    * API), `tiebreak` a comma-separated right-column list ('' for none),
+    * `tolerance` an interval string ('' for unbounded lookback), `mode`
+    * 'inner' or 'left'. The builder runs at analysis time on the driver:
+    * it resolves both relations, builds the SAME [[AsofJoinNode]] as the
+    * DataFrame path, and hands the analyzer an already-resolved subtree —
+    * so the SQL and DataFrame forms share one operator, one planner
+    * strategy, and one pushdown rule. Idempotent; re-registration
+    * replaces the builder.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.TableFunctionBridge.register(
+      spark, "graft_asof_join",
+      "graft_asof_join(left, right, leftKey, rightKey, leftTime, rightTime, " +
+        "tiebreakCsv, tolerance, mode) - native as-of join of two catalog relations",
+      { args =>
+        def lit(i: Int, what: String): String = {
+          require(args.length == 9,
+            s"graft_asof_join takes 9 string arguments, got ${args.length}")
+          val e = args(i)
+          require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
+            s"graft_asof_join: $what (arg ${i + 1}) must be a string literal, got $e")
+          Option(e.eval()).map(_.toString).getOrElse(
+            throw new IllegalArgumentException(s"graft_asof_join: $what is NULL"))
+        }
+        val session = org.apache.spark.sql.SparkSession.active
+        val mode = lit(8, "mode")
+        require(mode == "inner" || mode == "left",
+          s"graft_asof_join: mode must be 'inner' or 'left', got '$mode'")
+        val df = join(
+          session.table(lit(0, "left table")),
+          session.table(lit(1, "right table")),
+          keys = Seq(lit(2, "left key") -> lit(3, "right key")),
+          leftTime = lit(4, "left time"),
+          rightTime = lit(5, "right time"),
+          rightTiebreak = lit(6, "tiebreak").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          tolerance = Some(lit(7, "tolerance")).filter(_.nonEmpty),
+          inner = mode == "inner")
+        PlanBridge.analyzed(df)
+      })
 }
 
 /** Logical as-of join. Built already-resolved (attributes come from the

@@ -536,6 +536,32 @@ object ReferenceQueries {
 
   val asofJoinNativeSql: String = asofJoinSql
 
+  /** The native as-of operator invoked from SQL TEXT (round-4 verdict #8):
+    * the `graft_asof_join` table-valued function
+    * ([[graft.plans.AsofJoin.registerSql]]) over two temp views — the
+    * SQL-only user's route to [[graft.plans.AsofJoinExec]]. Shares
+    * `asof_join`'s oracle, so the driver check proves the SQL surface and
+    * the DataFrame surface resolve to the same operator semantics.
+    */
+  def asofSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsofJoin.registerSql(spark)
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .createOrReplaceTempView("graft_asof_purchases")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .createOrReplaceTempView("graft_asof_clicks")
+    spark.sql(
+      """SELECT event_id AS purchase_id, user_id, click_id
+        |FROM graft_asof_join('graft_asof_purchases', 'graft_asof_clicks',
+        |                     'user_id', 'c_user_id', 'ts', 'c_ts',
+        |                     'click_id', '1 hour', 'inner')""".stripMargin)
+  }
+
+  val asofSqlSurfaceSql: String = asofJoinSql
+
   /** Left-outer form of the native operator with a TIGHT lookback (5 min),
     * so unmatched purchases actually occur and the null-extension path runs
     * under the driver oracle (the inner form can't show it).

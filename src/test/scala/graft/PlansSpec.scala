@@ -206,6 +206,14 @@ class PlansSpec extends SparkSuite {
       s"asof_join_native degraded to a composed join:\n$p")
   }
 
+  test("asof_sql_surface reaches the native exec from SQL text") {
+    val p = plans("asof_sql_surface")
+    assert(p.contains("AsofJoin"),
+      s"the graft_asof_join table function must plan graft's AsofJoinExec, got:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"asof_sql_surface degraded to a composed join:\n$p")
+  }
+
   test("asof_featurize reuses the join's exchange: 2 shuffles for join + aggregation") {
     val p = plans("asof_featurize")
     assert(p.contains("AsofJoin") && p.contains("HashAggregate"), p)
