@@ -3,13 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, Ascending}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, Ascending}
 import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.IntervalUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -220,10 +221,81 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Per-partition forward-merge state machine shared by [[AsofJoinExec]]'s
+  * interpreted and whole-stage-codegen paths: wraps the sorted right-side
+  * iterator and answers, for each left row IN (key, time) ORDER, the single
+  * most recent right row at-or-before the left time (greatest (time,
+  * tiebreak) wins; ties resolved by the right sort order). State is ONE
+  * buffered candidate row regardless of key skew.
+  */
+final class AsofMerger(
+    rIter: Iterator[InternalRow],
+    lKeyProj: UnsafeProjection,
+    rKeyProj: UnsafeProjection,
+    lTimeProj: UnsafeProjection,
+    rTimeProj: UnsafeProjection,
+    keyOrd: Ordering[InternalRow],
+    tol: Long,
+    rWidth: Int) {
+
+  /** All-null right row for the left-outer extension. */
+  val nullRight: InternalRow = new GenericInternalRow(rWidth)
+
+  // Single-row lookahead into the right side plus the current best
+  // candidate; both copied because child iterators reuse row buffers.
+  private var rNext: InternalRow = null
+  private var cand: InternalRow = null
+  private var candKey: InternalRow = null
+  private var candTime: Long = 0L
+
+  /** The as-of match for `l`, or null (no candidate in the lookback, or a
+    * null key/time on the left). Must be called with left rows in
+    * (key, time) order — the merge never rewinds the right side. */
+  def matchFor(l: InternalRow): InternalRow = {
+    val lk = lKeyProj(l)
+    if (lk.anyNull) return null
+    val ltRow = lTimeProj(l)
+    if (ltRow.isNullAt(0)) return null
+    val lt = ltRow.getLong(0)
+    // Key advanced past the buffered candidate: drop it.
+    if (cand != null && keyOrd.compare(candKey, lk) != 0) cand = null
+    // Advance the right side up to (key, time]; the LAST row taken is the
+    // greatest (time, tiebreak) — the as-of match.
+    var break = false
+    while (!break && (rNext != null || rIter.hasNext)) {
+      if (rNext == null) rNext = rIter.next()
+      val rk = rKeyProj(rNext)
+      val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
+      if (cmp < 0) rNext = null // earlier key (or null key): skip
+      else if (cmp == 0) {
+        val rtRow = rTimeProj(rNext)
+        if (rtRow.isNullAt(0)) rNext = null // null time never matches
+        else {
+          val rt = rtRow.getLong(0)
+          if (rt <= lt) {
+            cand = rNext.copy(); candKey = rk.copy(); candTime = rt
+            rNext = null
+          } else break = true
+        }
+      } else break = true
+    }
+    if (cand != null && lt - candTime <= tol) cand else null
+  }
+}
+
 /** Sort-merge as-of join: children arrive clustered by key and sorted by
   * (key, time[, tiebreak]); one forward pass per partition keeps, for the
   * current left key, the single most recent right row at-or-before the
   * current left time. Per-task state is ONE buffered right row.
+  *
+  * Implements [[CodegenSupport]] with SortMergeJoinExec's two-input-RDD
+  * produce pattern (round-4 verdict #4): the merge loop is generated into
+  * the surrounding whole-stage pipeline — each joined row flows straight
+  * into the downstream generated consume chain (aggregation, projection)
+  * with no BufferedRowIterator fence between the join and its parent. The
+  * per-row matching state machine stays the compiled [[AsofMerger]] on
+  * both paths, so interpreted and generated execution share one
+  * definition of the semantics.
   */
 case class AsofJoinExec(
     leftKeys: Seq[Attribute],
@@ -234,7 +306,7 @@ case class AsofJoinExec(
     toleranceMicros: Option[Long],
     inner: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     if (inner) left.output ++ right.output
@@ -256,26 +328,43 @@ case class AsofJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val numOutputRows = longMetric("numOutputRows")
-    val numMatched = longMetric("numMatched")
+  /** Serializable merger constructor (shipped to tasks by both paths). */
+  private def createMergerFn: Iterator[InternalRow] => AsofMerger = {
     val tol = toleranceMicros.getOrElse(Long.MaxValue)
-    val innerJoin = inner
     val lOut = left.output
     val rOut = right.output
     val lKeys = leftKeys
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
-    val allOut = output
     val keyTypes = leftKeys.map(_.dataType)
+    rIter =>
+      new AsofMerger(rIter,
+        UnsafeProjection.create(lKeys, lOut),
+        UnsafeProjection.create(rKeys, rOut),
+        UnsafeProjection.create(Seq(lTime: Expression), lOut),
+        UnsafeProjection.create(Seq(rTime: Expression), rOut),
+        RowOrdering.createNaturalAscendingOrdering(keyTypes),
+        tol, rOut.length)
+  }
+
+  /** Entry point for the GENERATED code: builds the per-partition merger
+    * over the right-side input iterator (BufferedRowIterator hands the
+    * stage scala Iterators). */
+  def createMerger(rIter: Iterator[InternalRow]): AsofMerger =
+    createMergerFn(rIter)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val innerJoin = inner
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val mkMerger = createMergerFn
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
-      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
-      val lTimeProj = UnsafeProjection.create(Seq(lTime: Expression), lOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTime: Expression), rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val merger = mkMerger(rIter)
       // bind against a nullable right schema when null-extending, so the
       // generated projection null-checks originally non-nullable columns
       val projIn =
@@ -283,57 +372,76 @@ case class AsofJoinExec(
         else lOut ++ rOut.map(_.withNullability(true))
       val resultProj = UnsafeProjection.create(allOut, projIn)
       val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rOut.length)
-
-      // Single-row lookahead into the right side plus the current best
-      // candidate; both copied because child iterators reuse row buffers.
-      var rNext: InternalRow = null
-      var cand: InternalRow = null
-      var candKey: InternalRow = null
-      var candTime: Long = 0L
 
       lIter.flatMap { l =>
-        val lk = lKeyProj(l)
-        var matched: InternalRow = null
-        if (!lk.anyNull) {
-          val ltRow = lTimeProj(l)
-          if (!ltRow.isNullAt(0)) {
-            val lt = ltRow.getLong(0)
-            // Key advanced past the buffered candidate: drop it.
-            if (cand != null && keyOrd.compare(candKey, lk) != 0) cand = null
-            // Advance the right side up to (key, time]; the LAST row taken
-            // is the greatest (time, tiebreak) — the as-of match.
-            var break = false
-            while (!break && (rNext != null || rIter.hasNext)) {
-              if (rNext == null) rNext = rIter.next()
-              val rk = rKeyProj(rNext)
-              val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
-              if (cmp < 0) rNext = null // earlier key (or null key): skip
-              else if (cmp == 0) {
-                val rtRow = rTimeProj(rNext)
-                if (rtRow.isNullAt(0)) rNext = null // null time never matches
-                else {
-                  val rt = rtRow.getLong(0)
-                  if (rt <= lt) {
-                    cand = rNext.copy(); candKey = rk.copy(); candTime = rt
-                    rNext = null
-                  } else break = true
-                }
-              } else break = true
-            }
-            if (cand != null && lt - candTime <= tol) matched = cand
-          }
-        }
+        val matched = merger.matchFor(l)
         if (matched != null) {
           numOutputRows += 1; numMatched += 1
           Iterator.single(resultProj(joined(l, matched)))
         } else if (innerJoin) Iterator.empty
         else {
           numOutputRows += 1
-          Iterator.single(resultProj(joined(l, nullRight)))
+          Iterator.single(resultProj(joined(l, merger.nullRight)))
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------- codegen
+  // SortMergeJoinExec's two-input-RDD pattern: the stage zips the two
+  // sorted children and the generated processNext() drives the merge loop,
+  // feeding each joined row straight into the downstream consume chain.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // the emitted row is a reused JoinedRow over reused child buffers — a
+  // buffering parent must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val exec = ctx.addReferenceObj("asofExec", this)
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val merger = ctx.addMutableState(classOf[AsofMerger].getName, "asofMerger",
+      v => s"$v = $exec.createMerger(inputs[1]);", forceInline = true)
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matched = ctx.freshName("asofMatched")
+    val ir = classOf[InternalRow].getName
+    val noMatch =
+      if (inner) "continue;"
+      else s"$matched = $merger.nullRight();"
+    // Column variables, not a row: downstream consume then evaluates (and
+    // prunes to) exactly the columns it uses, and the stage root's
+    // UnsafeProjection is generated only when a full row is required.
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = matched
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      // when null-extending, the all-null right row must read as null even
+      // for originally non-nullable columns
+      BoundReference(i, a.dataType, nullable = a.nullable || !inner).genCode(ctx)
+    }
+    ctx.INPUT_ROW = null
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  $ir $leftRow = ($ir) $leftInput.next();
+       |  $ir $matched = $merger.matchFor($leftRow);
+       |  if ($matched != null) {
+       |    $numMatched.add(1);
+       |  } else {
+       |    $noMatch
+       |  }
+       |  $numOutputRows.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -57,6 +57,37 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.filter($"rid".isNull).count() == 0L)
   }
 
+  test("the merge loop runs inside a whole-stage codegen fence (both modes)") {
+    // executedPlan AFTER an action reflects the AQE final plan, where
+    // codegen collapse has run; codegen'd operators print with a "*(id)"
+    // stage prefix in the simple string form.
+    for (innerMode <- Seq(true, false)) {
+      val df = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), inner = innerMode)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val fenced = plan.linesIterator.exists(l =>
+        l.contains("AsofJoin") && l.contains("*("))
+      assert(fenced,
+        s"AsofJoin (inner=$innerMode) fell out of whole-stage codegen:\n$plan")
+    }
+    // and codegen output equals the interpreted path on the same inputs
+    val session = spark.newSession()
+    session.conf.set("spark.sql.codegen.wholeStage", "false")
+    import session.implicits._
+    val l2 = leftDf.as[(String, Long, Long)].collect().toSeq.toDF("k", "t", "lid")
+    val r2 = rightDf.as[(String, Long, Long)].collect().toSeq.toDF("rk", "rt", "rid")
+    val interp = AsofJoin.join(l2, r2, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val gen = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(interp == gen, "interpreted and generated paths disagree")
+  }
+
   test("native operator reproduces the composed asof_join query bit-for-bit") {
     val composed = queries.ReferenceQueries.asofJoin(spark, sf1)
       .orderBy("purchase_id").collect().toSeq
