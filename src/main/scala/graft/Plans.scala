@@ -69,7 +69,8 @@ object Plans {
     "q19_disjunctive",      // (r11) OR factored to hash-join key + residual join filter
     "q6_forecast_revenue",  // (r11) no-join scan: 3 pushed range predicates, 1-row agg
     "approx_quantiles_sample", // (r11) tiered bottom-k sample agg + 1-row-per-group envelope join
-    "asof_join_native")     // (r11) custom AsofJoinExec: 1 exchange/side, merge pass, no pair blow-up
+    "asof_join_native",     // (r11) custom AsofJoinExec: 1 exchange/side, merge pass, no pair blow-up
+    "asof_sql_surface")     // (r12) same native exec reached from SQL text via the graft_asof_join TVF
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

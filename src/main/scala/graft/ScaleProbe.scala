@@ -45,6 +45,20 @@ object ScaleProbe {
         case "exact" =>
           graft.llm.Similarity.exactNearDupPairs(
             graft.engine.Tables.embeddings(spark, dir), minCos = 0.45).count()
+        // order_chain_cte's two loop-join regimes (SCALE.md evidence for
+        // the size gate): chain=hint forces the BROADCAST(r) loop body,
+        // chain=nohint forces the above-the-gate co-partitioned shuffle
+        // join — the 100 TB shape — independent of the row-count gate
+        case s"chain=$regime" =>
+          // rank+persist setup outside the walk timing (shared by both
+          // regimes); the sub-line isolates the loop-join cost itself
+          graft.queries.AnalyticsQueries.orderChainRanked(spark, dir)
+          val t1 = System.nanoTime()
+          val n = graft.queries.AnalyticsQueries
+            .orderChainWalk(spark, broadcastProbe = regime == "hint").count()
+          println(f"[probe]   walk-only ${(System.nanoTime() - t1) / 1e9}%.2f s")
+          spark.catalog.clearCache()
+          n
         case other => sys.error(s"unknown probe spec: $other")
       }
       println(f"[probe] $spec rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f s")

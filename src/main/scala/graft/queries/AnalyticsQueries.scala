@@ -777,19 +777,18 @@ object AnalyticsQueries {
     * 100-level default). The running-cents fold arriving at each chain's
     * total is the self-check that the walk visited every link exactly
     * once; DuckDB evaluates the SAME recursion as the oracle. The loop
-    * body's physical join strategy is SIZE-GATED (round-4 verdict #1): the
-    * BROADCAST(r) hint — under which the frontier (≤ one row per customer,
-    * shrinking as chains end) never re-shuffles and each iteration is one
-    * broadcast-hash probe — is applied only when the ranked relation is
-    * dimension-sized ([[chainBroadcastMaxRows]]; ~100 MB of 5-column
-    * rows, far under both driver memory and the 8 GB broadcast cap).
-    * Above the gate the hint is withheld: the ranked relation is
-    * pre-partitioned by o_custkey and persisted, so each iteration plans
-    * a co-partitioned shuffle join where the BIG side's exchange reads
-    * the already-hash-clustered cache and only the shrinking frontier
-    * pays a real shuffle — strictly scale-safe (never a fact-table
-    * broadcast, never an OOM), at the cost of per-iteration exchange
-    * scheduling. Wall time in either regime is dominated by the
+    * body plans a CO-PARTITIONED SHUFFLE JOIN against the persisted
+    * ranked cache, which the rank window already leaves hash-clustered by
+    * o_custkey — round 4 carried an unconditional `BROADCAST(r)` hint
+    * here on the assumption that it spared per-iteration exchanges, but
+    * regime measurement (ScaleProbe `chain=hint|nohint`, SCALE.md) shows
+    * the hint LOSES at every scale: rebuilding and shipping the ranked
+    * relation's broadcast hashmap on each of ~25 iterations costs more
+    * than the shuffle it avoids (1×: 6.3 vs 5.3 s; 16×: 55 vs 21 s
+    * walk-only), and at fact-table scale it is an outright OOM/8 GB-cap
+    * hazard. So the production path is hint-free — scale-safe AND faster;
+    * [[orderChainWalk]] keeps the hinted regime reachable for the probe
+    * and the PlansSpec pin. Wall time is dominated by the
     * iteration-scheduling floor (~0.3 s × max-chain-length), which is
     * exactly why cyclic/deep closure belongs to the Pregel family, not
     * this surface. UNION ALL
@@ -799,6 +798,17 @@ object AnalyticsQueries {
     * scales better: the CTE loop cannot checkpoint between iterations.
     */
   def orderChainCte(spark: SparkSession, dir: String): DataFrame = {
+    orderChainRanked(spark, dir)
+    orderChainWalk(spark, broadcastProbe = false)
+  }
+
+  /** Builds, persists, and registers the `graft_orders_ranked` view;
+    * returns its EXACT row count (which materializes the cache — the loop
+    * would anyway — and is the gate probe: a real count, not a stats
+    * estimate, so the broadcast decision can't be wrong-sided by missing
+    * statistics). Split out so ScaleProbe can time the walk regimes
+    * without re-timing the ranking. */
+  private[graft] def orderChainRanked(spark: SparkSession, dir: String): Long = {
     val ranked = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("long").as("od_s"),
@@ -813,21 +823,23 @@ object AnalyticsQueries {
       // probe an already-key-partitioned cache, not raw orders
       .persist()
     ranked.createOrReplaceTempView("graft_orders_ranked")
-    // count() materializes the cache (the loop would anyway) and is the
-    // size probe for the gate — an exact row count, not a stats estimate,
-    // so the decision can't be wrong-sided by missing statistics
-    orderChainWalk(spark, broadcastProbe = ranked.count() <= chainBroadcastMaxRows)
+    val n = ranked.count()
+    // The recursion ROW limit is a safety valve against non-terminating
+    // loops, not a capacity setting — and this walk's total emission is
+    // exactly |ranked| rows by construction (each order visited once), so
+    // the right bound is known a priori. Below the 1M default the default
+    // stands; above it the limit is raised to 2x the known emission
+    // (measured: 16x-scaled orders = 2.4M rows tripped the default —
+    // a correctness failure masquerading as a tuning knob).
+    if (2 * n > spark.conf.get("spark.sql.cteRecursionRowLimit").toLong)
+      spark.conf.set("spark.sql.cteRecursionRowLimit", 2 * n)
+    n
   }
 
-  /** Broadcast gate for [[orderChainCte]]'s loop body: 4M ranked rows ≈
-    * 160 MB exchanged — comfortably broadcastable; beyond it the loop
-    * joins shuffle-side against the pre-partitioned cache. */
-  private[graft] val chainBroadcastMaxRows = 4L * 1000 * 1000
-
   /** The recursive walk over the (already registered, persisted)
-    * `graft_orders_ranked` view; exposed with an explicit gate decision so
-    * PlansSpec can pin BOTH regimes — hinted (small relation) and
-    * hint-free (the 100 TB shape). */
+    * `graft_orders_ranked` view; the explicit regime flag keeps the
+    * losing hinted form reachable for ScaleProbe's `chain=hint` regime
+    * measurement and PlansSpec's pin that production stays hint-free. */
   private[graft] def orderChainWalk(spark: SparkSession, broadcastProbe: Boolean): DataFrame = {
     val hint = if (broadcastProbe) "/*+ BROADCAST(r) */ " else ""
     spark.sql(

@@ -223,29 +223,28 @@ class PlansSpec extends SparkSuite {
         s"left-side partitioning — expected 2 exchanges total, found $n:\n$p")
   }
 
-  test("order_chain_cte: the loop-body broadcast is size-gated, never unconditional") {
+  test("order_chain_cte: the production loop body never broadcasts the ranked fact relation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LogicalJoin}
-    // registers + persists the ranked view (and runs the gated query once)
-    queries.AnalyticsQueries.orderChainCte(spark, sf1).collect()
+    def loopJoins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case j: LogicalJoin => j }
+    // the PRODUCTION path (round-4 verdict #1): no broadcast hint anywhere
+    // in the loop — each iteration plans a co-partitioned shuffle join
+    // against the persisted key-clustered cache, the regime ScaleProbe
+    // measured faster at EVERY scale and the only one safe at 100 TB
+    val prod = loopJoins(queries.AnalyticsQueries.orderChainCte(spark, sf1))
+    assert(prod.nonEmpty &&
+      prod.forall(j => j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
+      s"production walk carries a join hint: ${prod.map(_.hint)}")
+    // the probe's hinted regime stays reachable (regression measurement)
     def walk(b: Boolean) =
       queries.AnalyticsQueries.orderChainWalk(spark, broadcastProbe = b)
-    def loopJoins(b: Boolean) = walk(b)
-      .queryExecution.optimizedPlan.collect { case j: LogicalJoin => j }
-    // small relation (gate passes): the hint must reach the loop join
-    val hinted = loopJoins(true)
+    val hinted = loopJoins(walk(true))
     assert(hinted.exists(_.hint.rightHint.exists(_.strategy.nonEmpty)),
-      s"gated-ON walk lost its BROADCAST hint: ${hinted.map(_.hint)}")
-    // above the gate: NO broadcast hint anywhere in the loop — each
-    // iteration plans a co-partitioned shuffle join against the persisted
-    // key-clustered cache (the 100 TB regime; round-4 verdict #1)
-    val unhinted = loopJoins(false)
-    assert(unhinted.nonEmpty &&
-      unhinted.forall(j => j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
-      s"gated-OFF walk still carries a join hint: ${unhinted.map(_.hint)}")
+      s"probe's hinted walk lost its BROADCAST hint: ${hinted.map(_.hint)}")
     // and the two regimes are RESULT-equivalent
     val on = walk(true).collect().map(_.toSeq).toSet
     val off = walk(false).collect().map(_.toSeq).toSet
-    assert(on == off, "broadcast-gated and shuffle-join walks disagree")
+    assert(on == off, "broadcast and shuffle-join walks disagree")
     spark.catalog.clearCache()
   }
 
