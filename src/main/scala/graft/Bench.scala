@@ -65,14 +65,24 @@ object Bench {
     val prev: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_PREV", "scripts/bench_prev.json")
       try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(path)).get("queries")
-        import scala.jdk.CollectionConverters._
-        node.fields().asScala
-          .map(e => e.getKey -> e.getValue.asDouble()).filter(_._2 >= 0).toMap
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(path))
+        // the yardstick is only meaningful at the SAME scale factor: a
+        // sf0.001 smoke run compared against the sf0.1 record would emit a
+        // phantom 10x "speedup" and a scaling run would mass-trigger
+        // min-of-3 re-measurement
+        if (root.get("sf").asText() != sfDir) {
+          System.err.println(s"[bench] prev record is ${root.get("sf").asText()}, " +
+            s"this run is $sfDir; ratio omitted")
+          Map.empty[String, Double]
+        } else {
+          import scala.jdk.CollectionConverters._
+          root.get("queries").fields().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).filter(_._2 >= 0).toMap
+        }
       } catch { case _: Throwable =>
         System.err.println("[bench] no previous-round record; ratio omitted")
-        Map.empty
+        Map.empty[String, Double]
       }
     }
     // Adaptive passes. Single-pass records have twice carried multi-second

@@ -21,10 +21,15 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // builders whose CONSTRUCTION executes (streaming parity rows; the
+    // eager observe pass) — dumping them would run a full job and print
+    // the plan of a precomputed local result, not the pass that ran
+    def eagerBuilder(name: String): Boolean =
+      name.endsWith("_stream_parity") || name == "observed_metrics"
     args.tail.foreach { name =>
       println(s"=== $name ===")
-      if (name.endsWith("_stream_parity"))
-        println("(streaming-execution query: plan its batch twin instead)")
+      if (eagerBuilder(name))
+        println("(eager-execution query: building it RUNS the job; plan its batch twin instead)")
       else
         println(SparkEntry.queries(name)(spark, args.head)
           .queryExecution.explainString(FormattedMode))

@@ -50,6 +50,8 @@ object ScaleProbe {
         // chain=nohint forces the above-the-gate co-partitioned shuffle
         // join — the 100 TB shape — independent of the row-count gate
         case s"chain=$regime" =>
+          require(regime == "hint" || regime == "nohint",
+            s"chain regime must be hint|nohint, got: $regime")
           // rank+persist setup outside the walk timing (shared by both
           // regimes); the sub-line isolates the loop-join cost itself
           graft.queries.AnalyticsQueries.orderChainRanked(spark, dir)

@@ -798,8 +798,17 @@ object AnalyticsQueries {
     * scales better: the CTE loop cannot checkpoint between iterations.
     */
   def orderChainCte(spark: SparkSession, dir: String): DataFrame = {
-    orderChainRanked(spark, dir)
-    orderChainWalk(spark, broadcastProbe = false)
+    // Child session scope (review finding): orderChainRanked may raise the
+    // recursion row limit — sized from this walk's known emission — and
+    // that must not weaken the non-termination safety valve for unrelated
+    // recursive queries on the caller's session. The temp view and conf
+    // raise live on the child; the persisted cache is shared-state, so the
+    // caller's clearCache() still reclaims it.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    orderChainRanked(ss, dir)
+    orderChainWalk(ss, broadcastProbe = false)
   }
 
   /** Builds, persists, and registers the `graft_orders_ranked` view;

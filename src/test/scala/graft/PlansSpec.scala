@@ -235,7 +235,10 @@ class PlansSpec extends SparkSuite {
     assert(prod.nonEmpty &&
       prod.forall(j => j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty),
       s"production walk carries a join hint: ${prod.map(_.hint)}")
-    // the probe's hinted regime stays reachable (regression measurement)
+    // the probe's hinted regime stays reachable (regression measurement);
+    // register the ranked view on THIS session — orderChainCte scopes its
+    // own to an internal child session
+    queries.AnalyticsQueries.orderChainRanked(spark, sf1)
     def walk(b: Boolean) =
       queries.AnalyticsQueries.orderChainWalk(spark, broadcastProbe = b)
     val hinted = loopJoins(walk(true))
