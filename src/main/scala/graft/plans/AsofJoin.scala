@@ -53,9 +53,15 @@ object AsofJoin {
     * @param rightTiebreak additional right columns breaking equal-time ties
     *                    (greatest wins — mirrors `ORDER BY t DESC, id DESC
     *                    LIMIT 1`)
-    * @param tolerance   optional lookback ("1 hour"): matches older than
-    *                    `leftTime - tolerance` are discarded
+    * @param tolerance   optional window ("1 hour"): candidates further than
+    *                    this from the left time are discarded (applied per
+    *                    side for `nearest`)
     * @param inner       true drops unmatched left rows; false null-extends
+    * @param direction   `backward` (default — most recent at-or-before),
+    *                    `forward` (earliest at-or-after; ties to SMALLEST
+    *                    tiebreak), or `nearest` (closer of the two; equal
+    *                    distance prefers backward) — pandas `merge_asof`
+    *                    parity
     */
   def join(
       left: DataFrame,
@@ -65,7 +71,8 @@ object AsofJoin {
       rightTime: String,
       rightTiebreak: Seq[String] = Nil,
       tolerance: Option[String] = None,
-      inner: Boolean = false): DataFrame = {
+      inner: Boolean = false,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -86,12 +93,14 @@ object AsofJoin {
       require(iv.months == 0, s"calendar-month tolerance is ambiguous: $s")
       iv.days * 86400000000L + iv.microseconds
     }
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be backward|forward|nearest, got: $direction")
     val node = AsofJoinNode(
       lplan, rplan,
       keys.map(k => attr(lplan, k._1)), keys.map(k => attr(rplan, k._2)),
       attr(lplan, leftTime), attr(rplan, rightTime),
       rightTiebreak.map(attr(rplan, _)),
-      tolMicros, inner)
+      tolMicros, inner, direction)
     PlanBridge.ofRows(spark, node)
   }
 
@@ -103,12 +112,14 @@ object AsofJoin {
     * }}}
     * so SQL-only users reach [[AsofJoinExec]] from query text:
     * `SELECT ... FROM graft_asof_join('trades', 'quotes', 'sym', 'sym',
-    * 'ts', 'ts', 'quote_id', '1 hour', 'inner')`. All nine arguments are
-    * string literals: table/view names resolved against the session
-    * catalog, single equi-key per side (multi-key stays on the DataFrame
-    * API), `tiebreak` a comma-separated right-column list ('' for none),
-    * `tolerance` an interval string ('' for unbounded lookback), `mode`
-    * 'inner' or 'left'. The builder runs at analysis time on the driver:
+    * 'ts', 'ts', 'quote_id', '1 hour', 'inner'[, 'forward'])`. All
+    * arguments are string literals: table/view names resolved against the
+    * session catalog, single equi-key per side (multi-key stays on the
+    * DataFrame API), `tiebreak` a comma-separated right-column list (''
+    * for none), `tolerance` an interval string ('' for unbounded),
+    * `mode` 'inner' or 'left', and an optional tenth `direction`
+    * ('backward' default | 'forward' | 'nearest'). The builder runs at
+    * analysis time on the driver:
     * it resolves both relations, builds the SAME [[AsofJoinNode]] as the
     * DataFrame path, and hands the analyzer an already-resolved subtree —
     * so the SQL and DataFrame forms share one operator, one planner
@@ -122,8 +133,9 @@ object AsofJoin {
         "tiebreakCsv, tolerance, mode) - native as-of join of two catalog relations",
       { args =>
         def lit(i: Int, what: String): String = {
-          require(args.length == 9,
-            s"graft_asof_join takes 9 string arguments, got ${args.length}")
+          require(args.length == 9 || args.length == 10,
+            s"graft_asof_join takes 9 or 10 string arguments " +
+              s"(10th = direction, default 'backward'), got ${args.length}")
           val e = args(i)
           require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
             s"graft_asof_join: $what (arg ${i + 1}) must be a string literal, got $e")
@@ -142,7 +154,8 @@ object AsofJoin {
           rightTime = lit(5, "right time"),
           rightTiebreak = lit(6, "tiebreak").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           tolerance = Some(lit(7, "tolerance")).filter(_.nonEmpty),
-          inner = mode == "inner")
+          inner = mode == "inner",
+          direction = if (args.length == 10) lit(9, "direction") else "backward")
         PlanBridge.analyzed(df)
       })
 }
@@ -160,7 +173,8 @@ case class AsofJoinNode(
     rightTime: Attribute,
     rightTiebreak: Seq[Attribute],
     toleranceMicros: Option[Long],
-    inner: Boolean) extends BinaryNode {
+    inner: Boolean,
+    direction: String = "backward") extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
   // fail fast on key-type drift: the exec's comparator and co-partitioning
@@ -215,18 +229,27 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, tb, tol, inner) =>
-      AsofJoinExec(lk, rk, lt, rt, tb, tol, inner, planLater(l), planLater(r)) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, tb, tol, inner, dir) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, tol, inner, dir,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Per-partition forward-merge state machine shared by [[AsofJoinExec]]'s
   * interpreted and whole-stage-codegen paths: wraps the sorted right-side
-  * iterator and answers, for each left row IN (key, time) ORDER, the single
-  * most recent right row at-or-before the left time (greatest (time,
-  * tiebreak) wins; ties resolved by the right sort order). State is ONE
-  * buffered candidate row regardless of key skew.
+  * iterator and answers, for each left row IN (key, time) ORDER, the
+  * direction's as-of match (ASOF.md):
+  *
+  *  - `backward`: most recent right at-or-before the left time — greatest
+  *    (time, tiebreak) wins;
+  *  - `forward`: earliest right at-or-after — smallest (time, tiebreak);
+  *  - `nearest`: the closer of the two; equal distance prefers backward.
+  *
+  * State is ONE buffered candidate row regardless of key skew: backward
+  * keeps the best-so-far copy, forward keeps only the iterator lookahead
+  * (a right consumed below the current left time can never serve a LATER
+  * left either, since lefts arrive time-ascending).
   */
 final class AsofMerger(
     rIter: Iterator[InternalRow],
@@ -236,19 +259,21 @@ final class AsofMerger(
     rTimeProj: UnsafeProjection,
     keyOrd: Ordering[InternalRow],
     tol: Long,
-    rWidth: Int) {
+    rWidth: Int,
+    direction: Int) { // 0 = backward, 1 = forward, 2 = nearest
 
   /** All-null right row for the left-outer extension. */
   val nullRight: InternalRow = new GenericInternalRow(rWidth)
 
   // Single-row lookahead into the right side plus the current best
-  // candidate; both copied because child iterators reuse row buffers.
+  // backward candidate; the candidate is copied because child iterators
+  // reuse row buffers (the lookahead stays valid until the next next()).
   private var rNext: InternalRow = null
   private var cand: InternalRow = null
   private var candKey: InternalRow = null
   private var candTime: Long = 0L
 
-  /** The as-of match for `l`, or null (no candidate in the lookback, or a
+  /** The as-of match for `l`, or null (no candidate in the window, or a
     * null key/time on the left). Must be called with left rows in
     * (key, time) order — the merge never rewinds the right side. */
   def matchFor(l: InternalRow): InternalRow = {
@@ -259,8 +284,12 @@ final class AsofMerger(
     val lt = ltRow.getLong(0)
     // Key advanced past the buffered candidate: drop it.
     if (cand != null && keyOrd.compare(candKey, lk) != 0) cand = null
-    // Advance the right side up to (key, time]; the LAST row taken is the
-    // greatest (time, tiebreak) — the as-of match.
+    // Advance the right side. Backward/nearest consume rows with rt <= lt
+    // into the candidate (the LAST taken is the greatest (time, tiebreak));
+    // forward skips strictly-before rows instead, so an equal-time right
+    // stays buffered as the forward match. Either way the loop leaves the
+    // lookahead at the first right this left cannot consume.
+    val keepAtOrBefore = direction != 1
     var break = false
     while (!break && (rNext != null || rIter.hasNext)) {
       if (rNext == null) rNext = rIter.next()
@@ -272,14 +301,38 @@ final class AsofMerger(
         if (rtRow.isNullAt(0)) rNext = null // null time never matches
         else {
           val rt = rtRow.getLong(0)
-          if (rt <= lt) {
+          if (rt <= lt && keepAtOrBefore) {
             cand = rNext.copy(); candKey = rk.copy(); candTime = rt
             rNext = null
-          } else break = true
+          } else if (rt < lt) rNext = null // forward: strictly-before, dead
+          else break = true
         }
       } else break = true
     }
-    if (cand != null && lt - candTime <= tol) cand else null
+    // The lookahead is the forward candidate iff it is on this key with a
+    // usable time (loop invariant: its rt >= lt for forward, > lt otherwise).
+    def forwardTime: Long = {
+      if (rNext == null) return Long.MinValue
+      val rk = rKeyProj(rNext)
+      if (rk.anyNull || keyOrd.compare(rk, lk) != 0) return Long.MinValue
+      val rtRow = rTimeProj(rNext)
+      if (rtRow.isNullAt(0)) Long.MinValue else rtRow.getLong(0)
+    }
+    direction match {
+      case 0 => // backward
+        if (cand != null && lt - candTime <= tol) cand else null
+      case 1 => // forward
+        val ft = forwardTime
+        if (ft != Long.MinValue && ft - lt <= tol) rNext else null
+      case _ => // nearest: closer side wins; equal distance -> backward
+        val back = if (cand != null && lt - candTime <= tol) cand else null
+        val ft = forwardTime
+        val fwd = if (ft != Long.MinValue && ft - lt <= tol) rNext else null
+        if (back == null) fwd
+        else if (fwd == null) back
+        else if (ft - lt < lt - candTime) fwd
+        else back
+    }
   }
 }
 
@@ -305,6 +358,7 @@ case class AsofJoinExec(
     rightTiebreak: Seq[Attribute],
     toleranceMicros: Option[Long],
     inner: Boolean,
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
@@ -338,6 +392,11 @@ case class AsofJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val keyTypes = leftKeys.map(_.dataType)
+    val dirCode = direction match {
+      case "forward" => 1
+      case "nearest" => 2
+      case _         => 0
+    }
     rIter =>
       new AsofMerger(rIter,
         UnsafeProjection.create(lKeys, lOut),
@@ -345,7 +404,7 @@ case class AsofJoinExec(
         UnsafeProjection.create(Seq(lTime: Expression), lOut),
         UnsafeProjection.create(Seq(rTime: Expression), rOut),
         RowOrdering.createNaturalAscendingOrdering(keyTypes),
-        tol, rOut.length)
+        tol, rOut.length, dirCode)
   }
 
   /** Entry point for the GENERATED code: builds the per-partition merger

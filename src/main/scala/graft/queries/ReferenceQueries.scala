@@ -562,6 +562,80 @@ object ReferenceQueries {
 
   val asofSqlSurfaceSql: String = asofJoinSql
 
+  /** FORWARD as-of (pandas `merge_asof(direction='forward')` parity):
+    * each click matched to the user's EARLIEST purchase at-or-after it,
+    * looking ahead at most 10 minutes — the "next conversion after
+    * exposure" enrichment. Ties go to the SMALLEST purchase id (the
+    * mirror of backward's greatest-wins). Invoked through the SQL TVF's
+    * optional tenth argument, so the query also pins the 10-arg form.
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsofJoin.registerSql(spark)
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .createOrReplaceTempView("graft_fwd_clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .createOrReplaceTempView("graft_fwd_purchases")
+    spark.sql(
+      """SELECT event_id AS click_id, user_id, purchase_id
+        |FROM graft_asof_join('graft_fwd_clicks', 'graft_fwd_purchases',
+        |                     'user_id', 'p_user_id', 'ts', 'p_ts',
+        |                     'purchase_id', '10 minutes', 'left', 'forward')""".stripMargin)
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT click_id, user_id, purchase_id FROM (
+      |  SELECT c.event_id AS click_id, c.user_id AS user_id,
+      |         p.event_id AS purchase_id,
+      |         row_number() OVER (PARTITION BY c.event_id
+      |                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = c.user_id
+      |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes')
+      |WHERE rn = 1""".stripMargin
+
+  /** NEAREST as-of: each purchase matched to the user's click CLOSEST in
+    * time within ±10 minutes; equal distance prefers the backward side
+    * (then backward's greatest-tiebreak / forward's smallest-tiebreak
+    * rules apply within a side). The oracle encodes the same preference
+    * ladder: absolute distance, then side, then the side's id direction.
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.join(
+        purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = Some("10 minutes"), inner = false,
+        direction = "nearest")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofJoinNearestSql: String =
+    """SELECT purchase_id, user_id, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |         c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY ABS(epoch_us(c.ts::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP)) ASC,
+      |                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+      |                    CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |   AND c.ts >= p.ts - INTERVAL '10 minutes'
+      |   AND c.ts <= p.ts + INTERVAL '10 minutes')
+      |WHERE rn = 1""".stripMargin
+
   /** Left-outer form of the native operator with a TIGHT lookback (5 min),
     * so unmatched purchases actually occur and the null-extension path runs
     * under the driver oracle (the inner form can't show it).

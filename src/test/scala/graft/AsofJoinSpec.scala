@@ -57,6 +57,63 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.filter($"rid".isNull).count() == 0L)
   }
 
+  test("forward direction: earliest at-or-after, ties to SMALLEST id, shared right serves many lefts") {
+    val out = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), direction = "forward")
+      .select("lid", "rid").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(
+      1L -> 11L,  // a@100: earliest ≥100 is 150, tie (11,12) → SMALLEST rid 11
+      2L -> 13L,  // a@200: earliest ≥200 is 201
+      3L -> 13L,  // a@200 again: the SAME forward right serves both lefts
+      4L -> 14L,  // b@50: earliest ≥50 is 290
+      5L -> -1L,  // b@300: nothing after
+      6L -> -1L,  // c: no right key
+      7L -> -1L)) // null key never matches
+    // closed tolerance bound on the forward side: a@100 → 150 at distance 50
+    val at = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), tolerance = Some("50 microseconds"),
+        direction = "forward")
+      .filter($"lid" === 1L).select("rid").collect()
+    assert(at.head.getLong(0) == 11L)
+    val under = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), tolerance = Some("49 microseconds"),
+        direction = "forward")
+      .filter($"lid" === 1L).select("rid").collect()
+    assert(under.head.isNullAt(0), "a forward match past the window must drop")
+    // equal-time right IS a forward match (at-or-after is closed)
+    val eq = AsofJoin.join(
+        Seq(("a", 150L, 50L)).toDF("k", "t", "lid"), rightDf,
+        Seq("k" -> "rk"), "t", "rt", rightTiebreak = Seq("rid"),
+        direction = "forward")
+      .select("rid").collect()
+    assert(eq.head.getLong(0) == 11L, "rt == lt must match forward")
+  }
+
+  test("nearest direction: closer side wins, equal distance prefers backward") {
+    val l = Seq(
+      ("a", 100L, 1L),  // back 90 (d10) vs fwd 150 (d50) → back
+      ("a", 130L, 2L),  // back 90 (d40) vs fwd 150 (d20) → fwd
+      ("a", 120L, 3L),  // back 90 (d30) vs fwd 150 (d30) → TIE → backward
+      ("b", 500L, 4L),  // only back 290
+      ("c", 10L, 5L)    // no rights
+    ).toDF("k", "t", "lid")
+    val out = AsofJoin.join(l, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), direction = "nearest")
+      .select("lid", "rid").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 10L, 2L -> 11L, 3L -> 10L, 4L -> 14L, 5L -> -1L),
+      s"got $out")
+    // per-side tolerance: at ±25 the a@130 left keeps only the forward side
+    val tight = AsofJoin.join(l, rightDf, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), tolerance = Some("25 microseconds"),
+        direction = "nearest")
+      .select("lid", "rid").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tight == Map(1L -> 10L, 2L -> 11L, 3L -> -1L, 4L -> -1L, 5L -> -1L),
+      s"got $tight")
+  }
+
   test("the merge loop runs inside a whole-stage codegen fence (both modes)") {
     // executedPlan AFTER an action reflects the AQE final plan, where
     // codegen collapse has run; codegen'd operators print with a "*(id)"
