@@ -153,17 +153,19 @@ class AsofJoinSpec extends SparkSuite {
     assert(native == composed)
   }
 
-  test("results are invariant to shuffle width (co-partitioning, not luck)") {
-    val base = AsofJoin.join(leftDf.repartition(7), rightDf.repartition(3),
-        Seq("k" -> "rk"), "t", "rt", rightTiebreak = Seq("rid"))
-      .collect().toSet
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "1")
-      val one = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
-        rightTiebreak = Seq("rid")).collect().toSet
-      assert(one == base)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  test("results are invariant to shuffle width (co-partitioning, not luck) in every direction") {
+    for (d <- Seq("backward", "forward", "nearest")) {
+      val base = AsofJoin.join(leftDf.repartition(7), rightDf.repartition(3),
+          Seq("k" -> "rk"), "t", "rt", rightTiebreak = Seq("rid"), direction = d)
+        .collect().toSet
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        val one = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
+          rightTiebreak = Seq("rid"), direction = d).collect().toSet
+        assert(one == base, s"direction=$d differs across shuffle widths")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   test("left-side conjuncts push through the native node; right-side stay put") {
