@@ -412,6 +412,54 @@ object StreamParity {
       .select(col("purchase_id"), col("user_id"), col("click_id"))
   }
 
+  /** FORWARD streaming as-of — the direction family under real
+    * incremental execution: each click waits until the watermark passes
+    * its event time PLUS the 10-minute lookahead (only then is the
+    * forward candidate window final — the maturation-lag rule ASOF.md
+    * derives), then matches the user's EARLIEST purchase at-or-after it.
+    * Finite-input bound shifts by the same lag: a click is provably
+    * matured once `ts + lookahead` sits below the converged watermark, so
+    * `cutoff = max(click∪purchase ts) − 10 min − 1 s`; the oracle applies
+    * the identical static bound.
+    */
+  def asofForwardStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tolMicros = 600L * 1000000L
+    val maxTs = Tables.events(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoffMicros =
+      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - tolMicros - 1000000L
+    val tagged = eventsStream(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "click").as("isLeft"))
+      .as[Streaming.AsofEvent](org.apache.spark.sql.Encoders.product[Streaming.AsofEvent])
+    val matches = Streaming.asofEnrichStream(tagged, tolMicros, direction = 1)
+      .filter(_.purchase_micros < cutoffMicros)
+    runAppend(ss, matches.toDF())
+      .select(col("purchase_id").as("click_id"), col("user_id"),
+        col("click_id").as("purchase_id"))
+  }
+
+  val asofForwardStreamParitySql: String =
+    """WITH b AS (SELECT max(ts) - INTERVAL '10 minutes' - INTERVAL '1 second' AS cutoff
+      |           FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT click_id, user_id, purchase_id FROM (
+      |  SELECT c.event_id AS click_id, c.user_id AS user_id,
+      |         p.event_id AS purchase_id,
+      |         row_number() OVER (PARTITION BY c.event_id
+      |                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      |  FROM (SELECT e.* FROM events e, b
+      |        WHERE e.event_type = 'click' AND e.ts < b.cutoff) c
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = c.user_id
+      |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes')
+      |WHERE rn = 1""".stripMargin
+
   val asofStreamParitySql: String =
     """WITH b AS (SELECT max(ts) - INTERVAL '1 second' AS cutoff
       |           FROM events WHERE event_type IN ('click', 'purchase'))

@@ -386,8 +386,14 @@ object Streaming {
     * (state-store lookup by event time) with the arrival-order hazard made
     * explicit and handled by stream time, not arrival luck.
     */
-  final class AsofEnrichProcessor(tolMicros: Long)
+  final class AsofEnrichProcessor(tolMicros: Long, direction: Int = 0)
       extends StatefulProcessor[Long, AsofEvent, AsofMatch] {
+    // 0 = backward, 1 = forward, 2 = nearest — same codes and semantics
+    // as the batch AsofMerger (ASOF.md). Forward/nearest must WAIT for
+    // the candidate window's far edge, so a finite tolerance is required
+    // (an unbounded lookahead would never mature).
+    require(direction == 0 || (tolMicros > 0 && tolMicros < Long.MaxValue / 4),
+      "forward/nearest streaming as-of requires a finite tolerance")
     @transient private var rights: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
     @transient private var lefts: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
     @transient private var armed: ValueState[Long] = _
@@ -400,27 +406,63 @@ object Streaming {
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    /** Emit every pending left STRICTLY below the watermark; prune rights
-      * the surviving lefts can no longer need. Returns the emissions.
-      * Strict, not ≤: Spark drops late rows with ts < watermark, so a
-      * right AT the watermark can still arrive in a later batch and be a
-      * valid better match — a left at exactly the watermark is not yet
-      * final.
+    /** How long past a left's own time the watermark must advance before
+      * its candidate set is final: backward needs rt ≤ lt only (0);
+      * forward/nearest need every right up to lt + τ. */
+    private def matureLag: Long = if (direction == 0) 0L else tolMicros
+
+    /** Oldest right a STILL-PENDING left could reference: pending lefts
+      * have lt ≥ wm − matureLag, and the earliest candidate a left needs
+      * is lt − τ (nearest) / lt (forward) / lt − τ (backward). */
+    private def pruneBound(wmMicros: Long): Long = direction match {
+      case 1 => wmMicros - tolMicros            // forward: rt ≥ lt ≥ wm − τ
+      case 2 => wmMicros - 2 * tolMicros        // nearest: rt ≥ lt − τ ≥ wm − 2τ
+      case _ => wmMicros - tolMicros            // backward: rt ≥ lt − τ ≥ wm − τ
+    }
+
+    /** The direction's match among final candidates — the batch merge's
+      * rules verbatim: backward greatest (rt, id) at-or-before; forward
+      * smallest (rt, id) at-or-after; nearest the closer side, equal
+      * distance preferring backward. */
+    private def pick(rs: Seq[(Long, Long)], lt: Long): Option[Long] = {
+      def back = rs.filter(r => r._1 <= lt && lt - r._1 <= tolMicros) match {
+        case s if s.isEmpty => None
+        case s              => Some(s.max)
+      }
+      def fwd = rs.filter(r => r._1 >= lt && r._1 - lt <= tolMicros) match {
+        case s if s.isEmpty => None
+        case s              => Some(s.min)
+      }
+      (direction match {
+        case 0 => back
+        case 1 => fwd
+        case _ => (back, fwd) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) =>
+            if (f._1 - lt < lt - b._1) Some(f) else Some(b)
+        }
+      }).map(_._2)
+    }
+
+    /** Emit every pending left whose whole candidate window is STRICTLY
+      * below the watermark; prune rights the surviving lefts can no
+      * longer need. Returns the emissions. Strict, not ≤: Spark drops
+      * late rows with ts < watermark, so a right AT the watermark can
+      * still arrive in a later batch and be a valid better match.
       */
     private def mature(key: Long, wmMicros: Long): Seq[AsofMatch] = {
       val allLefts = lefts.get().toSeq
-      val (ready, pending) = allLefts.partition(_._1 < wmMicros)
+      val (ready, pending) = allLefts.partition(_._1 + matureLag < wmMicros)
       if (ready.isEmpty) Seq.empty
       else {
         val rs = rights.get().toSeq
         val out = ready.sorted.map { case (lt, lid) =>
-          val cand = rs.filter(r => r._1 <= lt && lt - r._1 <= tolMicros)
-          AsofMatch(lid, key,
-            if (cand.isEmpty) None else Some(cand.max._2), lt)
+          AsofMatch(lid, key, pick(rs, lt), lt)
         }
         lefts.clear()
         if (pending.nonEmpty) lefts.appendList(pending.toArray)
-        val keep = rs.filter(_._1 >= wmMicros - tolMicros)
+        val keep = rs.filter(_._1 >= pruneBound(wmMicros))
         if (keep.length < rs.length) {
           rights.clear()
           if (keep.nonEmpty) rights.appendList(keep.toArray)
@@ -435,7 +477,7 @@ object Streaming {
     private def rearm(): Unit = {
       val pending = lefts.get().toSeq
       if (pending.nonEmpty) {
-        val at = pending.map(_._1).min / 1000L + 1L
+        val at = (pending.map(_._1).min + matureLag) / 1000L + 1L
         if (!armed.exists() || armed.get() != at) {
           if (armed.exists()) getHandle.deleteTimer(armed.get())
           getHandle.registerTimer(at)
@@ -471,11 +513,14 @@ object Streaming {
     }
   }
 
-  /** Wire the as-of processor over a tagged, watermarked stream. */
+  /** Wire the as-of processor over a tagged, watermarked stream.
+    * `direction` as in the batch operator: 0 backward (default),
+    * 1 forward, 2 nearest (finite tolerance required past backward). */
   def asofEnrichStream(tagged: Dataset[AsofEvent],
-                       tolMicros: Long): Dataset[AsofMatch] =
+                       tolMicros: Long,
+                       direction: Int = 0): Dataset[AsofMatch] =
     tagged.groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new AsofEnrichProcessor(tolMicros),
+      .transformWithState(new AsofEnrichProcessor(tolMicros, direction),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.product[AsofMatch])
 
   /** Wire the filtered-table processor over a typed event stream. */

@@ -230,7 +230,7 @@ class TransformWithStateSpec extends SparkSuite {
       s"expected L100 matched to the late-arriving R2, got $out")
   }
 
-  test("streaming processor ≡ native batch operator on identical rows (ASOF.md)") {
+  test("streaming processor ≡ native batch operator on identical rows, every direction (ASOF.md)") {
     import graft.streaming.Streaming.{AsofEvent, AsofMatch}
     // (user, t_s, id): ties, exact-tolerance edges, keys with no rights,
     // rights newer than every left — the definition's corner set
@@ -238,43 +238,48 @@ class TransformWithStateSpec extends SparkSuite {
       (1L, 20L, 5L), (2L, 30L, 6L), (4L, 7L, 7L))
     val lefts = Seq((1L, 10L, 100L), (1L, 9L, 101L), (2L, 6L, 102L),
       (2L, 25L, 103L), (3L, 5L, 104L), (1L, 13L, 105L))
-    val tolMicros = 5L * 1000000L // 5 s closed-bound lookback
-    // STREAMING: two shuffled batches (out-of-order within and across), a
-    // far-future sentinel right on an unused key advances the global
-    // watermark past every left so all of them mature. The watermark DELAY
-    // must cover the shuffle's disorder (rows span 2–30 s): with delay 0 a
-    // row arriving after a later-timestamped batch is late-DROPPED by the
-    // zero-grace contract — correct streaming behavior, but then the
-    // surfaces see different inputs and the equivalence claim is vacuous.
-    val ms = MemoryStream[AsofEvent](spark)
-    val matches = Streaming.asofEnrichStream(
-      ms.toDS().withWatermark("ts", "30 seconds"), tolMicros)
-    val q = matches.toDF().writeStream.format("memory")
-      .queryName("tws_asof_xform").outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("ck-asof-x").toString)
-      .start()
-    val all = rights.map { case (u, t, i) => AsofEvent(u, ts(t), i, isLeft = false) } ++
-      lefts.map { case (u, t, i) => AsofEvent(u, ts(t), i, isLeft = true) }
-    val (b1, b2) = scala.util.Random.shuffle(all).splitAt(all.size / 2)
-    ms.addData(b1); q.processAllAvailable()
-    ms.addData(b2 :+ AsofEvent(99, ts(1000), 999, isLeft = false))
-    q.processAllAvailable()
-    q.stop()
-    val streamed = spark.table("tws_asof_xform").as[AsofMatch].collect()
-      .map(m => (m.purchase_id, m.user_id, m.click_id.getOrElse(-1L))).toSet
-    // NATIVE BATCH on the same rows
-    val lDf = lefts.toDF("u", "t", "lid")
-      .select($"u", ($"t" * 1000000L).as("lt"), $"lid")
-    val rDf = rights.toDF("ru", "rt0", "rid")
-      .select($"ru", ($"rt0" * 1000000L).as("rt"), $"rid")
-    val native = graft.plans.AsofJoin.join(lDf, rDf, Seq("u" -> "ru"),
-        "lt", "rt", rightTiebreak = Seq("rid"), tolerance = Some("5 seconds"))
-      .select($"lid", $"u",
-        org.apache.spark.sql.functions.coalesce($"rid",
-          org.apache.spark.sql.functions.lit(-1L)))
-      .as[(Long, Long, Long)].collect().toSet
-    assert(streamed == native,
-      s"surfaces diverge:\n streaming=$streamed\n native=$native")
+    val tolMicros = 5L * 1000000L // 5 s closed-bound window
+    for ((dirCode, dirName) <- Seq(0 -> "backward", 1 -> "forward", 2 -> "nearest")) {
+      // STREAMING: two shuffled batches (out-of-order within and across), a
+      // far-future sentinel right on an unused key advances the global
+      // watermark past every left's maturation bound (lt, or lt + τ for
+      // forward/nearest). The watermark DELAY must cover the shuffle's
+      // disorder (rows span 2–30 s): with delay 0 a row arriving after a
+      // later-timestamped batch is late-DROPPED by the zero-grace
+      // contract — correct streaming behavior, but then the surfaces see
+      // different inputs and the equivalence claim is vacuous.
+      val ms = MemoryStream[AsofEvent](spark)
+      val matches = Streaming.asofEnrichStream(
+        ms.toDS().withWatermark("ts", "30 seconds"), tolMicros, dirCode)
+      val sink = s"tws_asof_xform_$dirName"
+      val q = matches.toDF().writeStream.format("memory")
+        .queryName(sink).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"ck-asof-x-$dirName").toString)
+        .start()
+      val all = rights.map { case (u, t, i) => AsofEvent(u, ts(t), i, isLeft = false) } ++
+        lefts.map { case (u, t, i) => AsofEvent(u, ts(t), i, isLeft = true) }
+      val (b1, b2) = scala.util.Random.shuffle(all).splitAt(all.size / 2)
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2 :+ AsofEvent(99, ts(1000), 999, isLeft = false))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(sink).as[AsofMatch].collect()
+        .map(m => (m.purchase_id, m.user_id, m.click_id.getOrElse(-1L))).toSet
+      // NATIVE BATCH on the same rows
+      val lDf = lefts.toDF("u", "t", "lid")
+        .select($"u", ($"t" * 1000000L).as("lt"), $"lid")
+      val rDf = rights.toDF("ru", "rt0", "rid")
+        .select($"ru", ($"rt0" * 1000000L).as("rt"), $"rid")
+      val native = graft.plans.AsofJoin.join(lDf, rDf, Seq("u" -> "ru"),
+          "lt", "rt", rightTiebreak = Seq("rid"), tolerance = Some("5 seconds"),
+          direction = dirName)
+        .select($"lid", $"u",
+          org.apache.spark.sql.functions.coalesce($"rid",
+            org.apache.spark.sql.functions.lit(-1L)))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == native,
+        s"direction=$dirName diverges:\n streaming=$streamed\n native=$native")
+    }
   }
 }
