@@ -131,4 +131,53 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("native as-of equals a brute-force reference in every direction on random rows") {
+    // Dense key/time domains force the state machine's hard cases: equal
+    // times (tie-breaks), repeated left times, keys present on one side
+    // only, candidates exactly at the tolerance bound.
+    val sideGen: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(40, for {
+        key <- Gen.choose(0L, 4L)
+        t <- Gen.choose(0L, 20L)
+      } yield (key, t)).map(_.zipWithIndex.map { case ((k, t), id) =>
+        (k, t, id.toLong)
+      })
+    val tol = 5L
+    def brute(ls: List[(Long, Long, Long)], rs: List[(Long, Long, Long)],
+              dir: String): Set[(Long, Long)] =
+      ls.map { case (k, lt, lid) =>
+        val back = rs.filter(r => r._1 == k && r._2 <= lt && lt - r._2 <= tol)
+          .sortBy(r => (r._2, r._3)).lastOption
+        val fwd = rs.filter(r => r._1 == k && r._2 >= lt && r._2 - lt <= tol)
+          .sortBy(r => (r._2, r._3)).headOption
+        val m = dir match {
+          case "backward" => back
+          case "forward"  => fwd
+          case _ => (back, fwd) match {
+            case (None, f) => f
+            case (b, None) => b
+            case (Some(b), Some(f)) =>
+              if (f._2 - lt < lt - b._2) Some(f) else Some(b)
+          }
+        }
+        lid -> m.map(_._3).getOrElse(-1L)
+      }.toSet
+    (1 to 6).foreach { i =>
+      val ls = sideGen(Gen.Parameters.default, Seed(1000L + i)).get
+      val rs = sideGen(Gen.Parameters.default, Seed(2000L + i)).get
+      val lDf = ls.toDF("k", "lt", "lid")
+      val rDf = rs.toDF("rk", "rt", "rid")
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val got = graft.plans.AsofJoin.join(lDf, rDf, Seq("k" -> "rk"),
+            "lt", "rt", rightTiebreak = Seq("rid"),
+            tolerance = Some("5 microseconds"), direction = dir)
+          .select($"lid", coalesce($"rid", lit(-1L)))
+          .as[(Long, Long)].collect().toSet
+        assert(got == brute(ls, rs, dir),
+          s"seed $i direction $dir: native != brute force\n" +
+            s" missing=${brute(ls, rs, dir) -- got}\n extra=${got -- brute(ls, rs, dir)}")
+      }
+    }
+  }
 }
