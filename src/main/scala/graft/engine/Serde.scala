@@ -115,6 +115,21 @@ object Serde {
       ColumnBridge.expression(c), jsonFormatSchema, frameSchemaId = Some(schemaId)))
   }
 
+  /** Avro SCHEMA-EVOLUTION decode — the registry consumer's contract: the
+    * bytes were written under `writerSchema` (what the frame id names);
+    * the caller reads them under its own `readerSchema` via Avro schema
+    * resolution (field reordering, defaulted new fields, dropped fields,
+    * type promotion). Resolution failures and malformed payloads stay
+    * permissive-NULL. `schemaId` optionally enforces the wire framing.
+    */
+  def parseAvroEvolved(c: Column, writerSchema: String, readerSchema: String,
+                       schemaId: Option[Int] = None): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.AvroSerde.FromAvroBinary(
+      ColumnBridge.expression(c), readerSchema, frameSchemaId = schemaId,
+      writerSchemaJson = Some(writerSchema)))
+  }
+
   /** Count corrupt rows into an accumulator while passing good rows through —
     * used by the deserialization-error-handler parity path
     * (ErrorHandlingExample.scala:41-43). The accumulator is the distributed

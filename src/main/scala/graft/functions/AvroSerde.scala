@@ -91,9 +91,18 @@ object AvroSerde {
     * is an UNDECODABLE payload under the same permissive contract (a
     * registry consumer would fail the id lookup) — NULL struct, task
     * survives. The record body is then decoded from offset 5.
+    *
+    * `writerSchemaJson`: when set, bytes are decoded under Avro SCHEMA
+    * RESOLUTION — read with the writer's schema, resolved to
+    * `jsonFormatSchema` as the READER schema (field reordering, defaulted
+    * new fields, dropped fields, type promotion) — the registry
+    * consumer's actual evolution contract, where the id identifies the
+    * WRITER schema and the consumer supplies its own reader. Unset, the
+    * two schemas are the same (no evolution).
     */
   case class FromAvroBinary(child: Expression, jsonFormatSchema: String,
-      frameSchemaId: Option[Int] = None)
+      frameSchemaId: Option[Int] = None,
+      writerSchemaJson: Option[String] = None)
       extends UnaryExpression {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_from_avro"
@@ -102,9 +111,12 @@ object AvroSerde {
 
     @transient private lazy val expectedSchema: Schema =
       new Schema.Parser().parse(jsonFormatSchema)
+    @transient private lazy val writerSchema: Schema =
+      writerSchemaJson.map(new Schema.Parser().parse(_)).getOrElse(expectedSchema)
     @transient private lazy val deserialize: Any => Option[Any] =
       AvroBridge.deserializer(expectedSchema, dataType)
-    @transient private lazy val reader = new GenericDatumReader[Any](expectedSchema)
+    @transient private lazy val reader =
+      new GenericDatumReader[Any](writerSchema, expectedSchema)
     @transient private var decoder: BinaryDecoder = _
     @transient private var record: Any = _
 

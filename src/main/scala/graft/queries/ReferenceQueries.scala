@@ -293,6 +293,32 @@ object ReferenceQueries {
   val avroFramedRoundtripSql: String =
     "SELECT event_id, event_type, value FROM events"
 
+  /** Avro SCHEMA EVOLUTION under the oracle: framed bytes written under
+    * the producer's (event_type, value) schema are decoded by a consumer
+    * whose READER schema reorders the fields, drops `value`, and adds a
+    * defaulted `tag` — Avro schema resolution, the registry's actual
+    * compatibility contract ([[graft.engine.Serde.parseAvroEvolved]]).
+    * The oracle states the resolved result directly: original field
+    * values where kept, the declared default where added.
+    */
+  def avroEvolutionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val writerSchema = graft.engine.Serde.avroSchemaOf(ev, "event_type", "value")
+    val readerSchema =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |  {"name":"tag","type":"string","default":"und"},
+        |  {"name":"event_type","type":"string"}]}""".stripMargin
+    ev.withColumn("wire",
+        graft.engine.Serde.toAvroFramed(7, col("event_type"), col("value")))
+      .withColumn("decoded", graft.engine.Serde.parseAvroEvolved(
+        col("wire"), writerSchema, readerSchema, schemaId = Some(7)))
+      .select(col("event_id"), col("decoded.event_type").as("event_type"),
+        col("decoded.tag").as("tag"))
+  }
+
+  val avroEvolutionRoundtripSql: String =
+    "SELECT event_id, event_type, 'und' AS tag FROM events"
+
   /** S8 file-format scans under the oracle: the events table is written
     * out as CSV, JSON-lines and ORC, read back through the corresponding
     * built-in scans, and ALL THREE read-backs are emitted tagged by

@@ -120,4 +120,44 @@ class ErrorsSpec extends SparkSuite {
       .select(col("decoded.s").as("s")).as[String].collect().toSet
     assert(stripped == Set("a", "b"))
   }
+
+  test("avro schema evolution: reader resolves against writer (defaults, drops, framing)") {
+    val src = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
+    val writerSchema = Serde.avroSchemaOf(src, "s", "v")
+    val wire = src.withColumn("wire", Serde.toAvro(col("s"), col("v")))
+    // reader ADDS a defaulted field: decodes with the default filled in
+    val readerAdd =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"v","type":"double"},
+        |  {"name":"tag","type":"string","default":"none"}]}""".stripMargin
+    val withDefault = wire
+      .withColumn("decoded", Serde.parseAvroEvolved(col("wire"), writerSchema, readerAdd))
+      .select(col("decoded.s").as("s"), col("decoded.tag").as("tag"))
+      .as[(String, String)].collect().toSet
+    assert(withDefault == Set(("a", "none"), ("b", "none")))
+    // reader DROPS a field: projection by resolution, remaining values exact
+    val readerDrop =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |  {"name":"v","type":"double"}]}""".stripMargin
+    val dropped = wire
+      .withColumn("decoded", Serde.parseAvroEvolved(col("wire"), writerSchema, readerDrop))
+      .select(col("decoded.v")).as[Double].collect().toSet
+    assert(dropped == Set(1.5, -2.25))
+    // an UNRESOLVABLE reader (new field, no default) is permissive-NULL
+    val readerBad =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"missing","type":"long"}]}""".stripMargin
+    assert(wire.select(Serde.parseAvroEvolved(col("wire"), writerSchema, readerBad))
+      .collect().forall(_.isNullAt(0)),
+      "resolution failure must yield NULL, not throw")
+    // evolution composes with the registry framing
+    val framed = src.withColumn("wire", Serde.toAvroFramed(7, col("s"), col("v")))
+    val framedEvolved = framed
+      .withColumn("decoded",
+        Serde.parseAvroEvolved(col("wire"), writerSchema, readerAdd, schemaId = Some(7)))
+      .select(col("decoded.tag")).as[String].collect().toSet
+    assert(framedEvolved == Set("none"))
+  }
 }
