@@ -114,12 +114,12 @@ object AsofJoin {
     * `SELECT ... FROM graft_asof_join('trades', 'quotes', 'sym', 'sym',
     * 'ts', 'ts', 'quote_id', '1 hour', 'inner'[, 'forward'])`. All
     * arguments are string literals: table/view names resolved against the
-    * session catalog, single equi-key per side (multi-key stays on the
-    * DataFrame API), `tiebreak` a comma-separated right-column list (''
-    * for none), `tolerance` an interval string ('' for unbounded),
-    * `mode` 'inner' or 'left', and an optional tenth `direction`
-    * ('backward' default | 'forward' | 'nearest'). The builder runs at
-    * analysis time on the driver:
+    * session catalog, equi-keys as comma-separated column lists (one per
+    * side, positionally paired — 'sym,venue' ⋈ 'sym,venue'), `tiebreak` a
+    * comma-separated right-column list ('' for none), `tolerance` an
+    * interval string ('' for unbounded), `mode` 'inner' or 'left', and an
+    * optional tenth `direction` ('backward' default | 'forward' |
+    * 'nearest'). The builder runs at analysis time on the driver:
     * it resolves both relations, builds the SAME [[AsofJoinNode]] as the
     * DataFrame path, and hands the analyzer an already-resolved subtree —
     * so the SQL and DataFrame forms share one operator, one planner
@@ -146,10 +146,16 @@ object AsofJoin {
         val mode = lit(8, "mode")
         require(mode == "inner" || mode == "left",
           s"graft_asof_join: mode must be 'inner' or 'left', got '$mode'")
+        def csv(s: String): Seq[String] =
+          s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val (lk, rk) = (csv(lit(2, "left keys")), csv(lit(3, "right keys")))
+        require(lk.nonEmpty && lk.length == rk.length,
+          s"graft_asof_join: key lists must be non-empty and pair up " +
+            s"positionally, got ${lk.length} vs ${rk.length}")
         val df = join(
           session.table(lit(0, "left table")),
           session.table(lit(1, "right table")),
-          keys = Seq(lit(2, "left key") -> lit(3, "right key")),
+          keys = lk.zip(rk),
           leftTime = lit(4, "left time"),
           rightTime = lit(5, "right time"),
           rightTiebreak = lit(6, "tiebreak").split(",").map(_.trim).filter(_.nonEmpty).toSeq,

@@ -57,6 +57,22 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.filter($"rid".isNull).count() == 0L)
   }
 
+  test("SQL table function pairs comma-separated multi-key lists positionally") {
+    AsofJoin.registerSql(spark)
+    Seq(("a", 1L, 100L, 10L), ("a", 2L, 100L, 20L), ("b", 1L, 100L, 30L))
+      .toDF("g", "sub", "t", "lid").createOrReplaceTempView("graft_mk_left")
+    Seq(("a", 1L, 90L, 1L), ("a", 2L, 95L, 2L), ("b", 2L, 99L, 3L))
+      .toDF("rg", "rsub", "rt", "rid").createOrReplaceTempView("graft_mk_right")
+    val out = spark.sql(
+      """SELECT lid, rid FROM graft_asof_join('graft_mk_left', 'graft_mk_right',
+        |  'g,sub', 'rg,rsub', 't', 'rt', 'rid', '', 'left')""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // the composite (g, sub) key must pair component-wise: (a,1)->1,
+    // (a,2)->2, (b,1) has no (b,1) right — only (b,2), which must NOT match
+    assert(out == Map(10L -> 1L, 20L -> 2L, 30L -> -1L), s"got $out")
+  }
+
   test("forward direction: earliest at-or-after, ties to SMALLEST id, shared right serves many lefts") {
     val out = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
         rightTiebreak = Seq("rid"), direction = "forward")

@@ -89,4 +89,47 @@ class CheckpointRecoverySpec extends SparkSuite {
       assert(sc.getCheckpointDir.isEmpty)
     }
   }
+
+  test("as-of processor restarted from checkpoint retains pending lefts, buffered rights, and timers") {
+    import graft.streaming.Streaming
+    import Streaming.{AsofEvent, AsofMatch}
+    val srcDir = Files.createTempDirectory("ckasof-src").toString
+    val ckDir = Files.createTempDirectory("ckasof-ck").toString
+    def write(rows: Seq[AsofEvent]): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val evSchema = org.apache.spark.sql.Encoders.product[AsofEvent].schema
+    val outDir = Files.createTempDirectory("ckasof-out").toString
+    val outSchema = org.apache.spark.sql.Encoders.product[AsofMatch].schema
+    // parquet sink: the memory sink refuses checkpoint RECOVERY (it cannot
+    // reconstruct pre-restart batches); the file sink's commit log can
+    def startQuery() = {
+      val tagged = spark.readStream.schema(evSchema).parquet(srcDir)
+        .withWatermark("ts", "30 seconds").as[AsofEvent]
+      Streaming.asofEnrichStream(tagged, 5L * 1000000L)
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .start()
+    }
+    def sinkRows() = spark.read.schema(outSchema).parquet(outDir).as[AsofMatch]
+    // phase 1: a right INSIDE the 5 s lookback plus its left — the 30 s
+    // watermark delay keeps the left immature, so at shutdown the match
+    // lives entirely in state: buffered right, pending left, armed timer
+    write(Seq(AsofEvent(1, ts(8), 1, isLeft = false),
+      AsofEvent(1, ts(10), 100, isLeft = true)))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(sinkRows().isEmpty,
+      "the left must still be pending when the query stops")
+    // phase 2: only a far-future watermark-advancer arrives; the restarted
+    // query must emit the PRE-RESTART right as the match — proving rights
+    // state, pending-left state, and the event-time timer all recovered
+    write(Seq(AsofEvent(1, ts(100), 3, isLeft = false)))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val out = sinkRows().collect().toSeq
+    assert(out == Seq(AsofMatch(100, 1, Some(1), 10000000L)),
+      s"restarted as-of must resume its state, got $out")
+  }
 }
