@@ -74,12 +74,70 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
       // request cannot be honored here and must not be dropped silently
       require(partitionBy.isEmpty,
         "partitionBy applies to file-backed topics only; Kafka topics partition by record key")
-      df.write.format("kafka")
+      // the kafka sink REQUIRES (key, value) binary/string columns — an
+      // arbitrary record frame must go through the wire mapping first
+      toKafkaWire(df).write.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", name).save()
     case Topic.Files =>
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Produce-side wire mapping for `format("kafka")` sinks, which accept
+    * exactly (key, value) columns: the key column rendered as UTF-8 bytes
+    * (the broker's hash-partitioning input — same key ⇒ same partition,
+    * the ordering guarantee every stateful operator relies on) and ALL
+    * remaining columns as the value payload — JSON text (the reference's
+    * circe wire, serdes/circe.scala:14) or, with `avroFrame = Some(id)`,
+    * registry-framed Avro binary ([[Serde.toAvroFramed]]). Event time
+    * rides INSIDE the value like any data field; the broker stamps its own
+    * record timestamp. Spec-tested round-trip against [[fromKafkaWire]] —
+    * the whole wire path except the socket, which needs the connector jar
+    * absent from this image (SURVEY.md §7.0).
+    */
+  def toKafkaWire(df: DataFrame, avroFrame: Option[Int] = None): DataFrame = {
+    val valueCols = df.columns.filter(_ != keyCol).toSeq
+    val value = avroFrame match {
+      case Some(id) =>
+        // canonical NULLABLE wire record: the producer's in-memory frame
+        // often carries non-nullable fields (tuples, parquet NOT NULL),
+        // but the subject's registry schema is one fixed record — forcing
+        // every field nullable (KnownNullable: survives optimization,
+        // unlike a foldable CASE WHEN) makes producer and consumer derive
+        // the IDENTICAL union[null, T] schema from the declared field
+        // types alone, with no dependence on upstream nullability
+        Serde.toAvroFramed(id, valueCols.map { c =>
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          ColumnBridge.column(org.apache.spark.sql.catalyst.expressions
+            .KnownNullable(ColumnBridge.expression(col(c)))).as(c)
+        }: _*)
+      case None => to_json(struct(valueCols.map(col): _*)).cast("binary")
+    }
+    df.select(col(keyCol).cast("string").cast("binary").as("key"),
+      value.as("value"))
+  }
+
+  /** Consume-side wire mapping: decode a Kafka-source frame (the fixed
+    * `key/value/topic/partition/offset/timestamp/timestampType` schema of
+    * `format("kafka")`, or a staged capture of one) back into this topic's
+    * record model. `valueSchema` declares the payload fields (the topic's
+    * compile-time schema, §1.3); decoding is PERMISSIVE — malformed
+    * payloads become null structs, the reference's tolerant-serde contract.
+    */
+  def fromKafkaWire(wire: DataFrame, valueSchema: StructType,
+                    keyType: org.apache.spark.sql.types.DataType =
+                      org.apache.spark.sql.types.StringType,
+                    avroFrame: Option[Int] = None): DataFrame = {
+    val decoded = avroFrame match {
+      case Some(id) => Serde.parseAvroFramed(col("value"),
+        org.apache.spark.sql.graftbridge.AvroBridge.toAvroType(valueSchema).toString, id)
+      case None => Serde.parseJson(col("value").cast("string"), valueSchema)
+    }
+    wire.select(col("key").cast("string").cast(keyType).as(keyCol),
+        decoded.as("graft_value"))
+      .select(col(keyCol) +: valueSchema.fieldNames.toSeq
+        .map(f => col(s"graft_value.$f").as(f)): _*)
   }
 
   /** Streaming sink with checkpointing (exactly-once to files). */

@@ -319,6 +319,31 @@ object ReferenceQueries {
   val avroEvolutionRoundtripSql: String =
     "SELECT event_id, event_type, 'und' AS tag FROM events"
 
+  /** The Kafka WIRE layer under the oracle: events rendered into the exact
+    * (key, value) binary frame a `format("kafka")` sink requires — key =
+    * UTF-8 key bytes (the broker's partitioning input), value = registry-
+    * framed Avro — then decoded back through the consumer-side mapping
+    * ([[graft.engine.Topic.fromKafkaWire]]). Identity oracle: any wire
+    * asymmetry (timestamp precision, double bits, framing, key rendering)
+    * breaks the hash. This is the whole Kafka path except the socket,
+    * which needs the connector jar absent from this image (SURVEY.md
+    * §7.0 — the one reference behavior that cannot execute end-to-end).
+    */
+  def kafkaWireRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val topic = graft.engine.Topic("events", "user_id", "ts")
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val valueSchema = org.apache.spark.sql.types.StructType(
+      ev.schema.filterNot(_.name == "user_id"))
+    topic.fromKafkaWire(
+      topic.toKafkaWire(ev, avroFrame = Some(9)),
+      valueSchema, keyType = org.apache.spark.sql.types.LongType,
+      avroFrame = Some(9))
+  }
+
+  val kafkaWireRoundtripSql: String =
+    "SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type, value FROM events"
+
   /** S8 file-format scans under the oracle: the events table is written
     * out as CSV, JSON-lines and ORC, read back through the corresponding
     * built-in scans, and ALL THREE read-backs are emitted tagged by
