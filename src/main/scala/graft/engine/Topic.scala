@@ -107,12 +107,19 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
         // unlike a foldable CASE WHEN) makes producer and consumer derive
         // the IDENTICAL union[null, T] schema from the declared field
         // types alone, with no dependence on upstream nullability
+        // (the consumer side canonicalizes its declared schema the same
+        // way in fromKafkaWire)
         Serde.toAvroFramed(id, valueCols.map { c =>
           import org.apache.spark.sql.graftbridge.ColumnBridge
           ColumnBridge.column(org.apache.spark.sql.catalyst.expressions
             .KnownNullable(ColumnBridge.expression(col(c)))).as(c)
         }: _*)
-      case None => to_json(struct(valueCols.map(col): _*)).cast("binary")
+      case None =>
+        // explicit micro-precision timestamp text: Spark's default JSON
+        // timestampFormat renders milliseconds only, which would silently
+        // truncate the µs event times every fixture and processor carries
+        to_json(struct(valueCols.map(col): _*),
+          java.util.Map.of("timestampFormat", Topic.wireTsFmt)).cast("binary")
     }
     df.select(col(keyCol).cast("string").cast("binary").as("key"),
       value.as("value"))
@@ -129,10 +136,16 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
                     keyType: org.apache.spark.sql.types.DataType =
                       org.apache.spark.sql.types.StringType,
                     avroFrame: Option[Int] = None): DataFrame = {
+    // canonicalize the declared schema to the wire's all-nullable record
+    // (the consumer mirror of toKafkaWire's KnownNullable): a caller
+    // passing a product-encoder schema with non-nullable longs must not
+    // silently diverge from the union[null, T] bytes on the wire
+    val wireSchema = StructType(valueSchema.map(_.copy(nullable = true)))
     val decoded = avroFrame match {
       case Some(id) => Serde.parseAvroFramed(col("value"),
-        org.apache.spark.sql.graftbridge.AvroBridge.toAvroType(valueSchema).toString, id)
-      case None => Serde.parseJson(col("value").cast("string"), valueSchema)
+        org.apache.spark.sql.graftbridge.AvroBridge.toAvroType(wireSchema).toString, id)
+      case None => from_json(col("value").cast("string"), wireSchema,
+        java.util.Map.of("timestampFormat", Topic.wireTsFmt))
     }
     wire.select(col("key").cast("string").cast(keyType).as(keyCol),
         decoded.as("graft_value"))
@@ -148,6 +161,11 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
 }
 
 object Topic {
+  /** Wire timestamp text format: explicit micro precision (Spark's JSON
+    * default is millisecond-only) — same format the file-format
+    * round-trips use. */
+  val wireTsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   sealed trait Backend
   case object Files extends Backend
   final case class Kafka(bootstrapServers: String) extends Backend

@@ -129,8 +129,10 @@ object AsofJoin {
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
     org.apache.spark.sql.graftbridge.TableFunctionBridge.register(
       spark, "graft_asof_join",
-      "graft_asof_join(left, right, leftKey, rightKey, leftTime, rightTime, " +
-        "tiebreakCsv, tolerance, mode) - native as-of join of two catalog relations",
+      "graft_asof_join(left, right, leftKeysCsv, rightKeysCsv, leftTime, " +
+        "rightTime, tiebreakCsv, tolerance, mode[, direction]) - native " +
+        "as-of join of two catalog relations; keys pair positionally, " +
+        "direction is backward (default) | forward | nearest",
       { args =>
         def lit(i: Int, what: String): String = {
           require(args.length == 9 || args.length == 10,
@@ -158,7 +160,7 @@ object AsofJoin {
           keys = lk.zip(rk),
           leftTime = lit(4, "left time"),
           rightTime = lit(5, "right time"),
-          rightTiebreak = lit(6, "tiebreak").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          rightTiebreak = csv(lit(6, "tiebreak")),
           tolerance = Some(lit(7, "tolerance")).filter(_.nonEmpty),
           inner = mode == "inner",
           direction = if (args.length == 10) lit(9, "direction") else "backward")
@@ -316,27 +318,34 @@ final class AsofMerger(
       } else break = true
     }
     // The lookahead is the forward candidate iff it is on this key with a
-    // usable time (loop invariant: its rt >= lt for forward, > lt otherwise).
-    def forwardTime: Long = {
-      if (rNext == null) return Long.MinValue
+    // usable time (loop invariant: its rt >= lt for forward, > lt
+    // otherwise). An explicit has-flag, not a sentinel value: LongType
+    // time columns may legitimately carry any long, including MinValue.
+    var hasFt = false
+    var ft = 0L
+    if (rNext != null) {
       val rk = rKeyProj(rNext)
-      if (rk.anyNull || keyOrd.compare(rk, lk) != 0) return Long.MinValue
-      val rtRow = rTimeProj(rNext)
-      if (rtRow.isNullAt(0)) Long.MinValue else rtRow.getLong(0)
+      if (!rk.anyNull && keyOrd.compare(rk, lk) == 0) {
+        val rtRow = rTimeProj(rNext)
+        if (!rtRow.isNullAt(0)) { ft = rtRow.getLong(0); hasFt = true }
+      }
     }
+    // Distances are true-non-negative by construction, so a NEGATIVE
+    // difference can only be 64-bit overflow (raw-long times straddling
+    // the full range) — reject it rather than let it slip under `tol`.
+    def backDist = lt - candTime
+    def fwdDist = ft - lt
     direction match {
       case 0 => // backward
-        if (cand != null && lt - candTime <= tol) cand else null
+        if (cand != null && backDist >= 0 && backDist <= tol) cand else null
       case 1 => // forward
-        val ft = forwardTime
-        if (ft != Long.MinValue && ft - lt <= tol) rNext else null
+        if (hasFt && fwdDist >= 0 && fwdDist <= tol) rNext else null
       case _ => // nearest: closer side wins; equal distance -> backward
-        val back = if (cand != null && lt - candTime <= tol) cand else null
-        val ft = forwardTime
-        val fwd = if (ft != Long.MinValue && ft - lt <= tol) rNext else null
+        val back = if (cand != null && backDist >= 0 && backDist <= tol) cand else null
+        val fwd = if (hasFt && fwdDist >= 0 && fwdDist <= tol) rNext else null
         if (back == null) fwd
         else if (fwd == null) back
-        else if (ft - lt < lt - candTime) fwd
+        else if (fwdDist < backDist) fwd
         else back
     }
   }

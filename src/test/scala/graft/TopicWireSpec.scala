@@ -20,16 +20,28 @@ class TopicWireSpec extends SparkSuite {
 
   private val topic = Topic("events", "user_id", "ts")
 
-  private def ts(s: Long) = new Timestamp(s * 1000L)
+  /** Micro-precision event times: the wire must carry the fixtures' µs
+    * resolution (review finding: Spark's default JSON timestampFormat is
+    * millisecond-only and would silently truncate). */
+  private def ts(s: Long, micros: Long = 0L) = {
+    val t = new Timestamp(s * 1000L)
+    t.setNanos((micros * 1000L).toInt)
+    t
+  }
 
   private val rows = Seq(
-    (1L, ts(10), 100L, "click", 2.5),
-    (2L, ts(20), 101L, "purchase", -1.25),
+    (1L, ts(10, 123L), 100L, "click", 2.5),
+    (2L, ts(20, 999999L), 101L, "purchase", -1.25),
     (1L, ts(30), 102L, "view", 0.0))
 
+  // deliberately NON-NULLABLE fields (what a product-encoder schema gives
+  // a caller): the wire mapping must canonicalize to the all-nullable
+  // wire record on both sides, not silently null-out every payload
   private val valueSchema = StructType(Seq(
-    StructField("ts", TimestampType), StructField("event_id", LongType),
-    StructField("event_type", StringType), StructField("value", DoubleType)))
+    StructField("ts", TimestampType, nullable = false),
+    StructField("event_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
 
   /** A staged Kafka-source frame: the fixed columns `format("kafka")`
     * yields, with broker-side metadata faked (the wire mapping must not
