@@ -153,11 +153,22 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
         .map(f => col(s"graft_value.$f").as(f)): _*)
   }
 
-  /** Streaming sink with checkpointing (exactly-once to files). */
+  /** Streaming sink with checkpointing: exactly-once to files, or the
+    * wire-mapped kafka sink for broker-backed topics (honoring the
+    * backend like the batch [[write]]; `path` is unused there — records
+    * go to this topic's name). */
   def writeStream(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
-    df.writeStream.format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpoint)
+    backend match {
+      case Topic.Kafka(servers) =>
+        toKafkaWire(df).writeStream.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("topic", name)
+          .option("checkpointLocation", checkpoint)
+      case Topic.Files =>
+        df.writeStream.format("parquet")
+          .option("path", path)
+          .option("checkpointLocation", checkpoint)
+    }
 }
 
 object Topic {
