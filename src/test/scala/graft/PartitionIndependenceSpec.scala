@@ -26,7 +26,10 @@ class PartitionIndependenceSpec extends SparkSuite {
     "item_similarity_topk", // basket self-join + per-part rank window
     "quantized_outliers",  // broadcast centroid sums + rank window
     "phash_neardup",       // collapse-by-signature banding + expansion
-    "asof_join_native")    // custom exec: co-partitioned zip + merge pass
+    "asof_join_native",    // custom exec: co-partitioned zip + merge pass
+    "asof_join_forward",   // forward direction through the SQL TVF
+    "asof_join_nearest",   // per-side windows + backward tie preference
+    "order_chain_cte")     // recursive walk: per-iteration shuffle joins
 
   for (name <- sensitive) {
     test(s"$name is invariant to shuffle width") {
