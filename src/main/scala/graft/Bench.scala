@@ -127,8 +127,10 @@ object Bench {
     val common = results.filter { case (n, (t, _)) => t >= 0 && prev.contains(n) }
     val prevSubset = common.map { case (n, _) => prev(n) }.sum
     val curSubset = common.map(_._2._1).sum
+    // prevSubset > 0 guard: an all-zero previous record would interpolate
+    // Infinity/NaN into the ratio and break the JSON line's parseability
     val ratioFields =
-      if (common.isEmpty) ""
+      if (common.isEmpty || prevSubset <= 0) ""
       else f""","prev_subset_total":$prevSubset%.1f,"cur_subset_total":$curSubset%.1f,"prev_subset_ratio":${curSubset / prevSubset}%.3f,"prev_subset_n":${common.size}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"protocol":$protos$ratioFields,"sf":"$sfDir"}"""

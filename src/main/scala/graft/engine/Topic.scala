@@ -131,19 +131,43 @@ final case class Topic(name: String, keyCol: String, tsCol: String,
     * record model. `valueSchema` declares the payload fields (the topic's
     * compile-time schema, §1.3); decoding is PERMISSIVE — malformed
     * payloads become null structs, the reference's tolerant-serde contract.
+    *
+    * Avro field-order contract: raw Avro binary is positional, so with
+    * `avroFrame` set the writer schema must list fields in the PRODUCER'S
+    * column order ([[toKafkaWire]]'s `df.columns` minus the key). By
+    * default that order is assumed to be `valueSchema`'s own field order;
+    * a consumer whose declared order differs (e.g. a product-encoder
+    * schema) must pass `producedOrder` = the producer's value-column
+    * order, and decoding then goes through Avro schema RESOLUTION
+    * (writer = produced order, reader = the declared schema) so fields
+    * re-pair by NAME — without it, same-typed fields would silently swap
+    * values. JSON payloads are always by-name; `producedOrder` is ignored
+    * there.
     */
   def fromKafkaWire(wire: DataFrame, valueSchema: StructType,
                     keyType: org.apache.spark.sql.types.DataType =
                       org.apache.spark.sql.types.StringType,
-                    avroFrame: Option[Int] = None): DataFrame = {
+                    avroFrame: Option[Int] = None,
+                    producedOrder: Option[Seq[String]] = None): DataFrame = {
     // canonicalize the declared schema to the wire's all-nullable record
     // (the consumer mirror of toKafkaWire's KnownNullable): a caller
     // passing a product-encoder schema with non-nullable longs must not
     // silently diverge from the union[null, T] bytes on the wire
     val wireSchema = StructType(valueSchema.map(_.copy(nullable = true)))
     val decoded = avroFrame match {
-      case Some(id) => Serde.parseAvroFramed(col("value"),
-        org.apache.spark.sql.graftbridge.AvroBridge.toAvroType(wireSchema).toString, id)
+      case Some(id) =>
+        val readerJson =
+          org.apache.spark.sql.graftbridge.AvroBridge.toAvroType(wireSchema).toString
+        producedOrder match {
+          case Some(order) if order != valueSchema.fieldNames.toSeq =>
+            require(order.sorted == valueSchema.fieldNames.toSeq.sorted,
+              s"producedOrder must be a permutation of the declared fields: " +
+                s"${order.mkString(",")} vs ${valueSchema.fieldNames.mkString(",")}")
+            val writerJson = org.apache.spark.sql.graftbridge.AvroBridge
+              .toAvroType(StructType(order.map(n => wireSchema(n)))).toString
+            Serde.parseAvroEvolved(col("value"), writerJson, readerJson, Some(id))
+          case _ => Serde.parseAvroFramed(col("value"), readerJson, id)
+        }
       case None => from_json(col("value").cast("string"), wireSchema,
         java.util.Map.of("timestampFormat", Topic.wireTsFmt))
     }

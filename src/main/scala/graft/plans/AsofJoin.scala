@@ -484,8 +484,13 @@ case class AsofJoinExec(
     val leftRow = ctx.freshName("asofLeftRow")
     val matched = ctx.freshName("asofMatched")
     val ir = classOf[InternalRow].getName
+    // The inner-join skip path must stay interruptible: without the
+    // shouldStop() before `continue`, a partition with a long run of
+    // non-matching left rows could not yield to limit/cancellation until
+    // the next match (SortMergeJoinExec's generated loop checks every
+    // iteration for the same reason).
     val noMatch =
-      if (inner) "continue;"
+      if (inner) "if (shouldStop()) return;\ncontinue;"
       else s"$matched = $merger.nullRight();"
     // Column variables, not a row: downstream consume then evaluates (and
     // prunes to) exactly the columns it uses, and the stage root's

@@ -82,6 +82,39 @@ class TopicWireSpec extends SparkSuite {
       "foreign-id frames must decode to nulls under the permissive contract")
   }
 
+  test("Avro wire with a reordered consumer schema resolves fields by NAME via producedOrder") {
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val wire = topic.toKafkaWire(df, avroFrame = Some(42))
+    // consumer declares the same fields in a DIFFERENT order — including the
+    // two same-typed longs/doubles that positional decode would silently swap
+    val reordered = StructType(Seq(
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false)))
+    val back = topic.fromKafkaWire(asSourceFrame(wire), reordered,
+        keyType = LongType, avroFrame = Some(42),
+        producedOrder = Some(Seq("ts", "event_id", "event_type", "value")))
+      .as[(Long, String, Double, Long, Timestamp)].collect().toSet
+    assert(back == rows.map { case (u, t, id, ty, v) => (u, ty, v, id, t) }.toSet,
+      "schema resolution must re-pair reordered fields by name")
+    // the hazard the parameter exists for: WITHOUT producedOrder a
+    // reordered declared schema decodes positionally — here the leading
+    // types disagree, so the permissive contract yields null structs
+    // (with same-typed fields throughout it would instead silently SWAP
+    // values, which is exactly what the by-name path prevents)
+    val positional = topic.fromKafkaWire(asSourceFrame(wire), reordered,
+      keyType = LongType, avroFrame = Some(42)).collect()
+    assert(positional.forall(_.isNullAt(1)),
+      "positional decode under a reordered schema must NOT silently agree")
+    // a producedOrder that is not a permutation of the declared fields is
+    // a caller bug, rejected eagerly
+    intercept[IllegalArgumentException] {
+      topic.fromKafkaWire(asSourceFrame(wire), reordered, keyType = LongType,
+        avroFrame = Some(42), producedOrder = Some(Seq("ts", "event_id")))
+    }
+  }
+
   test("key bytes are the partitioning input: same key renders identical bytes") {
     val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
     val keys = topic.toKafkaWire(df).select("key").as[Array[Byte]].collect()
