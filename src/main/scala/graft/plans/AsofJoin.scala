@@ -119,7 +119,19 @@ object AsofJoin {
     * comma-separated right-column list ('' for none), `tolerance` an
     * interval string ('' for unbounded), `mode` 'inner' or 'left', and an
     * optional tenth `direction` ('backward' default | 'forward' |
-    * 'nearest'). The builder runs at analysis time on the driver:
+    * 'nearest').
+    *
+    * Input ergonomics: the first two arguments are CATALOG NAMES (tables or
+    * views), not subqueries — the builder resolves them with
+    * `session.table(...)` before the analyzer sees the call, so a CTE or
+    * inline subquery cannot be passed directly. The supported route is a
+    * temp view: `SELECT ... INTO` nothing —
+    * `spark.sql("CREATE OR REPLACE TEMP VIEW t AS <subquery>")` (or
+    * `df.createOrReplaceTempView("t")`) and then name `'t'`. This is the
+    * same contract as every catalog-name TVF; spec-pinned
+    * (AsofJoinSpec "subquery inputs go through temp views").
+    *
+    * The builder runs at analysis time on the driver:
     * it resolves both relations, builds the SAME [[AsofJoinNode]] as the
     * DataFrame path, and hands the analyzer an already-resolved subtree —
     * so the SQL and DataFrame forms share one operator, one planner
@@ -132,7 +144,9 @@ object AsofJoin {
       "graft_asof_join(left, right, leftKeysCsv, rightKeysCsv, leftTime, " +
         "rightTime, tiebreakCsv, tolerance, mode[, direction]) - native " +
         "as-of join of two catalog relations; keys pair positionally, " +
-        "direction is backward (default) | forward | nearest",
+        "direction is backward (default) | forward | nearest. left/right " +
+        "are catalog TABLE/VIEW NAMES - for a CTE or subquery input, " +
+        "CREATE OR REPLACE TEMP VIEW first and pass the view name",
       { args =>
         def lit(i: Int, what: String): String = {
           require(args.length == 9 || args.length == 10,

@@ -73,6 +73,39 @@ class AsofJoinSpec extends SparkSuite {
     assert(out == Map(10L -> 1L, 20L -> 2L, 30L -> -1L), s"got $out")
   }
 
+  test("subquery inputs go through temp views (the documented TVF route)") {
+    // graft_asof_join takes catalog NAMES; the documented route for a
+    // CTE/subquery input is CREATE TEMP VIEW then name the view. This pins
+    // that route end-to-end: SQL-defined views (one from a subquery with a
+    // filter + projection) feed the TVF and plan the native exec.
+    AsofJoin.registerSql(spark)
+    leftDf.createOrReplaceTempView("graft_tv_lraw")
+    rightDf.createOrReplaceTempView("graft_tv_rraw")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW graft_tv_left AS
+        |SELECT k, t, lid FROM graft_tv_lraw WHERE k = 'a'""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW graft_tv_right AS
+        |SELECT rk, rt, rid FROM graft_tv_rraw WHERE rt < 200""".stripMargin)
+    val df = spark.sql(
+      """SELECT lid, rid FROM graft_asof_join('graft_tv_left', 'graft_tv_right',
+        |  'k', 'rk', 't', 'rt', 'rid', '', 'left')""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "the view route must still plan the native exec")
+    val out = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // view filters applied: rt<200 removes the 201 candidate, k='a' keeps 3 lefts
+    assert(out == Map(1L -> 10L, 2L -> 12L, 3L -> 12L), s"got $out")
+    // and a NAME that is not in the catalog fails with the standard
+    // table-not-found analysis error, pointing the user at the contract
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_asof_join('graft_no_such_view', 'graft_tv_right',
+          |  'k', 'rk', 't', 'rt', '', '', 'left')""".stripMargin)
+    }
+    assert(err.getMessage.contains("graft_no_such_view"), err.getMessage)
+  }
+
   test("forward direction: earliest at-or-after, ties to SMALLEST id, shared right serves many lefts") {
     val out = AsofJoin.join(leftDf, rightDf, Seq("k" -> "rk"), "t", "rt",
         rightTiebreak = Seq("rid"), direction = "forward")

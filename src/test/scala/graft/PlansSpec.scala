@@ -223,6 +223,34 @@ class PlansSpec extends SparkSuite {
         s"left-side partitioning — expected 2 exchanges total, found $n:\n$p")
   }
 
+  test("column pruning propagates through AsofJoinNode: a narrow projection narrows both scans") {
+    // The node exposes keys/times/tiebreaks as resolved Attribute
+    // constructor args, which is what lets ColumnPruning see its true
+    // column demand; a refactor to expression-typed args would silently
+    // widen every scan under the join (round-5 verdict #3 — this pin).
+    // Neither input is pre-projected: the only narrowing comes from the
+    // 2-column select ABOVE the join propagating through the node.
+    import org.apache.spark.sql.functions.col
+    val ev = engine.Tables.events(spark, sf1)
+    val left = ev.filter(col("event_type") === "purchase")
+    val right = ev.filter(col("event_type") === "click")
+      .select(ev.columns.toSeq.map(c => col(c).as(s"r_$c")): _*)
+    val joined = _root_.graft.plans.AsofJoin.join(left, right,
+      keys = Seq("user_id" -> "r_user_id"),
+      leftTime = "ts", rightTime = "r_ts",
+      rightTiebreak = Seq("r_event_id"),
+      tolerance = Some("1 hour"), inner = true)
+    val narrow = joined.select(col("event_id"), col("r_event_id"))
+    val readSchemas = narrow.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.nonEmpty, "expected parquet scans under the as-of join")
+    assert(!readSchemas.contains("props") && !readSchemas.contains("value"),
+      s"columns unused by the join and projection must be pruned from BOTH " +
+        s"scans under AsofJoinNode, got:\n$readSchemas")
+    assert(readSchemas.contains("user_id") && readSchemas.contains("event_id"),
+      s"join keys/outputs must survive pruning, got:\n$readSchemas")
+  }
+
   test("order_chain_cte: the production loop body never broadcasts the ranked fact relation") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LogicalJoin}
     def loopJoins(df: org.apache.spark.sql.DataFrame) =
