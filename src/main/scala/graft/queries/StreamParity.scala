@@ -393,6 +393,7 @@ object StreamParity {
     */
   def asofStreamParity(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
+    import ss.implicits._
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val maxTs = Tables.events(ss, dir)
@@ -403,13 +404,14 @@ object StreamParity {
     val tagged = eventsStream(ss, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts", "0 seconds")
-      .select(col("user_id"), col("ts"), col("event_id"),
+      .select(col("user_id").as("key"), col("ts"), col("event_id"),
         (col("event_type") === "purchase").as("isLeft"))
-      .as[Streaming.AsofEvent](org.apache.spark.sql.Encoders.product[Streaming.AsofEvent])
+      .as[Streaming.AsofEvent[Long]]
     val matches = Streaming.asofEnrichStream(tagged, 3600L * 1000000L)
-      .filter(_.purchase_micros < cutoffMicros)
+      .filter(_.left_micros < cutoffMicros)
     runAppend(ss, matches.toDF())
-      .select(col("purchase_id"), col("user_id"), col("click_id"))
+      .select(col("left_id").as("purchase_id"), col("key").as("user_id"),
+        col("right_id").as("click_id"))
   }
 
   /** FORWARD streaming as-of — the direction family under real
@@ -424,6 +426,7 @@ object StreamParity {
     */
   def asofForwardStreamParity(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
+    import ss.implicits._
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val tolMicros = 600L * 1000000L
@@ -435,15 +438,115 @@ object StreamParity {
     val tagged = eventsStream(ss, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts", "0 seconds")
-      .select(col("user_id"), col("ts"), col("event_id"),
+      .select(col("user_id").as("key"), col("ts"), col("event_id"),
         (col("event_type") === "click").as("isLeft"))
-      .as[Streaming.AsofEvent](org.apache.spark.sql.Encoders.product[Streaming.AsofEvent])
+      .as[Streaming.AsofEvent[Long]]
     val matches = Streaming.asofEnrichStream(tagged, tolMicros, direction = 1)
-      .filter(_.purchase_micros < cutoffMicros)
+      .filter(_.left_micros < cutoffMicros)
     runAppend(ss, matches.toDF())
-      .select(col("purchase_id").as("click_id"), col("user_id"),
-        col("click_id").as("purchase_id"))
+      .select(col("left_id").as("click_id"), col("key").as("user_id"),
+        col("right_id").as("purchase_id"))
   }
+
+  /** NEAREST streaming as-of — the last cell of the direction × surface
+    * matrix under the oracle: each purchase matched to the click CLOSEST
+    * in time within ±10 minutes (equal distance prefers the backward
+    * side), through real incremental execution. Nearest shares forward's
+    * maturation rule — a left's candidate window closes only when the
+    * watermark passes `lt + τ` (the lookAHEAD edge), so the finite-input
+    * cutoff shifts by τ exactly like the forward row.
+    */
+  def asofNearestStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tolMicros = 600L * 1000000L
+    val maxTs = Tables.events(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoffMicros =
+      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - tolMicros - 1000000L
+    val tagged = eventsStream(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("key"), col("ts"), col("event_id"),
+        (col("event_type") === "purchase").as("isLeft"))
+      .as[Streaming.AsofEvent[Long]]
+    val matches = Streaming.asofEnrichStream(tagged, tolMicros, direction = 2)
+      .filter(_.left_micros < cutoffMicros)
+    runAppend(ss, matches.toDF())
+      .select(col("left_id").as("purchase_id"), col("key").as("user_id"),
+        col("right_id").as("click_id"))
+  }
+
+  /** MULTI-KEY streaming as-of: the processor grouped on a COMPOSITE key
+    * — (user_id, calendar day) — matching the batch operator's
+    * multi-column `keys` (and the SQL TVF's csv key lists): a purchase
+    * only matches clicks of the same user on the same day, the
+    * "enrich within session/day" shape. `K = (Long, String)` exercises
+    * the product-key encoder path end-to-end under the oracle; backward
+    * direction, so the finite-input cutoff is the unshifted rule.
+    */
+  def asofMultikeyStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    import ss.implicits._
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val maxTs = Tables.events(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoffMicros =
+      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - 1000000L
+    val tagged = eventsStream(ss, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "0 seconds")
+      .select(struct(col("user_id").as("_1"),
+          date_format(col("ts"), "yyyy-MM-dd").as("_2")).as("key"),
+        col("ts"), col("event_id"),
+        (col("event_type") === "purchase").as("isLeft"))
+      .as[Streaming.AsofEvent[(Long, String)]]
+    val matches = Streaming.asofEnrichStream(tagged, 3600L * 1000000L)
+      .filter(_.left_micros < cutoffMicros)
+    runAppend(ss, matches.toDF())
+      .select(col("left_id").as("purchase_id"), col("key._1").as("user_id"),
+        col("key._2").as("day"), col("right_id").as("click_id"))
+  }
+
+  val asofNearestStreamParitySql: String =
+    """WITH b AS (SELECT max(ts) - INTERVAL '10 minutes' - INTERVAL '1 second' AS cutoff
+      |           FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT purchase_id, user_id, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |         c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY ABS(epoch_us(c.ts::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP)) ASC,
+      |                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+      |                    CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END ASC) AS rn
+      |  FROM (SELECT e.* FROM events e, b
+      |        WHERE e.event_type = 'purchase' AND e.ts < b.cutoff) p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |   AND c.ts >= p.ts - INTERVAL '10 minutes'
+      |   AND c.ts <= p.ts + INTERVAL '10 minutes')
+      |WHERE rn = 1""".stripMargin
+
+  val asofMultikeyStreamParitySql: String =
+    """WITH b AS (SELECT max(ts) - INTERVAL '1 second' AS cutoff
+      |           FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT purchase_id, user_id, day, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |         strftime(p.ts::TIMESTAMP, '%Y-%m-%d') AS day,
+      |         c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT e.* FROM events e, b
+      |        WHERE e.event_type = 'purchase' AND e.ts < b.cutoff) p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |   AND strftime(c.ts::TIMESTAMP, '%Y-%m-%d') = strftime(p.ts::TIMESTAMP, '%Y-%m-%d')
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour')
+      |WHERE rn = 1""".stripMargin
 
   val asofForwardStreamParitySql: String =
     """WITH b AS (SELECT max(ts) - INTERVAL '10 minutes' - INTERVAL '1 second' AS cutoff

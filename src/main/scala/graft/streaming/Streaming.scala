@@ -349,18 +349,23 @@ object Streaming {
     * reference data). Carries the event-time TIMESTAMP so the upstream
     * watermark column survives into the typed stream; the processor works
     * in microseconds (the fixtures' precision).
+    *
+    * `K` is the equi-key — a single column (`Long`) or any product
+    * (tuples/case classes), matching the batch operator's multi-column
+    * `keys`: the processor never interprets the key beyond grouping, so
+    * composite keys cost only the wider grouping encoder.
     */
-  final case class AsofEvent(user_id: Long, ts: Timestamp, event_id: Long,
-                             isLeft: Boolean)
+  final case class AsofEvent[K](key: K, ts: Timestamp, event_id: Long,
+                                isLeft: Boolean)
 
-  /** One enriched left row: the most recent right id at-or-before it
-    * (within the lookback), or None — emitted exactly once, when the
-    * watermark proves its candidate set is complete. Carries the left
-    * row's event-time micros so a finite-input parity run can bound its
-    * OUTPUT (emitted ⇔ matured) without touching the watermark's input.
+  /** One enriched left row: the direction's as-of right id (or None) —
+    * emitted exactly once, when the watermark proves its candidate set is
+    * complete. Carries the left row's event-time micros so a finite-input
+    * parity run can bound its OUTPUT (emitted ⇔ matured) without touching
+    * the watermark's input.
     */
-  final case class AsofMatch(purchase_id: Long, user_id: Long,
-                             click_id: Option[Long], purchase_micros: Long)
+  final case class AsofMatch[K](left_id: Long, key: K,
+                                right_id: Option[Long], left_micros: Long)
 
   /** STREAMING as-of enrichment — the streaming twin of the native batch
     * operator ([[graft.plans.AsofJoinExec]]), a shape Spark has no built-in
@@ -386,8 +391,8 @@ object Streaming {
     * (state-store lookup by event time) with the arrival-order hazard made
     * explicit and handled by stream time, not arrival luck.
     */
-  final class AsofEnrichProcessor(tolMicros: Long, direction: Int = 0)
-      extends StatefulProcessor[Long, AsofEvent, AsofMatch] {
+  final class AsofEnrichProcessor[K](tolMicros: Long, direction: Int = 0)
+      extends StatefulProcessor[K, AsofEvent[K], AsofMatch[K]] {
     // 0 = backward, 1 = forward, 2 = nearest — same codes and semantics
     // as the batch AsofMerger (ASOF.md). Forward/nearest must WAIT for
     // the candidate window's far edge, so a finite tolerance is required
@@ -451,7 +456,7 @@ object Streaming {
       * late rows with ts < watermark, so a right AT the watermark can
       * still arrive in a later batch and be a valid better match.
       */
-    private def mature(key: Long, wmMicros: Long): Seq[AsofMatch] = {
+    private def mature(key: K, wmMicros: Long): Seq[AsofMatch[K]] = {
       val allLefts = lefts.get().toSeq
       val (ready, pending) = allLefts.partition(_._1 + matureLag < wmMicros)
       if (ready.isEmpty) Seq.empty
@@ -489,11 +494,11 @@ object Streaming {
       }
     }
 
-    override def handleInputRows(key: Long, rows: Iterator[AsofEvent],
-                                 timers: TimerValues): Iterator[AsofMatch] = {
+    override def handleInputRows(key: K, rows: Iterator[AsofEvent[K]],
+                                 timers: TimerValues): Iterator[AsofMatch[K]] = {
       // microsecond precision (same fix as RecentEventsProcessor):
       // Timestamp.getTime is millis, and the fixtures are micros
-      def micros(e: AsofEvent): Long =
+      def micros(e: AsofEvent[K]): Long =
         e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
       rows.foreach { e =>
         if (e.isLeft) lefts.appendValue((micros(e), e.event_id))
@@ -504,8 +509,8 @@ object Streaming {
       out.iterator
     }
 
-    override def handleExpiredTimer(key: Long, timers: TimerValues,
-                                    expired: ExpiredTimerInfo): Iterator[AsofMatch] = {
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[AsofMatch[K]] = {
       armed.clear()
       val out = mature(key, timers.getCurrentWatermarkInMs() * 1000L)
       rearm()
@@ -515,13 +520,19 @@ object Streaming {
 
   /** Wire the as-of processor over a tagged, watermarked stream.
     * `direction` as in the batch operator: 0 backward (default),
-    * 1 forward, 2 nearest (finite tolerance required past backward). */
-  def asofEnrichStream(tagged: Dataset[AsofEvent],
-                       tolMicros: Long,
-                       direction: Int = 0): Dataset[AsofMatch] =
-    tagged.groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new AsofEnrichProcessor(tolMicros, direction),
-        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[AsofMatch])
+    * 1 forward, 2 nearest (finite tolerance required past backward).
+    * `K` is the grouping key — single-column or composite (any product
+    * type), mirroring the batch operator's multi-column `keys`; both
+    * encoders resolve from `spark.implicits` at the call site.
+    */
+  def asofEnrichStream[K](tagged: Dataset[AsofEvent[K]],
+                          tolMicros: Long,
+                          direction: Int = 0)(
+      implicit kEnc: org.apache.spark.sql.Encoder[K],
+      mEnc: org.apache.spark.sql.Encoder[AsofMatch[K]]): Dataset[AsofMatch[K]] =
+    tagged.groupByKey(_.key)(kEnc)
+      .transformWithState(new AsofEnrichProcessor[K](tolMicros, direction),
+        TimeMode.EventTime(), OutputMode.Append())(mEnc)
 
   /** Wire the filtered-table processor over a typed event stream. */
   def filteredTableUpdates(events: Dataset[Event],

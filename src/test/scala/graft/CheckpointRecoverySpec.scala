@@ -95,16 +95,16 @@ class CheckpointRecoverySpec extends SparkSuite {
     import Streaming.{AsofEvent, AsofMatch}
     val srcDir = Files.createTempDirectory("ckasof-src").toString
     val ckDir = Files.createTempDirectory("ckasof-ck").toString
-    def write(rows: Seq[AsofEvent]): Unit =
+    def write(rows: Seq[AsofEvent[Long]]): Unit =
       rows.toDS().coalesce(1).write.mode("append").parquet(srcDir)
-    val evSchema = org.apache.spark.sql.Encoders.product[AsofEvent].schema
+    val evSchema = org.apache.spark.sql.Encoders.product[AsofEvent[Long]].schema
     val outDir = Files.createTempDirectory("ckasof-out").toString
-    val outSchema = org.apache.spark.sql.Encoders.product[AsofMatch].schema
+    val outSchema = org.apache.spark.sql.Encoders.product[AsofMatch[Long]].schema
     // parquet sink: the memory sink refuses checkpoint RECOVERY (it cannot
     // reconstruct pre-restart batches); the file sink's commit log can
     def startQuery() = {
       val tagged = spark.readStream.schema(evSchema).parquet(srcDir)
-        .withWatermark("ts", "30 seconds").as[AsofEvent]
+        .withWatermark("ts", "30 seconds").as[AsofEvent[Long]]
       Streaming.asofEnrichStream(tagged, 5L * 1000000L)
         .toDF().writeStream.format("parquet")
         .option("path", outDir)
@@ -112,12 +112,12 @@ class CheckpointRecoverySpec extends SparkSuite {
         .option("checkpointLocation", ckDir)
         .start()
     }
-    def sinkRows() = spark.read.schema(outSchema).parquet(outDir).as[AsofMatch]
+    def sinkRows() = spark.read.schema(outSchema).parquet(outDir).as[AsofMatch[Long]]
     // phase 1: a right INSIDE the 5 s lookback plus its left — the 30 s
     // watermark delay keeps the left immature, so at shutdown the match
     // lives entirely in state: buffered right, pending left, armed timer
-    write(Seq(AsofEvent(1, ts(8), 1, isLeft = false),
-      AsofEvent(1, ts(10), 100, isLeft = true)))
+    write(Seq(AsofEvent(1L, ts(8), 1, isLeft = false),
+      AsofEvent(1L, ts(10), 100, isLeft = true)))
     val q1 = startQuery()
     q1.processAllAvailable(); q1.stop()
     assert(sinkRows().isEmpty,
@@ -125,11 +125,11 @@ class CheckpointRecoverySpec extends SparkSuite {
     // phase 2: only a far-future watermark-advancer arrives; the restarted
     // query must emit the PRE-RESTART right as the match — proving rights
     // state, pending-left state, and the event-time timer all recovered
-    write(Seq(AsofEvent(1, ts(100), 3, isLeft = false)))
+    write(Seq(AsofEvent(1L, ts(100), 3, isLeft = false)))
     val q2 = startQuery()
     q2.processAllAvailable(); q2.stop()
     val out = sinkRows().collect().toSeq
-    assert(out == Seq(AsofMatch(100, 1, Some(1), 10000000L)),
+    assert(out == Seq(AsofMatch(100L, 1L, Some(1L), 10000000L)),
       s"restarted as-of must resume its state, got $out")
   }
 }

@@ -203,7 +203,7 @@ class TransformWithStateSpec extends SparkSuite {
 
   test("AsofEnrichProcessor holds a left until matured; an out-of-order right changes its answer") {
     import graft.streaming.Streaming.{AsofEvent, AsofMatch}
-    val ms = MemoryStream[AsofEvent](spark)
+    val ms = MemoryStream[AsofEvent[Long]](spark)
     val matches = Streaming.asofEnrichStream(
       ms.toDS().withWatermark("ts", "5 seconds"), tolMicros = 3600L * 1000000L)
     val q = matches.toDF().writeStream.format("memory")
@@ -213,20 +213,20 @@ class TransformWithStateSpec extends SparkSuite {
       .start()
     // batch 1: left L100 @10s and right R1 @2s — L100 must NOT answer yet
     // (watermark 5s < 10s; a later right ≤ 10s could still arrive)
-    ms.addData(Seq(AsofEvent(1, ts(10), 100, isLeft = true),
-      AsofEvent(1, ts(2), 1, isLeft = false)))
+    ms.addData(Seq(AsofEvent(1L, ts(10), 100, isLeft = true),
+      AsofEvent(1L, ts(2), 1, isLeft = false)))
     q.processAllAvailable()
     assert(spark.table("tws_asof").isEmpty,
       "a left must not be answered before the watermark passes its time")
     // batch 2: an OUT-OF-ORDER right R2 @8s (newer than R1, still ≤ L100's
     // 10s, inside the 5s delay) plus a right @20s that pushes the
     // watermark to 15s — maturing L100, whose answer must be R2, not R1
-    ms.addData(Seq(AsofEvent(1, ts(8), 2, isLeft = false),
-      AsofEvent(1, ts(20), 3, isLeft = false)))
+    ms.addData(Seq(AsofEvent(1L, ts(8), 2, isLeft = false),
+      AsofEvent(1L, ts(20), 3, isLeft = false)))
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("tws_asof").as[AsofMatch].collect().toSeq
-    assert(out == Seq(AsofMatch(100, 1, Some(2), 10000000L)),
+    val out = spark.table("tws_asof").as[AsofMatch[Long]].collect().toSeq
+    assert(out == Seq(AsofMatch(100L, 1L, Some(2L), 10000000L)),
       s"expected L100 matched to the late-arriving R2, got $out")
   }
 
@@ -248,7 +248,7 @@ class TransformWithStateSpec extends SparkSuite {
       // later-timestamped batch is late-DROPPED by the zero-grace
       // contract — correct streaming behavior, but then the surfaces see
       // different inputs and the equivalence claim is vacuous.
-      val ms = MemoryStream[AsofEvent](spark)
+      val ms = MemoryStream[AsofEvent[Long]](spark)
       val matches = Streaming.asofEnrichStream(
         ms.toDS().withWatermark("ts", "30 seconds"), tolMicros, dirCode)
       val sink = s"tws_asof_xform_$dirName"
@@ -261,11 +261,11 @@ class TransformWithStateSpec extends SparkSuite {
         lefts.map { case (u, t, i) => AsofEvent(u, ts(t), i, isLeft = true) }
       val (b1, b2) = scala.util.Random.shuffle(all).splitAt(all.size / 2)
       ms.addData(b1); q.processAllAvailable()
-      ms.addData(b2 :+ AsofEvent(99, ts(1000), 999, isLeft = false))
+      ms.addData(b2 :+ AsofEvent(99L, ts(1000), 999, isLeft = false))
       q.processAllAvailable()
       q.stop()
-      val streamed = spark.table(sink).as[AsofMatch].collect()
-        .map(m => (m.purchase_id, m.user_id, m.click_id.getOrElse(-1L))).toSet
+      val streamed = spark.table(sink).as[AsofMatch[Long]].collect()
+        .map(m => (m.left_id, m.key, m.right_id.getOrElse(-1L))).toSet
       // NATIVE BATCH on the same rows
       val lDf = lefts.toDF("u", "t", "lid")
         .select($"u", ($"t" * 1000000L).as("lt"), $"lid")
@@ -281,5 +281,46 @@ class TransformWithStateSpec extends SparkSuite {
       assert(streamed == native,
         s"direction=$dirName diverges:\n streaming=$streamed\n native=$native")
     }
+  }
+
+  test("streaming processor with a COMPOSITE key ≡ native multi-key batch operator") {
+    import graft.streaming.Streaming.{AsofEvent, AsofMatch}
+    // (g, sub, t_s, id): same g under a DIFFERENT sub must never match —
+    // the component-wise pairing the batch operator and SQL TVF already
+    // guarantee, now on the streaming surface (round-5 verdict #1)
+    val rights = Seq(("a", 1L, 2L, 1L), ("a", 2L, 8L, 2L), ("b", 1L, 5L, 3L))
+    val lefts = Seq(("a", 1L, 10L, 100L), ("a", 2L, 9L, 101L), ("b", 2L, 6L, 102L))
+    val ms = MemoryStream[AsofEvent[(String, Long)]](spark)
+    val matches = Streaming.asofEnrichStream(
+      ms.toDS().withWatermark("ts", "30 seconds"), tolMicros = 20L * 1000000L)
+    val q = matches.toDF().writeStream.format("memory")
+      .queryName("tws_asof_mk").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-asof-mk").toString)
+      .start()
+    val all = rights.map { case (g, s, t, i) =>
+      AsofEvent((g, s), ts(t), i, isLeft = false) } ++
+      lefts.map { case (g, s, t, i) => AsofEvent((g, s), ts(t), i, isLeft = true) }
+    ms.addData(scala.util.Random.shuffle(all))
+    q.processAllAvailable()
+    ms.addData(Seq(AsofEvent(("z", 0L), ts(1000), 999, isLeft = false)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tws_asof_mk").as[AsofMatch[(String, Long)]]
+      .collect().map(m => (m.left_id, m.key, m.right_id.getOrElse(-1L))).toSet
+    val lDf = lefts.toDF("g", "sub", "t0", "lid")
+      .select($"g", $"sub", ($"t0" * 1000000L).as("lt"), $"lid")
+    val rDf = rights.toDF("rg", "rsub", "rt0", "rid")
+      .select($"rg", $"rsub", ($"rt0" * 1000000L).as("rt"), $"rid")
+    val native = graft.plans.AsofJoin.join(lDf, rDf,
+        Seq("g" -> "rg", "sub" -> "rsub"), "lt", "rt",
+        rightTiebreak = Seq("rid"), tolerance = Some("20 seconds"))
+      .select($"lid", $"g", $"sub",
+        org.apache.spark.sql.functions.coalesce($"rid",
+          org.apache.spark.sql.functions.lit(-1L)))
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (lid, g, s, rid) => (lid, (g, s), rid) }.toSet
+    assert(streamed == native,
+      s"multi-key surfaces diverge:\n streaming=$streamed\n native=$native")
   }
 }
