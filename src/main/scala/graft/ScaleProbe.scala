@@ -61,6 +61,43 @@ object ScaleProbe {
           println(f"[probe]   walk-only ${(System.nanoTime() - t1) / 1e9}%.2f s")
           spark.catalog.clearCache()
           n
+        // As-of hot-key regime (round-5 verdict #2): collapse pct% of users
+        // onto ONE key on both sides, then run the native merge
+        // (asofskew=nativeP<pct>) or the composed range-join + max_by form
+        // (asofskew=composedP<pct>). AQE skew-join splitting does NOT apply
+        // to the custom node, so this measures the documented "a hot key
+        // costs time, not space" claim directly: the native hot key is one
+        // task doing an O(m+n) merge with one buffered row; the composed
+        // form materializes the per-left candidate pairs.
+        case s"asofskew=${form}P${pct}" =>
+          import org.apache.spark.sql.functions._
+          val ev = graft.engine.Tables.events(spark, dir)
+            .withColumn("user_id",
+              when(pmod(xxhash64(col("user_id")), lit(100)) < pct.toInt, lit(0L))
+                .otherwise(col("user_id")))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"))
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+          form match {
+            case "native" =>
+              graft.plans.AsofJoin.join(purchases, clicks,
+                keys = Seq("user_id" -> "c_user_id"),
+                leftTime = "ts", rightTime = "c_ts",
+                rightTiebreak = Seq("click_id"),
+                tolerance = Some("1 hour"), inner = true).count()
+            case "composed" =>
+              purchases.join(clicks,
+                  col("user_id") === col("c_user_id") &&
+                    col("c_ts") <= col("ts") &&
+                    col("c_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+                .groupBy(col("event_id"))
+                .agg(max_by(col("click_id"), struct(col("c_ts"), col("click_id")))
+                  .as("click_id"))
+                .count()
+            case other => sys.error(s"asofskew form must be native|composed, got $other")
+          }
         case other => sys.error(s"unknown probe spec: $other")
       }
       println(f"[probe] $spec rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f s")
