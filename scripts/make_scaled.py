@@ -80,7 +80,7 @@ def customer_copy(t, c):
     # scaled customer into a handful of leading-zero suffix blocks — a
     # degenerate blocking-key distribution that no real name column has
     # (measured: it sent the blocked fuzzy join quadratic, 547x at 16x).
-    names = [f"Customer#{((k % SHIFT) * 32 + k // SHIFT) % 10**9:09d}"
+    names = [f"Customer#{((k % SHIFT) * 64 + k // SHIFT) % 10**9:09d}"
              for k in t.column("c_custkey").to_pylist()]
     i = t.schema.get_field_index("c_name")
     return t.set_column(i, "c_name", pa.array(names, pa.string()))
@@ -109,13 +109,15 @@ COPIERS = {
 
 def main(src, out_base, ns):
     import os
-    # the name derivation (orig*32 + copy) is injective only within these
+    # the name derivation (orig*64 + copy) is injective only within these
     # bounds; silent collisions would quietly degrade the blocking-key
-    # entropy this generator exists to preserve
-    assert all(n <= 32 for n in ns), "copy counts above 32 collide in c_name"
+    # entropy this generator exists to preserve. (Was orig*32 through
+    # round 5; widened for the 64x probes — same entropy properties, so
+    # regenerated x4/x16 corpora stay statistically equivalent.)
+    assert all(n <= 64 for n in ns), "copy counts above 64 collide in c_name"
     for n in ns:
         src_keys = load(src, "customer").column("c_custkey")
-        assert pc.max(src_keys).as_py() * 32 + n < 10**9, \
+        assert pc.max(src_keys).as_py() * 64 + n < 10**9, \
             "c_custkey too large: c_name derivation would collide"
         out = f"{out_base}/x{n}"
         os.makedirs(out, exist_ok=True)

@@ -98,6 +98,23 @@ object ScaleProbe {
                 .count()
             case other => sys.error(s"asofskew form must be native|composed, got $other")
           }
+        // Sustained streaming throughput (round-5 verdict #6): the stateful
+        // as-of enrichment pipeline (file stream -> transformWithState with
+        // RocksDB state + event-time timers -> parquet sink) drained through
+        // AvailableNow, reported as input rows / wall seconds. The parity
+        // rows only pin correctness; this line is the number a streaming
+        // compute regression would move. Wall time includes query start-up
+        // and micro-batch scheduling — the honest end-to-end figure.
+        case "asofstream" =>
+          import org.apache.spark.sql.functions._
+          val inputRows = graft.engine.Tables.events(spark, dir)
+            .filter(col("event_type").isin("click", "purchase")).count()
+          val t1 = System.nanoTime()
+          val out = graft.queries.StreamParity.asofStreamParity(spark, dir).count()
+          val secs = (System.nanoTime() - t1) / 1e9
+          println(f"[probe]   streaming throughput ${inputRows / secs}%.0f rows/s " +
+            f"($inputRows%d input rows in ${secs}%.2f s)")
+          out
         case other => sys.error(s"unknown probe spec: $other")
       }
       println(f"[probe] $spec rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f s")
