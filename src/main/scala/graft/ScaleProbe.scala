@@ -87,6 +87,14 @@ object ScaleProbe {
                 leftTime = "ts", rightTime = "c_ts",
                 rightTiebreak = Seq("click_id"),
                 tolerance = Some("1 hour"), inner = true).count()
+            case "banded" =>
+              // the hot-key escape hatch: same semantics, hot key spread
+              // across 4h time bands (1h lookback -> ~1.25x right replication)
+              graft.plans.AsofJoin.joinTimeBanded(purchases, clicks,
+                keys = Seq("user_id" -> "c_user_id"),
+                leftTime = "ts", rightTime = "c_ts",
+                rightTiebreak = Seq("click_id"),
+                tolerance = "1 hour", inner = true).count()
             case "composed" =>
               purchases.join(clicks,
                   col("user_id") === col("c_user_id") &&
@@ -96,7 +104,7 @@ object ScaleProbe {
                 .agg(max_by(col("click_id"), struct(col("c_ts"), col("click_id")))
                   .as("click_id"))
                 .count()
-            case other => sys.error(s"asofskew form must be native|composed, got $other")
+            case other => sys.error(s"asofskew form must be native|banded|composed, got $other")
           }
         // Sustained streaming throughput (round-5 verdict #6): the stateful
         // as-of enrichment pipeline (file stream -> transformWithState with

@@ -104,6 +104,81 @@ object AsofJoin {
     PlanBridge.ofRows(spark, node)
   }
 
+  /** [[join]] with LEFT-SIDE TIME-BAND SPLITTING — the escape hatch for a
+    * key too hot even for the native operator's linear merge (SCALE.md
+    * "as-of hot-key regime": the plain merge is flat to ~300k events on
+    * one key; this exists for the 10⁹-events-one-key regime where a single
+    * task's O(m+n) pass would serialize minutes of wall time).
+    *
+    * Mechanics: lefts get a band id `floor(time / bandWidth)` APPENDED to
+    * the equi-key, so one hot key becomes (time-range ÷ bandWidth) sub-keys
+    * that hash to different reducers; rights are replicated into every band
+    * whose lefts could reference them — the direction's candidate window
+    * `[rt − after, rt + before]` mapped to band ids (backward: a right
+    * serves lefts in `[rt, rt+τ]`; forward `[rt−τ, rt]`; nearest both).
+    * Each (key, band) group then contains EVERY candidate its lefts need,
+    * so the per-band merge answers are exactly the unsplit answers — and
+    * since bands partition the lefts, no output duplicates or drops
+    * (spec-pinned equality in AsofJoinSpec). This is the as-of analogue of
+    * [[graft.engine.Skew.saltedJoin]]: placement changes, semantics never.
+    *
+    * Cost: right side shuffles ~`1 + ceil(τ/bandWidth)`× (backward/forward;
+    * double for nearest) — size bandWidth a few multiples of τ to keep
+    * replication near 1×. Requires a finite tolerance (an unbounded
+    * lookback cannot band). Output column set matches [[join]] (the band
+    * column is internal).
+    */
+  def joinTimeBanded(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Seq[String] = Nil,
+      tolerance: String,
+      inner: Boolean = false,
+      direction: String = "backward",
+      bandWidth: String = ""): DataFrame = {
+    // selective import: the wildcard would shadow the left/right parameters
+    // with functions.left/right
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, unix_micros}
+    val tolMicros = {
+      val iv = IntervalUtils.fromIntervalString(tolerance)
+      require(iv.months == 0, s"calendar-month tolerance is ambiguous: $tolerance")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val w = if (bandWidth.isEmpty) 4 * tolMicros else {
+      val iv = IntervalUtils.fromIntervalString(bandWidth)
+      require(iv.months == 0, s"calendar-month band width is ambiguous: $bandWidth")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    require(tolMicros > 0 && w > 0, "time banding requires positive tolerance and width")
+    require(tolMicros < Long.MaxValue / 4 && w < Long.MaxValue / 4,
+      "tolerance/band width too large to band safely")
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      if (dt == TimestampType) unix_micros(c) else c
+    // a right at rt serves lefts with lt in [rt - after, rt + before]
+    val (before, after) = direction match {
+      case "forward" => (0L, tolMicros)
+      case "nearest" => (tolMicros, tolMicros)
+      case _         => (tolMicros, 0L)
+    }
+    val lt = micros(col(leftTime), left.schema(leftTime).dataType)
+    val rt = micros(col(rightTime), right.schema(rightTime).dataType)
+    // floorDiv, not truncating division (which would merge bands -1 and 0
+    // for pre-epoch times); subtracting the positive pmod first makes the
+    // numerator an exact multiple of w, so the quotient is exact
+    def band(c: Column): Column = ((c - pmod(c, lit(w))) / w).cast("long")
+    val lBanded = left.withColumn("__graft_band", band(lt))
+    val rBanded = right.withColumn("__graft_band",
+      explode(sequence(band(rt - after), band(rt + before))))
+    join(lBanded, rBanded,
+        keys :+ ("__graft_band" -> "__graft_band"),
+        leftTime, rightTime, rightTiebreak,
+        Some(tolerance), inner, direction)
+      .drop("__graft_band")
+  }
+
   /** SQL surface for the native operator (round-4 verdict #8): registers
     * the table-valued function
     * {{{

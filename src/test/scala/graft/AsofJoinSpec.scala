@@ -244,6 +244,35 @@ class AsofJoinSpec extends SparkSuite {
     assert(f.collect().toSet == expect)
   }
 
+  test("time-banded split equals the plain join in every direction and mode (hot-key escape hatch)") {
+    // one pathologically hot key (500 lefts, 500 rights) plus cold keys,
+    // with times straddling band boundaries and negative (pre-epoch) values
+    // to exercise the floorDiv banding; band width deliberately SMALLER
+    // than the default 4τ so rights genuinely replicate across bands
+    val lefts = spark.range(500)
+      .select(lit("hot").as("k"), (col("id") * 13L - 1000L).as("t"), col("id").as("lid"))
+      .union(spark.range(40).select(concat(lit("c"), col("id") % 4).as("k"),
+        (col("id") * 13L - 1000L).as("t"), (col("id") + 9000L).as("lid")))
+    val rights = spark.range(500)
+      .select(lit("hot").as("rk"), (col("id") * 7L - 900L).as("rt"), col("id").as("rid"))
+      .union(spark.range(40).select(concat(lit("c"), col("id") % 4).as("rk"),
+        (col("id") * 7L - 900L).as("rt"), (col("id") + 9500L).as("rid")))
+    for (dir <- Seq("backward", "forward", "nearest"); inner <- Seq(true, false)) {
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select($"lid", coalesce($"rid", lit(-1L))).as[(Long, Long)].collect().toSet
+      val plain = rowsOf(AsofJoin.join(lefts, rights, Seq("k" -> "rk"), "t", "rt",
+        rightTiebreak = Seq("rid"), tolerance = Some("0.0002 seconds"),
+        inner = inner, direction = dir))
+      val banded = rowsOf(AsofJoin.joinTimeBanded(lefts, rights, Seq("k" -> "rk"),
+        "t", "rt", rightTiebreak = Seq("rid"), tolerance = "0.0002 seconds",
+        inner = inner, direction = dir, bandWidth = "0.0003 seconds"))
+      assert(banded == plain,
+        s"banded split diverges (direction=$dir, inner=$inner): " +
+          s"missing=${(plain -- banded).take(5)} extra=${(banded -- plain).take(5)}")
+      assert(plain.exists(_._2 >= 0L), s"no matches at all in direction=$dir — vacuous")
+    }
+  }
+
   test("timestamp time columns work end-to-end (micros semantics)") {
     val l = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L))
       .toDF("k", "t", "lid")
