@@ -80,7 +80,11 @@ def customer_copy(t, c):
     # scaled customer into a handful of leading-zero suffix blocks — a
     # degenerate blocking-key distribution that no real name column has
     # (measured: it sent the blocked fuzzy join quadratic, 547x at 16x).
-    names = [f"Customer#{((k % SHIFT) * 64 + k // SHIFT) % 10**9:09d}"
+    # 10^7 offset lifts every derived name out of the untouched copy-0
+    # namespace (original names are <= |customers| << 10^7): without it,
+    # e.g. orig 101 copy 1 derives 6465 and collides with copy-0's
+    # Customer#000006465 — ~98% of derived names would shadow an original
+    names = [f"Customer#{(10**7 + (k % SHIFT) * 64 + k // SHIFT) % 10**9:09d}"
              for k in t.column("c_custkey").to_pylist()]
     i = t.schema.get_field_index("c_name")
     return t.set_column(i, "c_name", pa.array(names, pa.string()))
@@ -117,8 +121,10 @@ def main(src, out_base, ns):
     assert all(n <= 64 for n in ns), "copy counts above 64 collide in c_name"
     for n in ns:
         src_keys = load(src, "customer").column("c_custkey")
-        assert pc.max(src_keys).as_py() * 64 + n < 10**9, \
+        assert 10**7 + pc.max(src_keys).as_py() * 64 + n < 10**9, \
             "c_custkey too large: c_name derivation would collide"
+        assert pc.max(src_keys).as_py() < 10**7, \
+            "c_custkey overlaps the derived-name offset: copy-0 names would collide"
         out = f"{out_base}/x{n}"
         os.makedirs(out, exist_ok=True)
         for name, copier in COPIERS.items():

@@ -155,6 +155,11 @@ object AsofJoin {
     require(tolMicros > 0 && w > 0, "time banding requires positive tolerance and width")
     require(tolMicros < Long.MaxValue / 4 && w < Long.MaxValue / 4,
       "tolerance/band width too large to band safely")
+    // fail fast instead of silently overwriting (and then dropping) a
+    // caller's column that happens to share the internal band name
+    require(!left.columns.contains("__graft_band") &&
+      !right.columns.contains("__graft_band"),
+      "inputs already carry a __graft_band column; rename it before banding")
     def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
       if (dt == TimestampType) unix_micros(c) else c
     // a right at rt serves lefts with lt in [rt - after, rt + before]

@@ -391,27 +391,46 @@ object StreamParity {
     * the same static bound. The watermark input is NOT filtered, so the
     * bound never shifts the watermark basis itself.
     */
-  def asofStreamParity(spark: SparkSession, dir: String): DataFrame = {
+  def asofStreamParity(spark: SparkSession, dir: String): DataFrame =
+    asofParityRun[Long](spark, dir, tolMicros = 3600L * 1000000L,
+        direction = 0, matureLagMicros = 0L,
+        keyExpr = col("user_id"),
+        isLeftExpr = col("event_type") === "purchase")
+      .select(col("left_id").as("purchase_id"), col("key").as("user_id"),
+        col("right_id").as("click_id"))
+
+  /** Shared body of the four as-of parity rows: RocksDB-provider child
+    * session, the finite-input cutoff (max click∪purchase event time −
+    * the direction's maturation lag − 1 s, the 1 s absorbing the
+    * watermark's millisecond floor), the tagged watermarked stream, the
+    * processor, and the append sink read back filtered to matured lefts
+    * (columns left_id / key / right_id). Callers choose only the key
+    * shape, which side enriches, tolerance/direction/lag, and the output
+    * renames — so a cutoff or tagging fix lands in every row at once.
+    */
+  private def asofParityRun[K](spark: SparkSession, dir: String,
+      tolMicros: Long, direction: Int, matureLagMicros: Long,
+      keyExpr: org.apache.spark.sql.Column,
+      isLeftExpr: org.apache.spark.sql.Column)(
+      implicit evEnc: org.apache.spark.sql.Encoder[Streaming.AsofEvent[K]],
+      kEnc: org.apache.spark.sql.Encoder[K],
+      mEnc: org.apache.spark.sql.Encoder[Streaming.AsofMatch[K]]): DataFrame = {
     val ss = streamSession(spark)
-    import ss.implicits._
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val maxTs = Tables.events(ss, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .agg(max(col("ts"))).head.getTimestamp(0)
-    val cutoffMicros =
-      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - 1000000L
+    val cutoffMicros = maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 -
+      matureLagMicros - 1000000L
     val tagged = eventsStream(ss, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts", "0 seconds")
-      .select(col("user_id").as("key"), col("ts"), col("event_id"),
-        (col("event_type") === "purchase").as("isLeft"))
-      .as[Streaming.AsofEvent[Long]]
-    val matches = Streaming.asofEnrichStream(tagged, 3600L * 1000000L)
-      .filter(_.left_micros < cutoffMicros)
-    runAppend(ss, matches.toDF())
-      .select(col("left_id").as("purchase_id"), col("key").as("user_id"),
-        col("right_id").as("click_id"))
+      .select(keyExpr.as("key"), col("ts"), col("event_id"),
+        isLeftExpr.as("isLeft"))
+      .as[Streaming.AsofEvent[K]]
+    val matches = Streaming.asofEnrichStream(tagged, tolMicros, direction)
+    runAppend(ss, matches.toDF().filter(col("left_micros") < cutoffMicros))
   }
 
   /** FORWARD streaming as-of — the direction family under real
@@ -424,29 +443,13 @@ object StreamParity {
     * `cutoff = max(click∪purchase ts) − 10 min − 1 s`; the oracle applies
     * the identical static bound.
     */
-  def asofForwardStreamParity(spark: SparkSession, dir: String): DataFrame = {
-    val ss = streamSession(spark)
-    import ss.implicits._
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val tolMicros = 600L * 1000000L
-    val maxTs = Tables.events(ss, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .agg(max(col("ts"))).head.getTimestamp(0)
-    val cutoffMicros =
-      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - tolMicros - 1000000L
-    val tagged = eventsStream(ss, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .withWatermark("ts", "0 seconds")
-      .select(col("user_id").as("key"), col("ts"), col("event_id"),
-        (col("event_type") === "click").as("isLeft"))
-      .as[Streaming.AsofEvent[Long]]
-    val matches = Streaming.asofEnrichStream(tagged, tolMicros, direction = 1)
-      .filter(_.left_micros < cutoffMicros)
-    runAppend(ss, matches.toDF())
+  def asofForwardStreamParity(spark: SparkSession, dir: String): DataFrame =
+    asofParityRun[Long](spark, dir, tolMicros = 600L * 1000000L,
+        direction = 1, matureLagMicros = 600L * 1000000L,
+        keyExpr = col("user_id"),
+        isLeftExpr = col("event_type") === "click")
       .select(col("left_id").as("click_id"), col("key").as("user_id"),
         col("right_id").as("purchase_id"))
-  }
 
   /** NEAREST streaming as-of — the last cell of the direction × surface
     * matrix under the oracle: each purchase matched to the click CLOSEST
@@ -456,29 +459,13 @@ object StreamParity {
     * watermark passes `lt + τ` (the lookAHEAD edge), so the finite-input
     * cutoff shifts by τ exactly like the forward row.
     */
-  def asofNearestStreamParity(spark: SparkSession, dir: String): DataFrame = {
-    val ss = streamSession(spark)
-    import ss.implicits._
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val tolMicros = 600L * 1000000L
-    val maxTs = Tables.events(ss, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .agg(max(col("ts"))).head.getTimestamp(0)
-    val cutoffMicros =
-      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - tolMicros - 1000000L
-    val tagged = eventsStream(ss, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .withWatermark("ts", "0 seconds")
-      .select(col("user_id").as("key"), col("ts"), col("event_id"),
-        (col("event_type") === "purchase").as("isLeft"))
-      .as[Streaming.AsofEvent[Long]]
-    val matches = Streaming.asofEnrichStream(tagged, tolMicros, direction = 2)
-      .filter(_.left_micros < cutoffMicros)
-    runAppend(ss, matches.toDF())
+  def asofNearestStreamParity(spark: SparkSession, dir: String): DataFrame =
+    asofParityRun[Long](spark, dir, tolMicros = 600L * 1000000L,
+        direction = 2, matureLagMicros = 600L * 1000000L,
+        keyExpr = col("user_id"),
+        isLeftExpr = col("event_type") === "purchase")
       .select(col("left_id").as("purchase_id"), col("key").as("user_id"),
         col("right_id").as("click_id"))
-  }
 
   /** MULTI-KEY streaming as-of: the processor grouped on a COMPOSITE key
     * — (user_id, calendar day) — matching the batch operator's
@@ -488,30 +475,34 @@ object StreamParity {
     * the product-key encoder path end-to-end under the oracle; backward
     * direction, so the finite-input cutoff is the unshifted rule.
     */
-  def asofMultikeyStreamParity(spark: SparkSession, dir: String): DataFrame = {
-    val ss = streamSession(spark)
-    import ss.implicits._
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val maxTs = Tables.events(ss, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .agg(max(col("ts"))).head.getTimestamp(0)
-    val cutoffMicros =
-      maxTs.getTime / 1000 * 1000000L + maxTs.getNanos / 1000 - 1000000L
-    val tagged = eventsStream(ss, dir)
-      .filter(col("event_type").isin("click", "purchase"))
-      .withWatermark("ts", "0 seconds")
-      .select(struct(col("user_id").as("_1"),
-          date_format(col("ts"), "yyyy-MM-dd").as("_2")).as("key"),
-        col("ts"), col("event_id"),
-        (col("event_type") === "purchase").as("isLeft"))
-      .as[Streaming.AsofEvent[(Long, String)]]
-    val matches = Streaming.asofEnrichStream(tagged, 3600L * 1000000L)
-      .filter(_.left_micros < cutoffMicros)
-    runAppend(ss, matches.toDF())
+  def asofMultikeyStreamParity(spark: SparkSession, dir: String): DataFrame =
+    asofParityRun[(Long, String)](spark, dir, tolMicros = 3600L * 1000000L,
+        direction = 0, matureLagMicros = 0L,
+        keyExpr = struct(col("user_id").as("_1"),
+          date_format(col("ts"), "yyyy-MM-dd").as("_2")),
+        isLeftExpr = col("event_type") === "purchase")
       .select(col("left_id").as("purchase_id"), col("key._1").as("user_id"),
         col("key._2").as("day"), col("right_id").as("click_id"))
-  }
+
+  // session-independent encoders for the parity helper's typed stream
+  // (derived from TypeTags, not a SparkSession, so object-level vals work)
+  private implicit val asofKeyLongEnc: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+  private implicit val asofKeyPairEnc: org.apache.spark.sql.Encoder[(Long, String)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+  private implicit val asofEvLongEnc:
+      org.apache.spark.sql.Encoder[Streaming.AsofEvent[Long]] =
+    org.apache.spark.sql.Encoders.product
+  private implicit val asofEvPairEnc:
+      org.apache.spark.sql.Encoder[Streaming.AsofEvent[(Long, String)]] =
+    org.apache.spark.sql.Encoders.product
+  private implicit val asofMatchLongEnc:
+      org.apache.spark.sql.Encoder[Streaming.AsofMatch[Long]] =
+    org.apache.spark.sql.Encoders.product
+  private implicit val asofMatchPairEnc:
+      org.apache.spark.sql.Encoder[Streaming.AsofMatch[(Long, String)]] =
+    org.apache.spark.sql.Encoders.product
 
   val asofNearestStreamParitySql: String =
     """WITH b AS (SELECT max(ts) - INTERVAL '10 minutes' - INTERVAL '1 second' AS cutoff
