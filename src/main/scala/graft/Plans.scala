@@ -70,7 +70,8 @@ object Plans {
     "q6_forecast_revenue",  // (r11) no-join scan: 3 pushed range predicates, 1-row agg
     "approx_quantiles_sample", // (r11) tiered bottom-k sample agg + 1-row-per-group envelope join
     "asof_join_native",     // (r11) custom AsofJoinExec: 1 exchange/side, merge pass, no pair blow-up
-    "asof_sql_surface")     // (r12) same native exec reached from SQL text via the graft_asof_join TVF
+    "asof_sql_surface",     // (r12) same native exec reached from SQL text via the graft_asof_join TVF
+    "asof_join_banded")     // (r6)  hot-key band split: widened key, replicated right, same exec
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -687,6 +687,34 @@ object ReferenceQueries {
       |   AND c.ts <= p.ts + INTERVAL '10 minutes')
       |WHERE rn = 1""".stripMargin
 
+  /** The HOT-KEY TIME-BAND form ([[graft.plans.AsofJoin.joinTimeBanded]])
+    * under the driver oracle: identical semantics to [[asofJoinNearest]]
+    * (it SHARES that oracle — the driver check is the equality proof), but
+    * the equi-key is widened with a 30-minute time band and the clicks
+    * side replicates into every band its rows could serve (±10-minute
+    * nearest window → 1–3 copies). This is the escape hatch for a single
+    * key too hot for one linear merge task; see SCALE.md "as-of hot-key
+    * regime" for the measured skew table.
+    */
+  def asofJoinBanded(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.joinTimeBanded(
+        purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = "10 minutes", inner = false,
+        direction = "nearest", bandWidth = "30 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofJoinBandedSql: String = asofJoinNearestSql
+
   /** Left-outer form of the native operator with a TIGHT lookback (5 min),
     * so unmatched purchases actually occur and the null-extension path runs
     * under the driver oracle (the inner form can't show it).

@@ -214,6 +214,21 @@ class PlansSpec extends SparkSuite {
       s"asof_sql_surface degraded to a composed join:\n$p")
   }
 
+  test("asof_join_banded keeps the native exec and one exchange per side on the widened key") {
+    val p = plans("asof_join_banded")
+    assert(p.contains("AsofJoin"),
+      s"the banded form must still plan graft's AsofJoinExec, got:\n$p")
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(n == 2,
+      s"asof_join_banded: band widening must not add exchanges — expected 2 " +
+        s"(one per side on (key, band)), found $n:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"asof_join_banded degraded to a composed join:\n$p")
+    // the right side's band replication is a generator, never a join
+    assert(p.contains("Generate") || p.contains("explode"),
+      s"expected the band-replication explode on the right side:\n$p")
+  }
+
   test("asof_featurize reuses the join's exchange: 2 shuffles for join + aggregation") {
     val p = plans("asof_featurize")
     assert(p.contains("AsofJoin") && p.contains("HashAggregate"), p)
