@@ -177,6 +177,19 @@ class PropertySpec extends SparkSuite {
         assert(got == brute(ls, rs, dir),
           s"seed $i direction $dir: native != brute force\n" +
             s" missing=${brute(ls, rs, dir) -- got}\n extra=${got -- brute(ls, rs, dir)}")
+        // the time-banded split must agree with the same reference for ANY
+        // band width — including widths smaller than the tolerance (heavy
+        // right replication) and non-divisors of the time domain
+        val width = Seq("3", "7", "11")(i % 3)
+        val banded = graft.plans.AsofJoin.joinTimeBanded(lDf, rDf,
+            Seq("k" -> "rk"), "lt", "rt", rightTiebreak = Seq("rid"),
+            tolerance = "5 microseconds", direction = dir,
+            bandWidth = s"$width microseconds")
+          .select($"lid", coalesce($"rid", lit(-1L)))
+          .as[(Long, Long)].collect().toSet
+        assert(banded == got,
+          s"seed $i direction $dir width $width: banded != plain\n" +
+            s" missing=${got -- banded}\n extra=${banded -- got}")
       }
     }
   }
