@@ -426,18 +426,34 @@ object Streaming {
     }
 
     /** The direction's match among final candidates — the batch merge's
-      * rules verbatim: backward greatest (rt, id) at-or-before; forward
-      * smallest (rt, id) at-or-after; nearest the closer side, equal
-      * distance preferring backward. */
-    private def pick(rs: Seq[(Long, Long)], lt: Long): Option[Long] = {
-      def back = rs.filter(r => r._1 <= lt && lt - r._1 <= tolMicros) match {
-        case s if s.isEmpty => None
-        case s              => Some(s.max)
+      * rules via binary search over the (rt, id)-SORTED candidate array:
+      * backward = the greatest (rt, id) at-or-before (the element just
+      * below the first index with rt > lt — equal-rt candidates sort
+      * id-ascending, so the last of them is the greatest id); forward =
+      * the smallest (rt, id) at-or-after (the first index with rt ≥ lt);
+      * nearest the closer side, equal distance preferring backward.
+      * O(log R) per left instead of an O(R) filter scan — a HOT KEY's
+      * maturation batch costs (L + R)·log R, not L × R: the streaming
+      * counterpart of the batch merge's linearity under skew. */
+    private def pick(sorted: Array[(Long, Long)], lt: Long): Option[Long] = {
+      // first index with rt > lt (upper bound by time)
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid)._1 <= lt) lo = mid + 1 else hi = mid
       }
-      def fwd = rs.filter(r => r._1 >= lt && r._1 - lt <= tolMicros) match {
-        case s if s.isEmpty => None
-        case s              => Some(s.min)
+      val back =
+        if (lo > 0 && lt - sorted(lo - 1)._1 <= tolMicros) Some(sorted(lo - 1))
+        else None
+      // first index with rt >= lt (lower bound by time)
+      var lo2 = 0; var hi2 = sorted.length
+      while (lo2 < hi2) {
+        val mid = (lo2 + hi2) >>> 1
+        if (sorted(mid)._1 < lt) lo2 = mid + 1 else hi2 = mid
       }
+      val fwd =
+        if (lo2 < sorted.length && sorted(lo2)._1 - lt <= tolMicros) Some(sorted(lo2))
+        else None
       (direction match {
         case 0 => back
         case 1 => fwd
@@ -461,7 +477,8 @@ object Streaming {
       val (ready, pending) = allLefts.partition(_._1 + matureLag < wmMicros)
       if (ready.isEmpty) Seq.empty
       else {
-        val rs = rights.get().toSeq
+        // one sort per maturation, then O(log R) binary-search picks
+        val rs = rights.get().toArray.sorted
         val out = ready.sorted.map { case (lt, lid) =>
           AsofMatch(lid, key, pick(rs, lt), lt)
         }
@@ -470,7 +487,7 @@ object Streaming {
         val keep = rs.filter(_._1 >= pruneBound(wmMicros))
         if (keep.length < rs.length) {
           rights.clear()
-          if (keep.nonEmpty) rights.appendList(keep.toArray)
+          if (keep.nonEmpty) rights.appendList(keep)
         }
         out
       }
