@@ -130,6 +130,21 @@ object Serde {
       writerSchemaJson = Some(writerSchema)))
   }
 
+  /** Registry-MAP decode for a topic whose frames carry DIFFERENT schema
+    * ids (producers mid-migration): each payload's header id selects its
+    * writer schema from `writersById`, resolved per frame to the one
+    * `readerSchema` the consumer declares — the Confluent consumer's
+    * actual per-record contract ([[parseAvroFramed]]'s single expected id
+    * is the settled-topic special case). Unregistered ids, bad framing,
+    * and resolution failures stay permissive-NULL.
+    */
+  def parseAvroRegistry(c: Column, readerSchema: String,
+                        writersById: Map[Int, String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.AvroSerde.FromAvroRegistry(
+      ColumnBridge.expression(c), readerSchema, writersById))
+  }
+
   /** Count corrupt rows into an accumulator while passing good rows through —
     * used by the deserialization-error-handler parity path
     * (ErrorHandlingExample.scala:41-43). The accumulator is the distributed

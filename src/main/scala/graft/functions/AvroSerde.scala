@@ -151,4 +151,66 @@ object AvroSerde {
     override protected def withNewChildInternal(newChild: Expression): FromAvroBinary =
       copy(child = newChild)
   }
+
+  /** Registry-MAP decode — the real consumer contract for a topic whose
+    * frames carry DIFFERENT schema ids (a producer fleet mid-migration):
+    * each payload's 5-byte header id selects its own WRITER schema from
+    * `writersById`, and the record resolves to the one `readerSchemaJson`
+    * the consumer declares (Avro schema resolution per frame). This is
+    * what a Confluent-style `KafkaAvroDeserializer` does on every record —
+    * [[FromAvroBinary]]'s single expected id is the special case of a
+    * settled topic. Permissive throughout: missing/foreign header id
+    * (not in the map — the registry lookup a real consumer would fail),
+    * truncated body, or resolution failure → NULL struct, task survives.
+    */
+  case class FromAvroRegistry(child: Expression, readerSchemaJson: String,
+      writersById: Map[Int, String])
+      extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_from_avro_registry"
+
+    override lazy val dataType: DataType = AvroBridge.toSqlType(readerSchemaJson)
+
+    @transient private lazy val readerSchema: Schema =
+      new Schema.Parser().parse(readerSchemaJson)
+    @transient private lazy val deserialize: Any => Option[Any] =
+      AvroBridge.deserializer(readerSchema, dataType)
+    @transient private lazy val readers: Map[Int, GenericDatumReader[Any]] =
+      writersById.map { case (id, ws) =>
+        id -> new GenericDatumReader[Any](
+          new Schema.Parser().parse(ws), readerSchema)
+      }
+    @transient private var decoder: BinaryDecoder = _
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      if (bytes.length < 5 || bytes(0) != 0) return null
+      val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+        ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+      readers.get(id) match {
+        case None => null // unregistered id: the failed registry lookup
+        case Some(reader) =>
+          try {
+            decoder = DecoderFactory.get()
+              .binaryDecoder(bytes, 5, bytes.length - 5, decoder)
+            // no record reuse: frames alternate writer schemas, and a
+            // reuse object from another writer's shape must not leak
+            deserialize(reader.read(null, decoder)).orNull
+          } catch { case NonFatal(_) => null }
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val expr = ctx.addReferenceObj("this", this)
+      val obj = ctx.freshName("avroDecoded")
+      nullSafeCodeGen(ctx, ev, input => s"""
+        |Object $obj = $expr.nullSafeEval($input);
+        |if ($obj == null) { ${ev.isNull} = true; } else {
+        |  ${ev.value} = (${CodeGenerator.boxedType(dataType)}) $obj;
+        |}""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): FromAvroRegistry =
+      copy(child = newChild)
+  }
 }

@@ -319,6 +319,48 @@ object ReferenceQueries {
   val avroEvolutionRoundtripSql: String =
     "SELECT event_id, event_type, 'und' AS tag FROM events"
 
+  /** A MIXED-VERSION topic under the oracle — the registry consumer's
+    * per-record contract ([[graft.engine.Serde.parseAvroRegistry]]): even
+    * event_ids are framed under writer v1 = (event_type, value) with id 7,
+    * odd ones under writer v2 = (tag, value, event_type) with id 8 (new
+    * defaulted field AND reordered — a producer fleet mid-migration), and
+    * ONE consumer decodes the whole stream by resolving each frame's id
+    * against its registry map to the consumer's single reader schema.
+    * v1 rows take the reader's default tag; v2 rows carry their own. A
+    * third frame under an UNREGISTERED id must decode to NULL (the failed
+    * registry lookup) — the filter makes that a row-count condition.
+    */
+  def avroRegistryRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val writer1 = graft.engine.Serde.avroSchemaOf(
+      ev.select(col("event_type"), col("value")), "event_type", "value")
+    val v2cols = Seq(substring(col("event_type"), 1, 2).as("tag"),
+      col("value"), col("event_type"))
+    val writer2 = graft.engine.Serde.avroSchemaOf(
+      ev.select(v2cols: _*), "tag", "value", "event_type")
+    val readerSchema =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |  {"name":"event_type","type":"string"},
+        |  {"name":"value","type":"double"},
+        |  {"name":"tag","type":"string","default":"und"}]}""".stripMargin
+    ev.withColumn("wire",
+        when(col("event_id") % 2 === 0,
+          graft.engine.Serde.toAvroFramed(7, col("event_type"), col("value")))
+          .otherwise(graft.engine.Serde.toAvroFramed(8, v2cols: _*)))
+      .withColumn("decoded", graft.engine.Serde.parseAvroRegistry(
+        col("wire"), readerSchema, Map(7 -> writer1, 8 -> writer2)))
+      .filter(graft.engine.Serde.parseAvroRegistry(
+        col("wire"), readerSchema, Map(99 -> writer1)).isNull)
+      .select(col("event_id"), col("decoded.event_type").as("event_type"),
+        col("decoded.value").as("value"), col("decoded.tag").as("tag"))
+  }
+
+  val avroRegistryRoundtripSql: String =
+    """SELECT event_id, event_type, value,
+      |       CASE WHEN event_id % 2 = 0 THEN 'und'
+      |            ELSE substr(event_type, 1, 2) END AS tag
+      |FROM events""".stripMargin
+
   /** The Kafka WIRE layer under the oracle: events rendered into the exact
     * (key, value) binary frame a `format("kafka")` sink requires — key =
     * UTF-8 key bytes (the broker's partitioning input), value = registry-

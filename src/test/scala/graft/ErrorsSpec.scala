@@ -121,6 +121,42 @@ class ErrorsSpec extends SparkSuite {
     assert(stripped == Set("a", "b"))
   }
 
+  test("registry-map avro: per-frame writer resolution by id; unregistered/malformed reject") {
+    val src = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
+    // two writer generations: v1 = (s, v) under id 7, v2 = (v, s, t) under
+    // id 8 (reordered + a new field) — frames alternate by id parity
+    val w1 = Serde.avroSchemaOf(src.select(col("s"), col("v")), "s", "v")
+    val v2cols = Seq(col("v"), col("s"), concat(col("s"), lit("!")).as("t"))
+    val w2 = Serde.avroSchemaOf(src.select(v2cols: _*), "v", "s", "t")
+    val reader =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |  {"name":"s","type":"string"},
+        |  {"name":"v","type":"double"},
+        |  {"name":"t","type":"string","default":"none"}]}""".stripMargin
+    val wire = src.withColumn("wire",
+      when(col("id") % 2 === 0, Serde.toAvroFramed(8, v2cols: _*))
+        .otherwise(Serde.toAvroFramed(7, col("s"), col("v"))))
+    val back = wire
+      .withColumn("d", Serde.parseAvroRegistry(col("wire"), reader,
+        Map(7 -> w1, 8 -> w2)))
+      .select(col("id"), col("d.s"), col("d.v"), col("d.t"))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(back == Set((1L, "a", 1.5, "none"), (2L, "b", -2.25, "b!")),
+      s"per-frame resolution failed: $back")
+    // id 8 frames against a map that only registers id 7 → null (the
+    // failed registry lookup), id 7 frames still decode
+    val partial = wire
+      .withColumn("d", Serde.parseAvroRegistry(col("wire"), reader, Map(7 -> w1)))
+      .select(col("id"), col("d").isNull.as("rejected"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(partial == Map(1L -> false, 2L -> true))
+    // malformed: wrong magic and truncated header both reject permissively
+    val junk = Seq((9L, Array[Byte](0x7f, 0, 0, 0, 7, 2)), (10L, Array[Byte](0, 0)))
+      .toDF("id", "wire")
+    assert(junk.select(Serde.parseAvroRegistry(col("wire"), reader, Map(7 -> w1)))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("avro schema evolution: reader resolves against writer (defaults, drops, framing)") {
     val src = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val writerSchema = Serde.avroSchemaOf(src, "s", "v")
