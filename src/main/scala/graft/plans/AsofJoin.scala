@@ -222,16 +222,18 @@ object AsofJoin {
     org.apache.spark.sql.graftbridge.TableFunctionBridge.register(
       spark, "graft_asof_join",
       "graft_asof_join(left, right, leftKeysCsv, rightKeysCsv, leftTime, " +
-        "rightTime, tiebreakCsv, tolerance, mode[, direction]) - native " +
-        "as-of join of two catalog relations; keys pair positionally, " +
-        "direction is backward (default) | forward | nearest. left/right " +
+        "rightTime, tiebreakCsv, tolerance, mode[, direction[, bandWidth]]) " +
+        "- native as-of join of two catalog relations; keys pair " +
+        "positionally, direction is backward (default) | forward | " +
+        "nearest; a non-empty 11th bandWidth interval routes through the " +
+        "hot-key time-band split (requires a finite tolerance). left/right " +
         "are catalog TABLE/VIEW NAMES - for a CTE or subquery input, " +
         "CREATE OR REPLACE TEMP VIEW first and pass the view name",
       { args =>
         def lit(i: Int, what: String): String = {
-          require(args.length == 9 || args.length == 10,
-            s"graft_asof_join takes 9 or 10 string arguments " +
-              s"(10th = direction, default 'backward'), got ${args.length}")
+          require(args.length >= 9 && args.length <= 11,
+            s"graft_asof_join takes 9 to 11 string arguments " +
+              s"(10th = direction, 11th = hot-key band width), got ${args.length}")
           val e = args(i)
           require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
             s"graft_asof_join: $what (arg ${i + 1}) must be a string literal, got $e")
@@ -248,16 +250,29 @@ object AsofJoin {
         require(lk.nonEmpty && lk.length == rk.length,
           s"graft_asof_join: key lists must be non-empty and pair up " +
             s"positionally, got ${lk.length} vs ${rk.length}")
-        val df = join(
-          session.table(lit(0, "left table")),
-          session.table(lit(1, "right table")),
-          keys = lk.zip(rk),
-          leftTime = lit(4, "left time"),
-          rightTime = lit(5, "right time"),
-          rightTiebreak = csv(lit(6, "tiebreak")),
-          tolerance = Some(lit(7, "tolerance")).filter(_.nonEmpty),
-          inner = mode == "inner",
-          direction = if (args.length == 10) lit(9, "direction") else "backward")
+        val dir = if (args.length >= 10) lit(9, "direction") else "backward"
+        val bandWidth =
+          if (args.length == 11) Some(lit(10, "band width")).filter(_.nonEmpty)
+          else None
+        val (lt, rt) = (session.table(lit(0, "left table")),
+          session.table(lit(1, "right table")))
+        val df = bandWidth match {
+          case Some(w) =>
+            val tol = lit(7, "tolerance")
+            require(tol.nonEmpty,
+              "graft_asof_join: the banded form requires a finite tolerance")
+            joinTimeBanded(lt, rt, keys = lk.zip(rk),
+              leftTime = lit(4, "left time"), rightTime = lit(5, "right time"),
+              rightTiebreak = csv(lit(6, "tiebreak")),
+              tolerance = tol, inner = mode == "inner",
+              direction = dir, bandWidth = w)
+          case None =>
+            join(lt, rt, keys = lk.zip(rk),
+              leftTime = lit(4, "left time"), rightTime = lit(5, "right time"),
+              rightTiebreak = csv(lit(6, "tiebreak")),
+              tolerance = Some(lit(7, "tolerance")).filter(_.nonEmpty),
+              inner = mode == "inner", direction = dir)
+        }
         PlanBridge.analyzed(df)
       })
 }

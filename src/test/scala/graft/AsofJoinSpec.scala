@@ -73,6 +73,26 @@ class AsofJoinSpec extends SparkSuite {
     assert(out == Map(10L -> 1L, 20L -> 2L, 30L -> -1L), s"got $out")
   }
 
+  test("the TVF's 11th argument reaches the banded form and equals the plain SQL call") {
+    AsofJoin.registerSql(spark)
+    leftDf.createOrReplaceTempView("graft_band_l")
+    rightDf.createOrReplaceTempView("graft_band_r")
+    def run(tail: String) = spark.sql(
+      s"""SELECT lid, rid FROM graft_asof_join('graft_band_l', 'graft_band_r',
+         |  'k', 'rk', 't', 'rt', 'rid', '0.0002 seconds', 'left'$tail)""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val plain = run(", 'nearest'")
+    val banded = run(", 'nearest', '0.0003 seconds'")
+    assert(banded == plain, s"banded TVF diverges: $banded vs $plain")
+    // banding without a tolerance is a contract violation, rejected eagerly
+    val err = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_asof_join('graft_band_l', 'graft_band_r',
+        |  'k', 'rk', 't', 'rt', 'rid', '', 'left', 'backward', '1 hour')""".stripMargin)
+    }
+    assert(err.getMessage.contains("tolerance"), err.getMessage)
+  }
+
   test("subquery inputs go through temp views (the documented TVF route)") {
     // graft_asof_join takes catalog NAMES; the documented route for a
     // CTE/subquery input is CREATE TEMP VIEW then name the view. This pins
