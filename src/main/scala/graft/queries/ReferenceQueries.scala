@@ -833,6 +833,47 @@ object ReferenceQueries {
       |         AS lag_s_total
       |FROM m WHERE rn = 1 GROUP BY 1""".stripMargin
 
+  /** [[asofFeaturize]] over BUCKETED storage — the whole feature-store
+    * chain (temporal enrichment + per-entity aggregation) with **zero
+    * shuffle exchanges**: both sides are written hash-clustered on the
+    * user key (the durable pre-shuffle, [[graft.engine.Bucketing]]), the
+    * native as-of's clustered-distribution requirement is satisfied at
+    * scan time, and its left-preserving output partitioning feeds the
+    * groupBy directly. At 100 TB nothing crosses the network but the
+    * per-user summary. Shares [[asofFeaturizeSql]]'s oracle — storage
+    * layout must never change results (PlansSpec pins the zero-exchange
+    * shape).
+    */
+  def asofBucketedChain(spark: SparkSession, dir: String): DataFrame = {
+    // process+dir-scoped table names (bucketedJoin's rule): fixed names in
+    // the shared warehouse would let a concurrent driver race the rewrite
+    val scope = s"p${ProcessHandle.current().pid()}_" +
+      graft.engine.PortableHash.md5LongScala(dir).toHexString.take(8)
+    val ev = Tables.events(spark, dir)
+    graft.engine.Bucketing.writeBucketed(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      s"b_asof_p_$scope", 8, Seq("user_id"))
+    graft.engine.Bucketing.writeBucketed(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id")),
+      s"b_asof_c_$scope", 8, Seq("c_user_id"))
+    graft.plans.AsofJoin.join(
+        graft.engine.Bucketing.table(spark, s"b_asof_p_$scope"),
+        graft.engine.Bucketing.table(spark, s"b_asof_c_$scope"),
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = Some("1 hour"), inner = false)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("click_id")).as("n_matched"),
+        sum(col("ts").cast("long") - col("c_ts").cast("long")).as("lag_s_total"))
+  }
+
+  val asofBucketedChainSql: String = asofFeaturizeSql
+
   /** Left-outer interval join (gap J3): clicks with their matching purchase
     * if any — unmatched clicks survive with null purchase columns.
     */

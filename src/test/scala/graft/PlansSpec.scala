@@ -229,6 +229,16 @@ class PlansSpec extends SparkSuite {
       s"expected the band-replication explode on the right side:\n$p")
   }
 
+  test("asof_bucketed_chain: the whole enrich+aggregate chain plans ZERO exchanges") {
+    val p = plans("asof_bucketed_chain")
+    assert(p.contains("AsofJoin") && p.contains("HashAggregate"), p)
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(n == 0,
+      s"bucketed feature-store chain must not shuffle at all — the scan's " +
+        s"bucket layout satisfies the join and the join's output " +
+        s"partitioning feeds the aggregation; found $n exchanges:\n$p")
+  }
+
   test("asof_featurize reuses the join's exchange: 2 shuffles for join + aggregation") {
     val p = plans("asof_featurize")
     assert(p.contains("AsofJoin") && p.contains("HashAggregate"), p)
