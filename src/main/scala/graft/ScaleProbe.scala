@@ -123,6 +123,20 @@ object ScaleProbe {
           println(f"[probe]   streaming throughput ${inputRows / secs}%.0f rows/s " +
             f"($inputRows%d input rows in ${secs}%.2f s)")
           out
+        // Second throughput shape: the STATELESS curation ingest (per-row
+        // quality/language/repetition scoring + filters over the document
+        // stream — one codegen stage, no state store), so the record has
+        // both a stateful and a stateless streaming yardstick. docs/s here
+        // is regex-bound per-row compute; a kernel regression moves it.
+        case "curationstream" =>
+          import org.apache.spark.sql.functions.col
+          val inputRows = graft.engine.Tables.documents(spark, dir).count()
+          val t1 = System.nanoTime()
+          val out = graft.queries.StreamParity.curationStreamParity(spark, dir).count()
+          val secs = (System.nanoTime() - t1) / 1e9
+          println(f"[probe]   curation throughput ${inputRows / secs}%.0f docs/s " +
+            f"($inputRows%d input docs in ${secs}%.2f s)")
+          out
         case other => sys.error(s"unknown probe spec: $other")
       }
       println(f"[probe] $spec rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f s")
