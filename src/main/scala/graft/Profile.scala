@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Stage-level profiler for any `SparkEntry` query (evidence generator for
+  * targeted perf work): runs the named queries exactly as Bench does (warm
+  * pass, then one measured pass through the noop sink) with a listener
+  * capturing every job and stage — wall, task count, input / shuffle-read /
+  * shuffle-write bytes, spill. Prints the measured pass's stages sorted by
+  * wall so the dominant stage (scan? one fat shuffle? a 1-task window?) is
+  * readable at a glance, instead of guessing from `.explain` alone.
+  *
+  * Usage:
+  *   sbt "runMain graft.Profile /root/testdata/sf0.1 training_corpus [more...]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class StageRow(jobId: Int, stageId: Int, name: String,
+      tasks: Int, wallMs: Long, inputMB: Double, shReadMB: Double,
+      shWriteMB: Double, spillMB: Double)
+    val stages = mutable.ArrayBuffer.empty[StageRow]
+    val jobWall = mutable.LinkedHashMap.empty[Int, Long]
+    val stageToJob = mutable.Map.empty[Int, Int]
+    var collecting = false
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (collecting) j.stageIds.foreach(s => stageToJob(s) = j.jobId)
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (collecting) {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+            yield c - s).getOrElse(0L)
+          stages += StageRow(stageToJob.getOrElse(si.stageId, -1), si.stageId,
+            si.name.takeWhile(_ != '\n'), si.numTasks, wall,
+            m.inputMetrics.bytesRead / 1e6,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            m.shuffleWriteMetrics.bytesWritten / 1e6,
+            (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    args.tail.foreach { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        finally spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val warm = once() // codegen/JIT warm-up, unprofiled (Bench protocol)
+      stages.clear(); stageToJob.clear(); collecting = true
+      val t = once()
+      collecting = false
+      // listener events are posted asynchronously (listenerBus is
+      // private[spark]); poll until the captured stage set stops growing
+      var n = -1
+      while (n != stages.size) { n = stages.size; Thread.sleep(200) }
+      println(f"\n=== $name%s measured ${t}%.2fs (warm ${warm}%.2fs) — " +
+        s"${stages.map(_.jobId).distinct.size} jobs, ${stages.size} stages ===")
+      println(f"${"job"}%4s ${"stage"}%5s ${"ms"}%7s ${"tasks"}%5s " +
+        f"${"in MB"}%8s ${"shR MB"}%8s ${"shW MB"}%8s ${"spill"}%6s  name")
+      stages.sortBy(-_.wallMs).take(20).foreach { s =>
+        println(f"${s.jobId}%4d ${s.stageId}%5d ${s.wallMs}%7d ${s.tasks}%5d " +
+          f"${s.inputMB}%8.1f ${s.shReadMB}%8.1f ${s.shWriteMB}%8.1f " +
+          f"${s.spillMB}%6.1f  ${s.name.take(60)}%s")
+      }
+      val covered = stages.map(_.wallMs).sum / 1e3
+      println(f"stage wall sum ${covered}%.2fs of ${t}%.2fs measured " +
+        "(gap = driver/planning/scheduling)")
+    }
+    spark.stop()
+  }
+}

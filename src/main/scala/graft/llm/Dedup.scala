@@ -73,6 +73,17 @@ object Dedup {
   def shingleSizes(documents: DataFrame, n: Int): DataFrame =
     spread(documents).select(col("doc_id"), size(TextAnalysis.shingles(col("text"), n)).as("n_sh"))
 
+  /** The same counts derived from an (already persisted) postings frame —
+    * postings hold one row per distinct shingle per doc, so a per-doc count
+    * IS the size. Preferred wherever postings are cached anyway: a
+    * map-side-combined count over the cached frame replaces a second full
+    * corpus scan + shingle-kernel pass (the weighted family's `wsizes`
+    * already works this way; profiled at sf0.1, each avoided documents
+    * scan is a serial ~0.6 s single-task stage).
+    */
+  def shingleSizesFromPosts(posts: DataFrame): DataFrame =
+    posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
   /** Exact pairwise n-gram Jaccard via inverted index. Emits pairs
     * (doc_a < doc_b) with Jaccard ≥ num/den, compared in integer arithmetic:
     * j = c/(sa+sb-c) ≥ num/den  ⇔  den*c ≥ num*(sa+sb-c).
@@ -98,7 +109,7 @@ object Dedup {
     // the block is freed by the ContextCleaner when the plan is dropped.
     val postings = shinglePostings(documents, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shingleSizes(documents, n)
+    val sizes = shingleSizesFromPosts(postings)
     val common = postings.as("a")
       .join(postings.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -125,10 +136,18 @@ object Dedup {
     * ~(1−t)² of that while staying exact. Costs two extra small shuffles
     * (df count + per-doc rank).
     */
-  def ngramJaccardPairsPrefix(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val posts = shinglePostings(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shingleSizes(documents, n)
+  def ngramJaccardPairsPrefix(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame =
+    ngramJaccardPairsPrefixFromPosts(
+      shinglePostings(documents, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      num, den)
+
+  /** The prefix-filtered join over an existing (persisted) postings frame —
+    * lets evaluation harnesses ([[graft.queries.LlmQueries.lshQualityEval]])
+    * share ONE postings scan across the exact-truth and candidate sides.
+    */
+  def ngramJaccardPairsPrefixFromPosts(posts: DataFrame, num: Int, den: Int): DataFrame = {
+    val sizes = shingleSizesFromPosts(posts)
     val dfCounts = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
@@ -323,7 +342,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(documents, n, perms)
     val candidates = bandCandidates(sigs, perms, bands)
-    val sizes = shingleSizes(documents, n)
+    val sizes = shingleSizesFromPosts(posts)
     // no forced broadcast: the candidate set is data-dependent (tiny on
     // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
     // its actual size at the shuffle boundary and picks broadcast-hash vs

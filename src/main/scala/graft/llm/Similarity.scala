@@ -144,7 +144,10 @@ object Similarity {
     */
   def lshNearDupPairs(embeddings: DataFrame, planes: Array[Array[Int]], minCos: Double,
                       nTables: Int = 8, width: Int = 4, probes: Int = 1): DataFrame = {
-    val base = withNorm(embeddings, "v")
+    // spread like every other similarity entry: a one-file fixture scan
+    // otherwise serializes the explode→self-join→verify chain into ONE
+    // task (profiled: 2.8 s of multiprobe's 3.6 s in a single-task stage)
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
     // one fused expression computes every table's bucket id in a single
     // pass over the embedding (SignPlanesFP) — bit-identical to the
     // composed per-plane form (LlmOpsSpec asserts it), ~32× fewer

@@ -2672,7 +2672,11 @@ object LlmQueries {
   def lshQualityEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // prefix-filtered exact form: output-equal to the naive inverted-index
-    // join (spec-proven for ngram_jaccard) at a fraction of the candidates
+    // join (spec-proven for ngram_jaccard) at a fraction of the candidates.
+    // The candidate side keeps the per-row signature KERNEL (one text pass,
+    // no exchange): deriving signatures from the truth side's postings was
+    // measured SLOWER (the 64-min aggregation over ~1M posting rows costs
+    // ~3.7 s of stage time vs ~0.6 s for the kernel's second corpus scan).
     val truth = Dedup.ngramJaccardPairsPrefix(docs, 3, jaccardNum, jaccardDen)
       .select("doc_a", "doc_b").persist()
     val cand = Dedup.bandCandidates(
