@@ -99,7 +99,12 @@ object Multimodal {
     */
   def withPngBlob16(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread before the raster work: PNG encode here + ImageIO decode in
+    // every downstream feature pass are the multimodal family's whole
+    // compute, and a one-file fixture scan would serialize them into a
+    // single task (profiled: 1.3 s of phash_neardup's 2.2 s at sf0.1)
+    graft.engine.Spread.spreadSmallInput(documents)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val h = md5Long(text.getBytes(StandardCharsets.UTF_8))

@@ -242,7 +242,12 @@ object Similarity {
     * (assignment, update sums) stays distributed.
     */
   def kmeansIvfPairs(embeddings: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    // cache the normed working set: it feeds every Lloyd round's assignment
+    // + update, the final assignment, and both verify sides — uncached,
+    // each use re-scans and re-spreads the corpus (Spark ML's KMeans
+    // caches/warns for exactly this reason)
     val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def assign(centroids: Seq[(Int, Array[Double])]): DataFrame = {
       val scoredCells = centroids.map { case (cid, c) =>

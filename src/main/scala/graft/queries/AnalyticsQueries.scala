@@ -1128,7 +1128,11 @@ object AnalyticsQueries {
       .selectExpr("CAST(pos div 32 AS INT) AS lane",
         "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask")
       .groupBy("lane").agg(bit_or(col("mask")).as("bm"))
-    val pass = Tables.orders(spark, dir)
+    // spread the probe scan: the k-fold explode + per-row md5 probes are
+    // the query's whole compute and the bitmap join broadcasts, so on a
+    // one-file fixture they'd otherwise serialize into the scan's single
+    // task (profiled ~1.1 s at sf0.1); a real fact table fans out by itself
+    val pass = graft.engine.Spread.spreadSmallInput(Tables.orders(spark, dir))
       .select(col("o_orderkey"), col("o_custkey"), explode(js).as("j"))
       .withColumn("pos", pos(col("o_custkey")))
       .withColumn("lane", expr("CAST(pos div 32 AS INT)"))

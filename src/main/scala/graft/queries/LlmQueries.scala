@@ -289,7 +289,13 @@ object LlmQueries {
       Dedup.minhashLshPairs(docs, n = 3, perms = 64, bands = 16,
         num = jaccardNum, den = jaccardDen).select("doc_a", "doc_b"))
       .withColumnRenamed("doc_id", "cid")
-    val keep = docs.join(clusters, col("doc_id") === col("cid"), "left")
+    // spread the survivor chain: everything downstream (curation signals,
+    // three full-text redaction regexes, tokenize + chunk + hash) is per-row
+    // CPU over multi-KB text, and the clusters join broadcasts — without the
+    // spread it all runs inside the one-file fixture scan's single task
+    // (profiled: a serial ~1.1 s stage at sf0.1)
+    val keep = graft.engine.Spread.spreadSmallInput(docs)
+      .join(clusters, col("doc_id") === col("cid"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cid", "cluster_id")
     val redacted =
