@@ -105,6 +105,24 @@ class PlansSpec extends SparkSuite {
     }.toMap
   }
 
+  test("single-file fixture scans fan out before heavy per-row kernels") {
+    // round-6 profiler lesson: a one-file fixture scan is ONE task, and a
+    // query whose whole compute is per-row kernels above that scan (LSH
+    // probes, PNG synthesis + ImageIO, bloom md5 probes) serializes into
+    // it — ann_lsh_multiprobe spent 2.8 of its 3.6 s there. These plans
+    // must keep a round-robin exchange (Spread.spreadSmallInput) between
+    // the scan and the kernels; at production file counts the spread
+    // no-ops by its file-count gate, so the pin only binds at fixture
+    // scale — exactly where the regression bites.
+    val spreadPinned =
+      Seq("ann_lsh", "ann_lsh_multiprobe", "phash_neardup", "bloom_pruned_join")
+    spreadPinned.foreach { n =>
+      assert(plans(n).contains("RoundRobinPartitioning"),
+        s"$n lost its input spread — heavy per-row kernels would " +
+          "serialize into the one-file scan's single task")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     val bad = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
     assert(bad.isEmpty, s"cartesian product in: ${bad.mkString(", ")}")
