@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import scala.collection.mutable
@@ -34,16 +34,18 @@ object Profile {
     final case class StageRow(jobId: Int, stageId: Int, name: String,
       tasks: Int, wallMs: Long, inputMB: Double, shReadMB: Double,
       shWriteMB: Double, spillMB: Double)
+    // listener events arrive on the async listener-bus thread; every access
+    // to the shared state below synchronizes on `stages`
     val stages = mutable.ArrayBuffer.empty[StageRow]
-    val jobWall = mutable.LinkedHashMap.empty[Int, Long]
     val stageToJob = mutable.Map.empty[Int, Int]
-    var collecting = false
+    @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (collecting) j.stageIds.foreach(s => stageToJob(s) = j.jobId)
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
+        if (collecting) stages.synchronized {
+          j.stageIds.foreach(s => stageToJob(s) = j.jobId)
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        if (collecting) {
+        if (collecting) stages.synchronized {
           val si = sc.stageInfo
           val m = si.taskMetrics
           val wall = (for {s <- si.submissionTime; c <- si.completionTime}
@@ -58,6 +60,16 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // the listener bus is asynchronous and its drain API is private[spark]:
+    // poll until the captured stage set stops growing. Called BEFORE every
+    // collecting flip, so queued events from the previous pass can neither
+    // leak into the next capture nor be dropped from the one that owns them.
+    def drain(): Unit = {
+      var n = -1
+      var cur = stages.synchronized(stages.size)
+      while (n != cur) { n = cur; Thread.sleep(200); cur = stages.synchronized(stages.size) }
+    }
+
     args.tail.foreach { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -66,26 +78,34 @@ object Profile {
         finally spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      val warm = once() // codegen/JIT warm-up, unprofiled (Bench protocol)
-      stages.clear(); stageToJob.clear(); collecting = true
-      val t = once()
-      collecting = false
-      // listener events are posted asynchronously (listenerBus is
-      // private[spark]); poll until the captured stage set stops growing
-      var n = -1
-      while (n != stages.size) { n = stages.size; Thread.sleep(200) }
-      println(f"\n=== $name%s measured ${t}%.2fs (warm ${warm}%.2fs) — " +
-        s"${stages.map(_.jobId).distinct.size} jobs, ${stages.size} stages ===")
-      println(f"${"job"}%4s ${"stage"}%5s ${"ms"}%7s ${"tasks"}%5s " +
-        f"${"in MB"}%8s ${"shR MB"}%8s ${"shW MB"}%8s ${"spill"}%6s  name")
-      stages.sortBy(-_.wallMs).take(20).foreach { s =>
-        println(f"${s.jobId}%4d ${s.stageId}%5d ${s.wallMs}%7d ${s.tasks}%5d " +
-          f"${s.inputMB}%8.1f ${s.shReadMB}%8.1f ${s.shWriteMB}%8.1f " +
-          f"${s.spillMB}%6.1f  ${s.name.take(60)}%s")
+      // Bench's per-query resilience: a bad name or failing query reports
+      // and moves on instead of aborting the remaining arguments
+      if (!SparkEntry.queries.contains(name))
+        System.err.println(s"[profile] unknown query: $name")
+      else try {
+        val warm = once() // codegen/JIT warm-up, unprofiled (Bench protocol)
+        stages.synchronized { stages.clear(); stageToJob.clear() }
+        collecting = true
+        val t = once()
+        drain() // wait for the measured pass's queued events while still collecting
+        collecting = false
+        val snap = stages.synchronized(stages.toVector)
+        println(f"\n=== $name%s measured ${t}%.2fs (warm ${warm}%.2fs) — " +
+          s"${snap.map(_.jobId).distinct.size} jobs, ${snap.size} stages ===")
+        println(f"${"job"}%4s ${"stage"}%5s ${"ms"}%7s ${"tasks"}%5s " +
+          f"${"in MB"}%8s ${"shR MB"}%8s ${"shW MB"}%8s ${"spill"}%6s  name")
+        snap.sortBy(-_.wallMs).take(20).foreach { s =>
+          println(f"${s.jobId}%4d ${s.stageId}%5d ${s.wallMs}%7d ${s.tasks}%5d " +
+            f"${s.inputMB}%8.1f ${s.shReadMB}%8.1f ${s.shWriteMB}%8.1f " +
+            f"${s.spillMB}%6.1f  ${s.name.take(60)}%s")
+        }
+        val covered = snap.map(_.wallMs).sum / 1e3
+        println(f"stage wall sum ${covered}%.2fs of ${t}%.2fs measured " +
+          "(gap = driver/planning/scheduling; 32-task stages overlap)")
+      } catch { case e: Throwable =>
+        collecting = false
+        System.err.println(s"[profile] $name failed: ${e.getMessage}")
       }
-      val covered = stages.map(_.wallMs).sum / 1e3
-      println(f"stage wall sum ${covered}%.2fs of ${t}%.2fs measured " +
-        "(gap = driver/planning/scheduling)")
     }
     spark.stop()
   }

@@ -142,9 +142,13 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       num, den)
 
-  /** The prefix-filtered join over an existing (persisted) postings frame —
-    * lets evaluation harnesses ([[graft.queries.LlmQueries.lshQualityEval]])
-    * share ONE postings scan across the exact-truth and candidate sides.
+  /** The prefix-filtered join over an existing (persisted) postings frame.
+    * Currently only the documents-based wrapper above uses it; the seam
+    * exists for callers that already hold postings. NOTE: deriving MinHash
+    * signatures from a shared postings frame to save the kernel's second
+    * corpus scan was MEASURED SLOWER (the 64-min aggregation over ~1M
+    * posting rows costs ~3.7 s of stage time at sf0.1 vs ~0.6 s for the
+    * per-row kernel's own scan — see lshQualityEval) — don't re-wire that.
     */
   def ngramJaccardPairsPrefixFromPosts(posts: DataFrame, num: Int, den: Int): DataFrame = {
     val sizes = shingleSizesFromPosts(posts)
