@@ -38,14 +38,13 @@ object Profile {
     // to the shared state below synchronizes on `stages`
     val stages = mutable.ArrayBuffer.empty[StageRow]
     val stageToJob = mutable.Map.empty[Int, Int]
-    @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (collecting) stages.synchronized {
+        stages.synchronized {
           j.stageIds.foreach(s => stageToJob(s) = j.jobId)
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        if (collecting) stages.synchronized {
+        stages.synchronized {
           val si = sc.stageInfo
           val m = si.taskMetrics
           val wall = (for {s <- si.submissionTime; c <- si.completionTime}
@@ -61,9 +60,12 @@ object Profile {
     spark.sparkContext.addSparkListener(listener)
 
     // the listener bus is asynchronous and its drain API is private[spark]:
-    // poll until the captured stage set stops growing. Called BEFORE every
-    // collecting flip, so queued events from the previous pass can neither
-    // leak into the next capture nor be dropped from the one that owns them.
+    // poll until the captured stage set stops growing. The listener records
+    // UNCONDITIONALLY (no collecting flag): a flag checked at event-
+    // PROCESSING time cannot attribute events still queued on the bus to
+    // the pass that produced them, so instead the warm pass's events are
+    // drained and then CLEARED before the measured pass starts — the
+    // snapshot after the measured drain holds exactly that pass's stages.
     def drain(): Unit = {
       var n = -1
       var cur = stages.synchronized(stages.size)
@@ -84,11 +86,10 @@ object Profile {
         System.err.println(s"[profile] unknown query: $name")
       else try {
         val warm = once() // codegen/JIT warm-up, unprofiled (Bench protocol)
+        drain() // let every warm-pass event land before discarding them
         stages.synchronized { stages.clear(); stageToJob.clear() }
-        collecting = true
         val t = once()
-        drain() // wait for the measured pass's queued events while still collecting
-        collecting = false
+        drain() // wait for the measured pass's queued events
         val snap = stages.synchronized(stages.toVector)
         println(f"\n=== $name%s measured ${t}%.2fs (warm ${warm}%.2fs) — " +
           s"${snap.map(_.jobId).distinct.size} jobs, ${snap.size} stages ===")
@@ -103,7 +104,6 @@ object Profile {
         println(f"stage wall sum ${covered}%.2fs of ${t}%.2fs measured " +
           "(gap = driver/planning/scheduling; 32-task stages overlap)")
       } catch { case e: Throwable =>
-        collecting = false
         System.err.println(s"[profile] $name failed: ${e.getMessage}")
       }
     }

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, Ascending}
-import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, IntegralDivide, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.util.IntervalUtils
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Native as-of join: the whole-operator Catalyst extension tier.
@@ -172,8 +172,15 @@ object AsofJoin {
     val rt = micros(col(rightTime), right.schema(rightTime).dataType)
     // floorDiv, not truncating division (which would merge bands -1 and 0
     // for pre-epoch times); subtracting the positive pmod first makes the
-    // numerator an exact multiple of w, so the quotient is exact
-    def band(c: Column): Column = ((c - pmod(c, lit(w))) / w).cast("long")
+    // numerator an exact multiple of w. The division must stay in LONG
+    // arithmetic (IntegralDivide): Column./ is Divide, which casts to
+    // double and is only exact below 2^53 — a raw long time column above
+    // ~9e15 would silently land in the wrong band.
+    def band(c: Column): Column = {
+      val num = (c - pmod(c, lit(w))).cast("long")
+      ColumnBridge.column(IntegralDivide(
+        ColumnBridge.expression(num), Literal(w)))
+    }
     val lBanded = left.withColumn("__graft_band", band(lt))
     val rBanded = right.withColumn("__graft_band",
       explode(sequence(band(rt - after), band(rt + before))))
