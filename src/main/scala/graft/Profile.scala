@@ -38,9 +38,11 @@ object Profile {
     // to the shared state below synchronizes on `stages`
     val stages = mutable.ArrayBuffer.empty[StageRow]
     val stageToJob = mutable.Map.empty[Int, Int]
+    var jobStarts = 0L
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         stages.synchronized {
+          jobStarts += 1
           j.stageIds.foreach(s => stageToJob(s) = j.jobId)
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -60,16 +62,25 @@ object Profile {
     spark.sparkContext.addSparkListener(listener)
 
     // the listener bus is asynchronous and its drain API is private[spark]:
-    // poll until the captured stage set stops growing. The listener records
+    // poll until the captured event set stops growing. The listener records
     // UNCONDITIONALLY (no collecting flag): a flag checked at event-
     // PROCESSING time cannot attribute events still queued on the bus to
     // the pass that produced them, so instead the warm pass's events are
     // drained and then CLEARED before the measured pass starts — the
     // snapshot after the measured drain holds exactly that pass's stages.
+    // Quiescence = THREE consecutive 200ms windows with neither the stage
+    // count nor the job-start count growing — one quiet window is not
+    // enough if the bus thread stalls >200ms mid-queue (events landing
+    // after clear() would be misattributed to the next pass).
     def drain(): Unit = {
-      var n = -1
-      var cur = stages.synchronized(stages.size)
-      while (n != cur) { n = cur; Thread.sleep(200); cur = stages.synchronized(stages.size) }
+      def counts = stages.synchronized((stages.size, jobStarts))
+      var quiet = 0
+      var prev = counts
+      while (quiet < 3) {
+        Thread.sleep(200)
+        val cur = counts
+        if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
+      }
     }
 
     args.tail.foreach { name =>

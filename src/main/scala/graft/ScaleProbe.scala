@@ -104,7 +104,19 @@ object ScaleProbe {
                 .agg(max_by(col("click_id"), struct(col("c_ts"), col("click_id")))
                   .as("click_id"))
                 .count()
-            case other => sys.error(s"asofskew form must be native|banded|composed, got $other")
+            case "auto" =>
+              // the router end-to-end at production thresholds: print the
+              // sampled decision, then run the route it picks
+              val dec = graft.plans.AsofJoin.hotKeyProbe(
+                purchases, Seq("user_id"),
+                hotShareThreshold = 0.5, minHotRows = 250000L)
+              println(s"[probe]   $dec")
+              graft.plans.AsofJoin.joinRouted(purchases, clicks,
+                keys = Seq("user_id" -> "c_user_id"),
+                leftTime = "ts", rightTime = "c_ts",
+                rightTiebreak = Seq("click_id"),
+                tolerance = "1 hour", inner = true).count()
+            case other => sys.error(s"asofskew form must be native|banded|composed|auto, got $other")
           }
         // Sustained streaming throughput (round-5 verdict #6): the stateful
         // as-of enrichment pipeline (file stream -> transformWithState with

@@ -191,6 +191,99 @@ object AsofJoin {
       .drop("__graft_band")
   }
 
+  /** Outcome of the sampled hot-key probe behind [[joinRouted]]: the
+    * estimated histogram of the left side's equi-key and the routing
+    * decision derived from it. `estHotRows` scales the sampled mode count
+    * back by the sample fraction (unbiased for the dominating-key regime
+    * this probe exists to catch); `hotShare` is the mode's share OF THE
+    * SAMPLE, so it is meaningful even when the scan is huge.
+    */
+  final case class HotKeyDecision(
+      sampledRows: Long,
+      hotSampledRows: Long,
+      estHotRows: Long,
+      hotShare: Double,
+      banded: Boolean) {
+    override def toString: String =
+      f"HotKeyDecision(sampled=$sampledRows%d, hotSampled=$hotSampledRows%d, " +
+        f"estHotRows=$estHotRows%d, hotShare=$hotShare%.3f, banded=$banded%b)"
+  }
+
+  /** Sampled key histogram over `df`'s `keyCols`: one column-pruned,
+    * map-side-combined aggregation job over a seeded Bernoulli sample —
+    * cost is one cheap pass over the key columns only, never a second full
+    * materialization of the input. Returns the routing decision for the
+    * thresholds: band iff the hottest key's sample share ≥
+    * `hotShareThreshold` AND its estimated full-data row count ≥
+    * `minHotRows` (both must hold: a 99% share of 1k rows is not hot, and
+    * 10⁷ rows of a key that is 1% of the data already spread fine).
+    */
+  def hotKeyProbe(
+      df: DataFrame,
+      keyCols: Seq[String],
+      hotShareThreshold: Double,
+      minHotRows: Long,
+      sampleFraction: Double = 0.05,
+      seed: Long = 42L): HotKeyDecision = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, sum, xxhash64}
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    // hash the key tuple to one long so the shuffle-free partial aggregate
+    // carries 8 bytes per distinct key, not the full key payload
+    val row = df.select(xxhash64(keyCols.map(col): _*).as("__graft_k"))
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col("__graft_k")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("hot"),
+        coalesce(sum(col("c")), lit(0L)).as("n"))
+      .head()
+    val hot = row.getLong(0)
+    val n = row.getLong(1)
+    val share = if (n == 0) 0.0 else hot.toDouble / n
+    val estHot = math.round(hot / sampleFraction)
+    HotKeyDecision(n, hot, estHot, share,
+      banded = share >= hotShareThreshold && estHot >= minHotRows)
+  }
+
+  /** [[join]] with AUTOMATIC hot-key routing: probes the left side's key
+    * histogram on a sample ([[hotKeyProbe]]) and routes through
+    * [[joinTimeBanded]] when one key dominates past the measured
+    * break-even, else through the plain native operator. Both routes are
+    * output-identical (spec-pinned; the banded form's equality proof is in
+    * AsofJoinSpec/SkewSpec), so the router changes placement only.
+    *
+    * Default thresholds encode the measured break-even (SCALE.md "as-of
+    * hot-key regime": banding first beats the plain single-task merge at
+    * the 16×/90%-one-key point, ~290k hot-key events — below that the
+    * plain merge's flat 0.7–0.9 s wins because band replication costs more
+    * than the hot task saves): `hotShareThreshold = 0.5`,
+    * `minHotRows = 250000`. Requires a finite `tolerance` (banding cannot
+    * express an unbounded lookback; pass the plain [[join]] for that).
+    */
+  def joinRouted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Seq[String] = Nil,
+      tolerance: String,
+      inner: Boolean = false,
+      direction: String = "backward",
+      bandWidth: String = "",
+      hotShareThreshold: Double = 0.5,
+      minHotRows: Long = 250000L,
+      sampleFraction: Double = 0.05,
+      seed: Long = 42L): DataFrame = {
+    val d = hotKeyProbe(left, keys.map(_._1),
+      hotShareThreshold, minHotRows, sampleFraction, seed)
+    if (d.banded)
+      joinTimeBanded(left, right, keys, leftTime, rightTime, rightTiebreak,
+        tolerance, inner, direction, bandWidth)
+    else
+      join(left, right, keys, leftTime, rightTime, rightTiebreak,
+        Some(tolerance), inner, direction)
+  }
+
   /** SQL surface for the native operator (round-4 verdict #8): registers
     * the table-valued function
     * {{{

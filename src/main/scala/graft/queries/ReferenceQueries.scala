@@ -757,6 +757,78 @@ object ReferenceQueries {
 
   val asofJoinBandedSql: String = asofJoinNearestSql
 
+  /** The AUTO-ROUTED as-of ([[graft.plans.AsofJoin.joinRouted]]) on the
+    * UNIFORM key distribution: the sampled key histogram finds no
+    * dominating key (150 users, top share ~2%), so the router takes the
+    * plain native operator — and the result is pinned by `asof_join`'s own
+    * oracle. The thresholds here are the defaults scaled to sf-test data
+    * volume (minHotRows 500 vs the production default 250k, which encodes
+    * the measured 16×/90% break-even); the share threshold is untouched,
+    * and it is the share test (~0.02 « 0.5) that routes this query plain.
+    */
+  def asofJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.joinRouted(
+        purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = "1 hour", inner = true,
+        minHotRows = 500L, sampleFraction = 0.5)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofJoinAutoSql: String = asofJoinSql
+
+  /** The auto-router's OTHER branch under the driver oracle: 90% of users
+    * collapsed onto one key (`user_id % 10 < 9 → 0` — the same collapse the
+    * oracle SQL applies), so the sampled histogram sees share ~0.9 over
+    * ~1.8k hot lefts and routes through the time-band split. The oracle
+    * recomputes the skewed as-of independently in DuckDB, so this row
+    * proves probe + routing + banding end-to-end: a wrong decision is
+    * still CORRECT (both routes are output-equal) — what this pins is that
+    * the banded route, when actually taken on actually-skewed data,
+    * produces the exact answer.
+    */
+  def asofJoinAutoHot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("user_id",
+      when(col("user_id") % 10 < 9, lit(0L)).otherwise(col("user_id")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.joinRouted(
+        purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        leftTime = "ts", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"),
+        tolerance = "1 hour", inner = true,
+        minHotRows = 500L, sampleFraction = 0.5)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+  }
+
+  val asofJoinAutoHotSql: String =
+    """SELECT purchase_id, user_id, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+      |         c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT event_id, ts,
+      |          CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS user_id
+      |        FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT event_id, ts,
+      |          CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS user_id
+      |        FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour')
+      |WHERE rn = 1""".stripMargin
+
   /** Left-outer form of the native operator with a TIGHT lookback (5 min),
     * so unmatched purchases actually occur and the null-extension path runs
     * under the driver oracle (the inner form can't show it).

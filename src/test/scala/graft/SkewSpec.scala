@@ -76,4 +76,62 @@ class SkewSpec extends SparkSuite {
     // t ≤ 15997 can match: ~2286 hot-key matches plus the cold keys
     assert(native.size > 2000, s"the hot key must actually match (got ${native.size})")
   }
+
+  // ---- auto-routed as-of: sampled histogram decides plain vs banded ----
+
+  // 20k lefts on ONE key + 1k spread over 50 keys: hot share ~0.95
+  private lazy val hotLefts = spark.range(20000)
+    .select(lit(0L).as("k"), (col("id") * 7L).as("t"), col("id").as("lid"))
+    .union(spark.range(1000).select((col("id") % 50 + 1L).as("k"),
+      (col("id") * 7L).as("t"), (col("id") + 100000L).as("lid")))
+  private lazy val hotRights = spark.range(20000)
+    .select(lit(0L).as("rk"), (col("id") * 3L).as("rt"), col("id").as("rid"))
+    .union(spark.range(1000).select((col("id") % 50 + 1L).as("rk"),
+      (col("id") * 3L).as("rt"), (col("id") + 200000L).as("rid")))
+  // ~400 lefts per key across 50 keys: top share ~1/50
+  private lazy val uniformLefts = spark.range(20000)
+    .select((col("id") % 50).as("k"), (col("id") * 7L).as("t"), col("id").as("lid"))
+
+  private def keyArity(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: graft.plans.AsofJoinNode => a.leftKeys.length
+    }.getOrElse(fail("no AsofJoinNode in the routed plan"))
+
+  test("hotKeyProbe decision: dominated key bands, uniform keys do not") {
+    val hot = graft.plans.AsofJoin.hotKeyProbe(hotLefts, Seq("k"),
+      hotShareThreshold = 0.5, minHotRows = 5000L, sampleFraction = 0.5)
+    assert(hot.banded, s"95%-one-key must route banded, got $hot")
+    assert(hot.hotShare > 0.8 && hot.estHotRows > 10000,
+      s"probe must see the dominating key: $hot")
+    val uni = graft.plans.AsofJoin.hotKeyProbe(uniformLefts, Seq("k"),
+      hotShareThreshold = 0.5, minHotRows = 5000L, sampleFraction = 0.5)
+    assert(!uni.banded && uni.hotShare < 0.1,
+      s"uniform keys must route plain, got $uni")
+    // the share test alone must not band a small-but-dominated input
+    val small = graft.plans.AsofJoin.hotKeyProbe(
+      hotLefts.limit(100), Seq("k"),
+      hotShareThreshold = 0.5, minHotRows = 5000L, sampleFraction = 1.0)
+    assert(!small.banded, s"100 hot rows is below minHotRows, got $small")
+  }
+
+  test("joinRouted: banded route taken on skew, plain on uniform, outputs equal plain join") {
+    def routed(lefts: org.apache.spark.sql.DataFrame) =
+      graft.plans.AsofJoin.joinRouted(lefts, hotRights, Seq("k" -> "rk"),
+        "t", "rt", rightTiebreak = Seq("rid"),
+        tolerance = "0.001 seconds", inner = true, // 1000 raw-long units
+        hotShareThreshold = 0.5, minHotRows = 5000L, sampleFraction = 0.5)
+    val onHot = routed(hotLefts)
+    assert(keyArity(onHot) == 2,
+      "skewed input must take the banded route (equi-key + band)")
+    val onUniform = routed(uniformLefts)
+    assert(keyArity(onUniform) == 1,
+      "uniform input must take the plain route (equi-key only)")
+    // semantics: the banded route's output is exactly the plain join's
+    val plain = graft.plans.AsofJoin.join(hotLefts, hotRights, Seq("k" -> "rk"),
+        "t", "rt", rightTiebreak = Seq("rid"),
+        tolerance = Some("0.001 seconds"), inner = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(onHot.select("lid", "rid").as[(Long, Long)].collect().toSet == plain,
+      "auto-banded output must equal the plain native join")
+  }
 }
