@@ -112,4 +112,127 @@ class StateBoundsSpec extends SparkSuite {
     assert(tail.nonEmpty && tail.max <= users * 2L * 3L,
       s"join state grew with stream length: samples=$samples")
   }
+
+  // ---- the repo's OWN stateful processors (round-7 verdict #3): the
+  // built-in coverage above proves Spark's eviction; these prove the
+  // hand-written pruning in streaming/Streaming.scala actually frees rows.
+
+  test("AsofEnrichProcessor state is bounded: matured lefts drain, old rights prune") {
+    import graft.streaming.Streaming.AsofEvent
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsofEvent[Long]](spark)
+    // backward, 30 s lookback: pruneBound keeps only rights within
+    // wm − 30 s; matured lefts leave the pending list the batch after
+    // the watermark passes them
+    val matches = graft.streaming.Streaming.asofEnrichStream(
+      ms.toDS().withWatermark("ts", "0 seconds"), tolMicros = 30L * 1000000L)
+    val q = matches.toDF().writeStream.format("memory")
+      .queryName("state_asof").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-stateasof").toString)
+      .start()
+    val users = 3
+    val steps = 25
+    val samples = mutable.ArrayBuffer.empty[Long]
+    (0 until steps).foreach { k =>
+      val base = k * 60L // one minute apart: rights age past the 30 s bound
+      ms.addData((0 until users).flatMap { u =>
+        Seq(AsofEvent(u.toLong, ts(base + 1), k.toLong * 100 + u, isLeft = false),
+          AsofEvent(u.toLong, ts(base + 2), k.toLong * 100 + 50 + u, isLeft = true))
+      })
+      q.processAllAvailable()
+      Option(q.lastProgress).foreach { p =>
+        if (p.stateOperators.nonEmpty)
+          samples += p.stateOperators.map(_.numRowsTotal).sum
+      }
+    }
+    q.processAllAvailable()
+    val emitted = spark.table("state_asof").count()
+    q.stop()
+    // every left except the still-immature tail matured and emitted
+    assert(emitted >= (steps - 2).toLong * users,
+      s"expected ~${steps * users} matured as-of matches, got $emitted")
+    // state holds: per key, the pending (newest) left + the ≤2 rights
+    // still inside the lookback + the timer/armed bookkeeping. A pruning
+    // leak accumulates toward steps*users rights (~75) / lefts (~75).
+    val tail = samples.drop(5)
+    assert(tail.nonEmpty && tail.max <= users * 8L,
+      s"as-of processor state grew with stream length: samples=$samples")
+  }
+
+  test("dedupStream state is bounded by the watermark, not by distinct keys seen") {
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+    // 10 s suppression horizon over an ever-growing key universe: plain
+    // dropDuplicates state would grow with every new key forever
+    val deduped = graft.streaming.Streaming.dedupStream(
+      ms.toDF, Seq("event_id"), "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("state_dedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-statededup").toString)
+      .start()
+    val steps = 30
+    val perStep = 5
+    val samples = drive(ms, q, steps) { k =>
+      // 5 fresh ids per minute, each sent twice (the dup is suppressed);
+      // +1 h base: an event AT the epoch ties the INITIAL watermark (0)
+      // and is dropped as late — epoch-0 event times are a test artifact,
+      // not a pipeline shape
+      (0 until perStep).flatMap { i =>
+        val id = k.toLong * perStep + i
+        val e = ev(id, 3600L + k * 60L + i, user = id)
+        Seq(e, e)
+      }
+    }
+    q.processAllAvailable()
+    val emitted = spark.table("state_dedup").count()
+    q.stop()
+    // each id emitted exactly once; its duplicate suppressed
+    assert(emitted == steps.toLong * perStep,
+      s"expected ${steps * perStep} deduped rows, got $emitted")
+    // state: only ids within the 10 s horizon of the watermark — one
+    // step's worth, never the ${steps * perStep}-key history
+    val tail = samples.drop(5)
+    assert(tail.nonEmpty && tail.max <= perStep * 4L,
+      s"dedup state grew with keys seen: samples=$samples")
+  }
+
+  test("IvmDeltaProcessor state is O(live keys), not O(changelog length)") {
+    import graft.streaming.Streaming.OrderVersion
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[OrderVersion](spark)
+    val out = ms.toDS().groupByKey(_.o_custkey)(Encoders.scalaLong)
+      .transformWithState(new graft.streaming.Streaming.IvmDeltaProcessor,
+        TimeMode.None(), OutputMode.Update())(
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong))
+    val q = out.toDF("grp", "dn", "dc").writeStream.format("memory")
+      .queryName("state_ivm").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-stateivm").toString)
+      .start()
+    val keys = 4
+    val steps = 25
+    val samples = mutable.ArrayBuffer.empty[Long]
+    (0 until steps).foreach { k =>
+      // every key re-prices each step: a 25-version-deep changelog per key
+      ms.addData((0 until keys).map(c => OrderVersion(
+        c.toLong, k.toLong * keys + c, "O", "A", ts(k * 10L), 100L + k)))
+      q.processAllAvailable()
+      Option(q.lastProgress).foreach { p =>
+        if (p.stateOperators.nonEmpty)
+          samples += p.stateOperators.map(_.numRowsTotal).sum
+      }
+    }
+    q.processAllAvailable()
+    val emitted = spark.table("state_ivm").count()
+    q.stop()
+    // deltas grow with the changelog: an add per version + a retraction
+    // for every version after the first
+    assert(emitted >= (2L * steps - 1) * keys - keys,
+      s"expected ~${2 * steps * keys} deltas, got $emitted")
+    // ...but state is the last live value per key, NEVER version history
+    val tail = samples.drop(5)
+    assert(tail.nonEmpty && tail.max <= keys * 2L,
+      s"cdc state grew with changelog length: samples=$samples")
+  }
 }
