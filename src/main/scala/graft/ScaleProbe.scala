@@ -35,6 +35,14 @@ object ScaleProbe {
           graft.llm.Similarity.ivfNearDupPairsMultiProbe(
             graft.engine.Tables.embeddings(spark, dir),
             k.toInt, np.toInt, minCos = 0.45).count()
+        // √N-sized cell count (Similarity.ivfCells) — the scale path: cells
+        // stay at √N occupancy instead of fattening linearly with corpus
+        case s"ivfauto=p${np}" =>
+          val emb = graft.engine.Tables.embeddings(spark, dir)
+          val k = graft.llm.Similarity.ivfCells(emb.count())
+          println(s"[probe]   ivfCells -> k=$k")
+          graft.llm.Similarity.ivfNearDupPairsMultiProbe(
+            emb, k, np.toInt, minCos = 0.45).count()
         // multi-probe cost/recall curve at the judged 8×4 config: found
         // pairs are exact-verified, so recall = rows / rows("exact")
         case s"annprobe=${p}" =>

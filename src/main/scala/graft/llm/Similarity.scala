@@ -122,6 +122,20 @@ object Similarity {
         max(col("sim")).as("sim"))
   }
 
+  /** IVF cell-count sizing rule: k = max(minK, ⌈√N⌉), N = corpus rows.
+    *
+    * Why √N (round-7 verdict #4 — a FIXED k is the one ANN scale knob that
+    * breaks first): with k fixed, cells fatten linearly with the corpus and
+    * same-cell pair verification costs k·(N/k)² = N²/k — quadratic. k = √N
+    * holds per-cell occupancy at √N, so pair work grows as N^1.5 (per-row
+    * cost √N, sublinear) while assignment cost N·k = N^1.5 matches — the
+    * classic IVF balance point where neither phase dominates. The broadcast
+    * codebook stays small at any realistic corpus: 10⁹ vectors → ~32k cells
+    * × 64 dims × 8 B ≈ 16 MB, inside the broadcast budget.
+    */
+  def ivfCells(n: Long, minK: Int = 16): Int =
+    math.max(minK, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Sign-plane bucket id for one LSH table: planes `t*width .. t*width+width-1`
     * contribute bits 0..width-1.
     */

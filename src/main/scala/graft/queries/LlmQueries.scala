@@ -1032,10 +1032,18 @@ object LlmQueries {
   }
 
   // --------------------------------------------- similarity: IVF cells
-  private val ivfK = 16
+  // Cell count wired to the corpus size ([[Similarity.ivfCells]]: ⌈√N⌉,
+  // floor 16) — the one extra job is a count(). The ORACLE computes the
+  // identical rule as a scalar subquery, so Spark and DuckDB always agree
+  // on the codebook at any scale; both sides take IEEE-double sqrt/ceil.
+  private val ivfMinK = 16
+  private def ivfK(spark: SparkSession, dir: String): Int =
+    Similarity.ivfCells(Tables.embeddings(spark, dir).count(), ivfMinK)
+  private val ivfKSql: String =
+    s"(SELECT GREATEST($ivfMinK, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
 
   def ivfNeardup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), ivfK, minCos)
+    Similarity.ivfNearDupPairs(Tables.embeddings(spark, dir), ivfK(spark, dir), minCos)
       .select("a_id", "b_id", "sim")
 
   val ivfNeardupSql: String = {
@@ -1043,7 +1051,7 @@ object LlmQueries {
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
     s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
-       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
+       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfKSql),
        |scored AS (SELECT e.vec_id, cb.c_id,
        |           round(${ldot("e.embedding", "cb.c_emb")} / (e.nrm * cb.c_nrm), 6) AS sim_c
        |           FROM e, cb),
@@ -1061,7 +1069,7 @@ object LlmQueries {
   private val ivfNprobe = 2
 
   def ivfMultiprobeNeardup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfNearDupPairsMultiProbe(Tables.embeddings(spark, dir), ivfK, ivfNprobe, minCos)
+    Similarity.ivfNearDupPairsMultiProbe(Tables.embeddings(spark, dir), ivfK(spark, dir), ivfNprobe, minCos)
       .select("a_id", "b_id", "sim")
 
   val ivfMultiprobeNeardupSql: String = {
@@ -1069,7 +1077,7 @@ object LlmQueries {
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
     s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
-       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
+       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfKSql),
        |scored AS (SELECT e.vec_id, cb.c_id,
        |           round(${ldot("e.embedding", "cb.c_emb")} / (e.nrm * cb.c_nrm), 6) AS sim_c
        |           FROM e, cb),
@@ -1086,7 +1094,7 @@ object LlmQueries {
 
   // ------------------------------------------ similarity: k-means IVF
   def ivfKmeansNeardup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansIvfPairs(Tables.embeddings(spark, dir), k = ivfK, iters = 1, minCos)
+    Similarity.kmeansIvfPairs(Tables.embeddings(spark, dir), k = ivfK(spark, dir), iters = 1, minCos)
       .select("a_id", "b_id", "sim")
 
   val ivfKmeansNeardupSql: String = {
@@ -1097,7 +1105,7 @@ object LlmQueries {
     s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${edot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
        |cb0 AS (SELECT vec_id::INT AS cell, [x::DOUBLE for x in embedding] AS c
-       |        FROM embeddings WHERE vec_id < $ivfK),
+       |        FROM embeddings WHERE vec_id < $ivfKSql),
        |cb0n AS (SELECT cell, c, sqrt(${ldot("c", "c")}) AS cn FROM cb0),
        |s0 AS (SELECT e.vec_id, cb.cell,
        |       round(${edot("e.embedding", "cb.c")} / (e.nrm * cb.cn), 6) AS sim
@@ -2317,14 +2325,14 @@ object LlmQueries {
     * while staying the same "near-duplicate" bar as the pair queries.
     */
   def semdedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedup(Tables.embeddings(spark, dir), k = ivfK, tau = minCos)
+    Similarity.semDedup(Tables.embeddings(spark, dir), k = ivfK(spark, dir), tau = minCos)
 
   val semdedupSql: String = {
     def ldot(a: String, b: String) =
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
     s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
        |           FROM embeddings e0),
-       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfK),
+       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfKSql),
        |scored AS (SELECT e.vec_id, cb.c_id,
        |           round(${ldot("e.embedding", "cb.c_emb")} / (e.nrm * cb.c_nrm), 6) AS sim_c
        |           FROM e, cb),
