@@ -30,10 +30,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      finally
+      finally {
         // drop per-query persisted subplans (dedup postings etc.): plans are
-        // rebuilt per call, so blocks from hundreds of runs would accumulate
+        // rebuilt per call, so blocks from hundreds of runs would accumulate.
+        // releaseAll is the library's own paired release (the long-lived-
+        // session route); clearCache stays as the harness backstop.
+        graft.engine.QueryCaches.releaseAll()
         spark.catalog.clearCache()
+      }
       val t = (System.nanoTime() - t0) / 1e9
       // stderr progress per run: a hung query is identifiable from the log
       // tail (the JSON contract on stdout is unaffected)

@@ -27,7 +27,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release per-query persisted subplans (dedup postings etc.) so the
-      // 100+ sequential queries don't accumulate storage-memory pressure
+      // 100+ sequential queries don't accumulate storage-memory pressure;
+      // releaseAll is the paired per-persist release, clearCache the backstop
+      graft.engine.QueryCaches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

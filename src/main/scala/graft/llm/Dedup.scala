@@ -108,7 +108,7 @@ object Dedup {
     // (Verify) call spark.catalog.clearCache() between queries; otherwise
     // the block is freed by the ContextCleaner when the plan is dropped.
     val postings = shinglePostings(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val sizes = shingleSizesFromPosts(postings)
     val common = postings.as("a")
       .join(postings.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -139,7 +139,7 @@ object Dedup {
   def ngramJaccardPairsPrefix(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame =
     ngramJaccardPairsPrefixFromPosts(
       shinglePostings(documents, n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        .transform(graft.engine.QueryCaches.registered),
       num, den)
 
   /** The prefix-filtered join over an existing (persisted) postings frame.
@@ -204,7 +204,7 @@ object Dedup {
     // Union would execute the expensive pair-enumeration join twice (the
     // pair frame is candidates-only, far smaller than the join that built it)
     val common = sizedPairCounts(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     // one row per (contained, container) direction that clears the threshold
     val aInB = common.filter(col("n_common") * den >= col("size_a") * num)
       .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
@@ -250,7 +250,7 @@ object Dedup {
     // so the window construction + md5 runs once (same pattern as the
     // Jaccard postings; Verify/Bench clearCache() between queries)
     val posts = windowPostings(documents, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val dupHashes = posts.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occur"))
       .filter(col("n_occur") >= 2)
@@ -343,7 +343,7 @@ object Dedup {
     // postings are persisted for candidate VERIFICATION only — signatures
     // come from the per-row kernel and never touch an exchange
     val posts = shinglePostings(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val sigs = minhashSignatures(documents, n, perms)
     val candidates = bandCandidates(sigs, perms, bands)
     val sizes = shingleSizesFromPosts(posts)
@@ -390,7 +390,7 @@ object Dedup {
     */
   def bagJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
     val bag = bagPostings(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
     val common = bag.as("a")
       .join(bag.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -426,7 +426,7 @@ object Dedup {
     // inline), so the signature path pays zero exchanges, like the
     // unweighted family
     val bag = bagPostings(documents, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val sigs = spread(documents)
       .select(col("doc_id"),
         graft.functions.TextFunctions.graftMinhashSigWeighted(col("text"), n, perms).as("sig"))
@@ -476,7 +476,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     // initialization IS round 1 at lower cost: every neighbor's initial
     // label is its own id, which the edge row already carries — so
     // min(self, neighbors) needs no join yet, just one aggregation.
@@ -553,11 +553,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
     val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val nTotal = nodes.agg(count(lit(1)).as("n_total"))
     val base = nodes.select(col("doc_id"))
       .crossJoin(broadcast(nTotal)) // 1-row N fold-in, the tfidf pattern
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     var pr = base.select(col("doc_id"), col("n_total"),
       expr(s"$mass div n_total").as("pr"))
     for (_ <- 0 until iters) {

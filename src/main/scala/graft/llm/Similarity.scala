@@ -261,7 +261,7 @@ object Similarity {
     // each use re-scans and re-spreads the corpus (Spark ML's KMeans
     // caches/warns for exactly this reason)
     val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
 
     def assign(centroids: Seq[(Int, Array[Double])]): DataFrame = {
       val scoredCells = centroids.map { case (cid, c) =>
@@ -534,7 +534,7 @@ object Similarity {
       .partitionBy(col("v_id")).orderBy(col("sim_c").desc, col("c_id").asc)
     val assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val dropped = assigned.select(col("v_id").as("a_id"), col("v_emb").as("a_emb"),
         col("v_norm").as("a_norm"), col("cell"))
       .join(assigned.select(col("v_id").as("b_id"), col("v_emb").as("b_emb"),

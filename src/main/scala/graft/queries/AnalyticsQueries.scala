@@ -830,7 +830,7 @@ object AnalyticsQueries {
       // by o_custkey (verified in-plan: exactly one Exchange, the window's)
       // — when the gate withholds the broadcast hint, loop iterations
       // probe an already-key-partitioned cache, not raw orders
-      .persist()
+      .transform(graft.engine.QueryCaches.registered)
     ranked.createOrReplaceTempView("graft_orders_ranked")
     val n = ranked.count()
     // The recursion ROW limit is a safety valve against non-terminating
@@ -998,7 +998,7 @@ object AnalyticsQueries {
     val h = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("total", sum(col("c")).over(wTot))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     // exact interpolated quantile from the histogram: pos = (total-1)·p;
     // lo = value covering index ⌊pos⌋, hi = value covering ⌊pos⌋+1
     // (absent when pos is integral at the top — coalesce to lo)
@@ -1321,7 +1321,7 @@ object AnalyticsQueries {
     // relation, so the fact tables are scanned once and the d-way md5
     // expansion runs over DISTINCT KEYS, not raw rows
     def keyed(df: DataFrame, cnt: String) =
-      df.groupBy(col("k")).agg(count(lit(1)).as(cnt)).persist()
+      df.groupBy(col("k")).agg(count(lit(1)).as(cnt)).transform(graft.engine.QueryCaches.registered)
     def cells(kdf: DataFrame, cnt: String, n: String) =
       kdf.select(explode(js).as("j"), col("k"), col(cnt))
         .withColumn("pos", pos(col("j"), col("k")))
@@ -1679,7 +1679,7 @@ object AnalyticsQueries {
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().persist()
+      .distinct().transform(graft.engine.QueryCaches.registered)
     val nBaskets = li.agg(countDistinct(col("ok")).as("n_baskets"))
     val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
     li.as("a").join(li.as("b"), Seq("ok"))
@@ -2199,7 +2199,7 @@ object AnalyticsQueries {
   def itemSimilarityTopk(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().persist()
+      .distinct().transform(graft.engine.QueryCaches.registered)
     val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
     val half = li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.pk") < col("b.pk"))

@@ -574,7 +574,7 @@ object LlmQueries {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val posts = Dedup.shinglePostings(Tables.documents(spark, dir), n = 8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.QueryCaches.registered)
     val evalSide = posts.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     val train = posts.filter(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -692,7 +692,7 @@ object LlmQueries {
     * pair list ships ids, never text.
     */
   def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
-    val ch = docChunks(spark, dir).persist()
+    val ch = docChunks(spark, dir).transform(graft.engine.QueryCaches.registered)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
     val pos = ch.withColumn("pos_hash", lead(col("chunk_hash"), 1).over(w))
@@ -946,13 +946,13 @@ object LlmQueries {
       .filter(col("sim") >= minCos)
       .select(least(col("a_vid"), col("vec_id")).as("a_id"),
         greatest(col("a_vid"), col("vec_id")).as("b_id"))
-      .distinct().persist()
+      .distinct().transform(graft.engine.QueryCaches.registered)
     val aIds = anchors.select(col("a_vid"))
     val lshAll = Similarity.lshNearDupPairs(emb, Similarity.defaultPlanes, minCos)
       .select("a_id", "b_id")
     val lsh = lshAll.join(broadcast(aIds), col("a_id") === col("a_vid"), "left_semi")
       .union(lshAll.join(broadcast(aIds), col("b_id") === col("a_vid"), "left_semi"))
-      .distinct().persist()
+      .distinct().transform(graft.engine.QueryCaches.registered)
     val nE = exact.agg(count(lit(1)).as("n_exact"))
     val nL = lsh.agg(count(lit(1)).as("n_lsh"))
     val nH = lsh.join(exact, Seq("a_id", "b_id"), "left_semi")
@@ -2152,7 +2152,7 @@ object LlmQueries {
         shiftleft(conv(substring(col("ahash"), 1, 32), 2, 10).cast("long"), 32)
           .bitwiseOR(conv(substring(col("ahash"), 33, 32), 2, 10).cast("long")))
       .groupBy(col("bits")).agg(collect_list(col("doc_id")).as("ids"))
-      .persist()
+      .transform(graft.engine.QueryCaches.registered)
     val bands = byHash.select(col("bits"),
         posexplode(array((0 until 8).map(b =>
           shiftright(col("bits"), b * 8).bitwiseAND(lit(255L))): _*)))
@@ -2511,7 +2511,7 @@ object LlmQueries {
       .select(col("source"), explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
       .select(col("source"), PortableHash.md5Long(col("s")).as("h"))
       .distinct()
-      .persist()
+      .transform(graft.engine.QueryCaches.registered)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = ss.as("a").join(ss.as("b"), "h")
       .filter(col("a.source") < col("b.source"))
@@ -2548,7 +2548,7 @@ object LlmQueries {
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("o"))
-      .persist()
+      .transform(graft.engine.QueryCaches.registered)
     val g = st.groupBy(col("tok")).agg(sum(col("o")).as("g"))
     val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
     val nTot = st.agg(sum(col("o")).as("n_tot"))
@@ -2692,9 +2692,9 @@ object LlmQueries {
     // measured SLOWER (the 64-min aggregation over ~1M posting rows costs
     // ~3.7 s of stage time vs ~0.6 s for the kernel's second corpus scan).
     val truth = Dedup.ngramJaccardPairsPrefix(docs, 3, jaccardNum, jaccardDen)
-      .select("doc_a", "doc_b").persist()
+      .select("doc_a", "doc_b").transform(graft.engine.QueryCaches.registered)
     val cand = Dedup.bandCandidates(
-      Dedup.minhashSignatures(docs, 3, 64), 64, 16).persist()
+      Dedup.minhashSignatures(docs, 3, 64), 64, 16).transform(graft.engine.QueryCaches.registered)
     val nT = truth.agg(count(lit(1)).as("n_truth"))
     val nC = cand.agg(count(lit(1)).as("n_cand"))
     val nTp = truth.join(cand, Seq("doc_a", "doc_b"))
@@ -2779,9 +2779,9 @@ object LlmQueries {
         floor(col("embedding")(0).cast("double") * gridF).cast("long").as("cx"),
         floor(col("embedding")(1).cast("double") * gridF).cast("long").as("cy"))
       .withColumn("cell", cellOf(col("cx"), col("cy")))
-      .persist()
+      .transform(graft.engine.QueryCaches.registered)
     val core = pts.groupBy("cell", "cx", "cy").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minPts).select("cell", "cx", "cy").persist()
+      .filter(col("n") >= minPts).select("cell", "cx", "cy").transform(graft.engine.QueryCaches.registered)
     val offs = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
     def neighborCells = array(offs.map { case (dx, dy) =>
       cellOf(col("cx") + dx.toLong, col("cy") + dy.toLong) }: _*)
@@ -2859,7 +2859,7 @@ object LlmQueries {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 127 / col("gma")).cast("long")).as("qs"))
-      .persist()
+      .transform(graft.engine.QueryCaches.registered)
     val cent = q.select(col("label"), posexplode(col("qs")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos")).agg(sum(col("v")).as("s"))
       .groupBy(col("label"))

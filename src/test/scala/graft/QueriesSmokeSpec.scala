@@ -22,6 +22,14 @@ class QueriesSmokeSpec extends SparkSuite {
       val r1 = a.orderBy(cols: _*).collect().toSeq
       val r2 = fn(spark, sf1).orderBy(cols: _*).collect().toSeq
       assert(r1 == r2, s"$name not deterministic")
+      // cache lifecycle hygiene (round-7 verdict #5): every persist the
+      // engine took while answering this query must be REGISTERED, so the
+      // paired release leaves the session's SQL cache completely empty —
+      // an unregistered persist would accumulate blocks for the lifetime
+      // of a long-lived session. Checked per query, over every query.
+      graft.engine.QueryCaches.releaseAll()
+      assert(org.apache.spark.sql.graftbridge.CacheBridge.cacheIsEmpty(spark),
+        s"$name left unregistered persisted plans in the cache manager")
     }
   }
 }
