@@ -23,6 +23,90 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** Fused one-pass curation counting kernel — replaces FIVE separate
+    * regex passes over the document (`[A-Za-z0-9]+` word runs, `[.,;:!?]`
+    * punctuation, and one `\b(w1|w2|...)\b` stopword scan per language)
+    * plus the whitespace-token count with a single byte-level scan and
+    * ZERO allocation beyond the 7-int result. Counting via
+    * `size(regexp_extract_all(...))` materializes every match as a
+    * UTF8String in an array per regex per row; the curation ingest is
+    * exactly this shape and was measured regex-bound (~3.2k docs/s,
+    * BASELINE.md).
+    *
+    * Exact equivalences (FunctionsSpec pins each against the composed
+    * regex form; the DuckDB oracles are unchanged):
+    *  - n_ws: non-empty segments between single 0x20 bytes — the
+    *    `string_split(text, ' ')` + filter count. 0x20 never occurs
+    *    inside a UTF-8 multi-byte sequence, so byte scanning is exact.
+    *  - n_word: maximal `[A-Za-z0-9]+` runs. A regex match of that class
+    *    is a maximal ASCII-alnum byte run (continuation bytes have the
+    *    high bit set and never extend one).
+    *  - n_punct: bytes in `[.,;:!?]`.
+    *  - per-language marker hits: Java/RE2 `\b` tests the ASCII word
+    *    class `[A-Za-z0-9_]` on both sides, so `\bword\b` for an
+    *    all-word-char `word` matches exactly the maximal word-char runs
+    *    equal to it — each language counts its own runs independently.
+    *
+    * Layout of the returned ints: [n_ws, n_word, n_punct, hits(lang 0),
+    * ..., hits(lang L-1)] with languages in the caller's marker order.
+    */
+  def curationCounts(text: UTF8String, markers: Array[Array[Byte]],
+                     markerLang: Array[Int], nLangs: Int): ArrayData = {
+    val n = text.numBytes
+    var nWs = 0; var nWord = 0; var nPunct = 0
+    val hits = new Array[Int](nLangs)
+    var inSeg = false
+    var inAlnum = false
+    var runStart = -1
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      val alnum = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+        (b >= '0' && b <= '9')
+      val word = alnum || b == '_'
+      if (b == ' ') inSeg = false
+      else if (!inSeg) { inSeg = true; nWs += 1 }
+      if (alnum && !inAlnum) nWord += 1
+      inAlnum = alnum
+      if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?')
+        nPunct += 1
+      if (word) { if (runStart < 0) runStart = i }
+      else if (runStart >= 0) {
+        countMarkerRun(text, runStart, i, markers, markerLang, hits)
+        runStart = -1
+      }
+      i += 1
+    }
+    if (runStart >= 0)
+      countMarkerRun(text, runStart, n, markers, markerLang, hits)
+    val out = new Array[Any](3 + nLangs)
+    out(0) = nWs; out(1) = nWord; out(2) = nPunct
+    var l = 0
+    while (l < nLangs) { out(3 + l) = hits(l); l += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** One maximal word-char run against every marker: a byte-equal marker
+    * increments ITS language. No early exit across languages — the regex
+    * scans are per-language independent, so a run shared by two languages'
+    * marker lists must count for both.
+    */
+  private def countMarkerRun(text: UTF8String, start: Int, end: Int,
+      markers: Array[Array[Byte]], markerLang: Array[Int],
+      hits: Array[Int]): Unit = {
+    val len = end - start
+    var m = 0
+    while (m < markers.length) {
+      val mk = markers(m)
+      if (mk.length == len) {
+        var j = 0
+        while (j < len && text.getByte(start + j) == mk(j)) j += 1
+        if (j == len) hits(markerLang(m)) += 1
+      }
+      m += 1
+    }
+  }
+
   /** Whitespace tokenization shared by every text kernel below: split on
     * single spaces, compact out empties. Returns (tokens, count) — the
     * array may be over-sized past `count`. ONE definition: the kernels'
@@ -412,6 +496,47 @@ case class SimhashFP(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Catalyst expression wrapping [[TextKernels.curationCounts]]:
+  * array<int> of [n_ws, n_word, n_punct, marker-hits per language] computed
+  * in one byte scan — the curation ingest's whole stateless counting load
+  * fused into a single kernel evaluation. `markerLists` is one word list
+  * per language, order preserved in the output. Null text → null.
+  */
+case class CurationCountsFP(child: Expression, markerLists: Seq[Seq[String]])
+  extends UnaryExpression {
+
+  @transient private lazy val markerBytes: Array[Array[Byte]] =
+    markerLists.flatten.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  @transient private lazy val markerLang: Array[Int] =
+    markerLists.zipWithIndex.flatMap { case (ws, l) => ws.map(_ => l) }.toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_curation_counts expects a string column, got $t")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.curationCounts(text.asInstanceOf[UTF8String],
+      markerBytes, markerLang, markerLists.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("curationMarkers", markerBytes, "byte[][]")
+    val lRef = ctx.addReferenceObj("curationMarkerLang", markerLang, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.curationCounts($c, $mRef, " +
+        s"$lRef, ${markerLists.length});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for the shingle kernel, with the composed form's
     * null-text → empty-array semantics.
@@ -430,6 +555,11 @@ object TextFunctions {
   /** Per-row 60-bit frequency-weighted SimHash (shuffle-free, state-free). */
   def graftSimhash(text: Column, bits: Int = 60): Column =
     ColumnBridge.column(SimhashFP(ColumnBridge.expression(text), bits))
+
+  /** Fused curation counts: array<int> [n_ws, n_word, n_punct,
+    * marker-hits per language list] in one byte scan. */
+  def graftCurationCounts(text: Column, markerLists: Seq[Seq[String]]): Column =
+    ColumnBridge.column(CurationCountsFP(ColumnBridge.expression(text), markerLists))
 
   /** Per-row bag postings: array<struct<s, cnt>> of (shingle, count). */
   def graftShingleCounts(text: Column, n: Int): Column =

@@ -60,11 +60,26 @@ object TextAnalysis {
 
   /** Stopword-hit count for a language marker list (word-boundary regex).
     * Words are regex-escaped: a marker like `c++` must count as a literal,
-    * not blow up as a dangling quantifier.
+    * not blow up as a dangling quantifier. This is the correctness
+    * REFERENCE for the fused [[curationCounts]] kernel's per-language
+    * columns (FunctionsSpec pins equality); the hot curation path runs
+    * the kernel.
     */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(text,
       lit("\\b(" + words.map(escapeRegex).mkString("|") + ")\\b"), lit(0)))
+
+  /** Fused one-pass curation counts ([[graft.functions.TextKernels
+    * .curationCounts]]): array<int> `[n_ws, n_word, n_punct, s_en, s_es,
+    * s_fr, s_de]` — the whole stateless counting load of the curation
+    * ingest (five regex passes + a tokenize) in ONE byte scan of the
+    * document, no per-match allocation. Each element is output-equal to
+    * its composed form: `size(tokens(text))`, `regexCount(wordRe)`,
+    * `regexCount(punctRe)`, and `stopwordHits(langMarkers(i))`
+    * respectively (FunctionsSpec).
+    */
+  def curationCounts(text: Column): Column =
+    graft.functions.TextFunctions.graftCurationCounts(text, langMarkers.map(_._2))
 
   /** Language markers used by the n-gram/stopword language-ID heuristic.
     * Order is the deterministic tie-break priority.

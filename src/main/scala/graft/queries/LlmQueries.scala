@@ -1344,13 +1344,15 @@ object LlmQueries {
     * runs unchanged under Structured Streaming).
     */
   def langIdOf(d: DataFrame): DataFrame = {
-    val scores = TextAnalysis.langMarkers.map { case (l, words) =>
-      l -> TextAnalysis.stopwordHits(col("text"), words)
-    }
-    val Seq(en, es, fr, de) = scores.map(_._2)
+    // fused kernel: all four languages' marker hits in one byte scan
+    // (codegen CSE evaluates __cc once per row); output-equal to the
+    // per-language stopwordHits regexes — FunctionsSpec pins it
+    val cc = TextAnalysis.curationCounts(col("text"))
     d.withColumn("labeled_lang", col("lang"))
-      .withColumn("s_en", en).withColumn("s_es", es)
-      .withColumn("s_fr", fr).withColumn("s_de", de)
+      .withColumn("__cc", cc)
+      .withColumn("s_en", col("__cc")(3)).withColumn("s_es", col("__cc")(4))
+      .withColumn("s_fr", col("__cc")(5)).withColumn("s_de", col("__cc")(6))
+      .drop("__cc")
       .withColumn("pred_lang",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
@@ -1409,18 +1411,21 @@ object LlmQueries {
 
   /** Per-row quality stage over any documents frame (stateless — streams). */
   def qualityScoreOf(d: DataFrame): DataFrame = {
-    val t = col("text")
-    val nWs = size(TextAnalysis.tokens(t))
-    val enWords = TextAnalysis.langMarkers.toMap.apply("en")
-    d.withColumn("n_ws", nWs)
-      .withColumn("n_word", TextAnalysis.regexCount(t, TextAnalysis.wordRe))
-      .withColumn("n_punct", TextAnalysis.regexCount(t, TextAnalysis.punctRe))
-      .withColumn("stop_hits", TextAnalysis.stopwordHits(t, enWords))
+    // fused kernel: token/word/punct/stopword counts in one byte scan
+    // instead of a tokenize + three regexp_extract_all materializations;
+    // element-equal to the composed forms (FunctionsSpec)
+    val cc = TextAnalysis.curationCounts(col("text"))
+    d.withColumn("__cc", cc)
+      .withColumn("n_ws", col("__cc")(0))
+      .withColumn("n_word", col("__cc")(1))
+      .withColumn("n_punct", col("__cc")(2))
+      .withColumn("stop_hits", col("__cc")(3))
       .withColumn("score_bp",
         least(col("n_chars"), lit(1000L)) * 2
           + expr("(1000 * stop_hits) div greatest(n_ws, 1)")
           + expr("(1000 * n_word) div greatest(n_ws, 1)")
           - col("n_punct") * 50)
+      .drop("__cc")
   }
 
   val qualityScoreSql: String = {

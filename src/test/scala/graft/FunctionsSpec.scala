@@ -37,6 +37,34 @@ class FunctionsSpec extends SparkSuite {
     assert(f == Seq.fill(8)(0L))
   }
 
+  test("CurationCountsFP fused scan equals the composed regex forms, element by element") {
+    import graft.llm.TextAnalysis
+    // corpus fixture + hand-built edges: underscores (word-boundary class
+    // includes _, alnum-run class does not), marker-adjacent punctuation,
+    // non-ASCII bytes (must act as boundaries), markers at string edges,
+    // a marker shared mid-run ("them" must NOT hit "the"), multi-space
+    // runs, and the empty string
+    val edges = Seq(
+      "the_cat is_ not the same", "the.the,the", "¡el año! de la ünd",
+      "the", "them theater the2 _the the_", "a  b   c", "", "de des der",
+      "is:to;of!and?the und ist das est une los que", "__ _a_ 9_9 x")
+      .toDF("text")
+    val docs = spark.read.parquet(s"$sf1/documents.parquet").select("text")
+      .union(edges)
+    val cc = TextAnalysis.curationCounts(col("text"))
+    val markers = TextAnalysis.langMarkers
+    val checks: Seq[org.apache.spark.sql.Column] = Seq(
+      (col("__cc")(0) === size(TextAnalysis.tokens(col("text")))).as("ws_ok"),
+      (col("__cc")(1) === TextAnalysis.regexCount(col("text"), TextAnalysis.wordRe)).as("word_ok"),
+      (col("__cc")(2) === TextAnalysis.regexCount(col("text"), TextAnalysis.punctRe)).as("punct_ok")) ++
+      markers.zipWithIndex.map { case ((lang, words), i) =>
+        (col("__cc")(3 + i) === TextAnalysis.stopwordHits(col("text"), words)).as(s"${lang}_ok")
+      }
+    val rows = docs.withColumn("__cc", cc).select(checks: _*)
+    val bad = rows.filter(rows.columns.map(c => !col(c)).reduce(_ || _)).count()
+    assert(bad == 0, s"$bad rows where the fused kernel disagrees with the regex forms")
+  }
+
   test("ShinglesFP kernel is output-equal to the composed HOF form") {
     import graft.llm.TextAnalysis
     for (sf <- Seq("sf0.001", "sf0.01"); n <- Seq(2, 3, 5)) {
