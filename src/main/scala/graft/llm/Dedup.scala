@@ -59,30 +59,33 @@ object Dedup {
   private def spread(documents: DataFrame): DataFrame =
     graft.engine.Spread.spreadSmallInput(documents)
 
-  /** Inverted-index postings: one (doc_id, shingle-hash) row per distinct
-    * word n-gram per document. The md5 runs post-explode in codegen.
+  /** Inverted-index postings: one (doc_id, n_sh, shingle-hash) row per
+    * distinct word n-gram per document. The md5 runs post-explode in
+    * codegen. `n_sh` is the doc's distinct-shingle count, computed from
+    * the SAME kernel array the explode consumes (a `size()` on the
+    * already-materialized array — zero extra scan, zero extra exchange)
+    * and carried on every posting row, so pair-verification joins read
+    * both docs' sizes with a `first()` in the aggregation they already
+    * run — no separate sizes relation, no sizes joins. History: deriving
+    * sizes as a second corpus scan ran the kernel twice; deriving them as
+    * a groupBy over the persisted postings serialized the DAG behind the
+    * cache fill and cost an extra exchange + two pair-sized joins
+    * (measured +0.4–0.6 s/query at sf0.1). Carrying the count in the row
+    * is strictly cheaper at every scale: +8 bytes per 16-byte posting row
+    * in the one shuffle postings already pay.
     */
   def shinglePostings(documents: DataFrame, n: Int): DataFrame =
     spread(documents)
-      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), PortableHash.md5Long(col("s")).as("h"))
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), PortableHash.md5Long(col("s")).as("h"))
 
   /** Per-doc distinct-shingle counts (cheap per-row expression; spread for
     * the same single-split reason as the postings).
     */
   def shingleSizes(documents: DataFrame, n: Int): DataFrame =
     spread(documents).select(col("doc_id"), size(TextAnalysis.shingles(col("text"), n)).as("n_sh"))
-
-  /** The same counts derived from an (already persisted) postings frame —
-    * postings hold one row per distinct shingle per doc, so a per-doc count
-    * IS the size. Preferred wherever postings are cached anyway: a
-    * map-side-combined count over the cached frame replaces a second full
-    * corpus scan + shingle-kernel pass (the weighted family's `wsizes`
-    * already works this way; profiled at sf0.1, each avoided documents
-    * scan is a serial ~0.6 s single-task stage).
-    */
-  def shingleSizesFromPosts(posts: DataFrame): DataFrame =
-    posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
   /** Exact pairwise n-gram Jaccard via inverted index. Emits pairs
     * (doc_a < doc_b) with Jaccard ≥ num/den, compared in integer arithmetic:
@@ -109,14 +112,14 @@ object Dedup {
     // the block is freed by the ContextCleaner when the plan is dropped.
     val postings = shinglePostings(documents, n)
       .transform(graft.engine.QueryCaches.registered)
-    val sizes = shingleSizesFromPosts(postings)
-    val common = postings.as("a")
+    // sizes ride the posting rows (constant per doc), so the pair
+    // aggregation reads them with first() — no sizes relation, no joins
+    postings.as("a")
       .join(postings.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n_sh")).as("size_a"), first(col("b.n_sh")).as("size_b"))
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
   /** Exact n-gram Jaccard with prefix filtering (PPJoin-style): provably
@@ -151,17 +154,16 @@ object Dedup {
     * per-row kernel's own scan — see lshQualityEval) — don't re-wire that.
     */
   def ngramJaccardPairsPrefixFromPosts(posts: DataFrame, num: Int, den: Int): DataFrame = {
-    val sizes = shingleSizesFromPosts(posts)
     val dfCounts = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // the per-doc set size already rides every posting row (n_sh), so the
+    // prefix bound needs no count() window
     val ranked = posts.join(dfCounts, "h")
       .withColumn("rank", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    // prefix length = cnt - ceil(t*cnt) + 1 with t = num/den (integer ceil)
+    // prefix length = n_sh - ceil(t*n_sh) + 1 with t = num/den (integer ceil)
     val prefix = ranked.filter(
-      col("rank") <= col("cnt") - expr(s"(($num * cnt) + $den - 1) div $den") + 1)
+      col("rank") <= col("n_sh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -170,15 +172,13 @@ object Dedup {
     // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
     // its actual size at the shuffle boundary and picks broadcast-hash vs
     // shuffle join at runtime, which a compile-time hint cannot do safely
-    val common = candidates
-      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
+    candidates
+      .join(posts.select(col("doc_id").as("doc_a"), col("n_sh").as("nsh_a"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("pb"), col("n_sh").as("nsh_b"), col("h").as("h_b")),
         col("doc_b") === col("pb") && col("h") === col("h_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("nsh_a")).as("size_a"), first(col("nsh_b")).as("size_b"))
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
@@ -346,20 +346,17 @@ object Dedup {
       .transform(graft.engine.QueryCaches.registered)
     val sigs = minhashSignatures(documents, n, perms)
     val candidates = bandCandidates(sigs, perms, bands)
-    val sizes = shingleSizesFromPosts(posts)
     // no forced broadcast: the candidate set is data-dependent (tiny on
     // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
     // its actual size at the shuffle boundary and picks broadcast-hash vs
     // shuffle join at runtime, which a compile-time hint cannot do safely
-    val common = candidates
-      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
+    candidates
+      .join(posts.select(col("doc_id").as("doc_a"), col("n_sh").as("nsh_a"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("pb"), col("n_sh").as("nsh_b"), col("h").as("h_b")),
         col("doc_b") === col("pb") && col("h") === col("h_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "size_b"), "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("nsh_a")).as("size_a"), first(col("nsh_b")).as("size_b"))
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
