@@ -14,6 +14,21 @@ object Bench {
     // local[N] skews the steady-state timings the warm pass stabilizes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // Host-speed canary: a fixed 2e9-step single-thread xorshift loop, timed
+    // before Spark starts. Bench totals are only comparable across rounds
+    // modulo host speed — rounds 7/8 both measured a BROAD ~1.2x inflation
+    // (median per-query ratio 1.20 over 250 queries, untouched micro-batch-
+    // floor rows included) on an idle host, i.e. the host itself drifted,
+    // not the plans. This pins per-core speed into the same JSON so the
+    // next such episode is attributable in one division.
+    val canary = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < 2000000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 0) System.err.println("")  // keep the loop live under JIT
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"[bench] host canary ${canary}%.2f s (2e9 xorshift steps, 1 thread)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -137,7 +152,7 @@ object Bench {
       if (common.isEmpty || prevSubset <= 0) ""
       else f""","prev_subset_total":$prevSubset%.1f,"cur_subset_total":$curSubset%.1f,"prev_subset_ratio":${curSubset / prevSubset}%.3f,"prev_subset_n":${common.size}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"protocol":$protos$ratioFields,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary%.2f,"queries":$qs,"protocol":$protos$ratioFields,"sf":"$sfDir"}"""
     // stable full record on disk: the driver tail-captures stdout and has
     // truncated the (now ~10 KB) JSON line mid-object before (r3); the
     // repo-path copy plus a SHORT headline line keep the round record whole
@@ -147,7 +162,7 @@ object Bench {
     println(json)
     // the LAST stdout line (build.sbt suppresses sbt's success banner) —
     // short enough to survive any tail window, parseable on its own
-    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.count(_._2._1 >= 0)}$ratioFields,"detail":"target/bench_latest.json"}""")
+    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.count(_._2._1 >= 0)},"canary_sec":$canary%.2f$ratioFields,"detail":"target/bench_latest.json"}""")
     spark.stop()
   }
 }
