@@ -42,4 +42,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1's GCLocker gives an allocation up after TWO failed retries while any
+  // thread holds a JNI critical region (JDK-8192647). With 32 task threads
+  // doing lz4 cache compression (GetPrimitiveArrayCritical) a multi-MB
+  // array allocation — a broadcast build, a TaskMemoryManager page — fails
+  // SPURIOUSLY under load: observed at 64×-scale/8 GiB as "Retried waiting
+  // for GCLocker too often" followed by a fake broadcast/page OOM with heap
+  // to spare. Raising the retry budget removes the false failure; a truly
+  // full heap still OOMs promptly.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

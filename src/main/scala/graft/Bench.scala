@@ -40,20 +40,31 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
-      finally {
-        // drop per-query persisted subplans (dedup postings etc.): plans are
-        // rebuilt per call, so blocks from hundreds of runs would accumulate.
-        // releaseAll is the library's own paired release (the long-lived-
-        // session route); clearCache stays as the harness backstop.
-        graft.engine.QueryCaches.releaseAll()
-        spark.catalog.clearCache()
+      val failed = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        false
+      } catch { case e: Throwable =>
+        // root-cause class + top frames, not just the message: a wrapped
+        // SparkException surfaces as an opaque "Boxed Exception" otherwise
+        val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench]   root: $root")
+        root.getStackTrace.take(6).foreach(f => System.err.println(s"[bench]     at $f"))
+        true
       }
       val t = (System.nanoTime() - t0) / 1e9
+      // Drop per-query persisted subplans (dedup postings etc.): plans are
+      // rebuilt per call, so blocks from hundreds of runs would accumulate.
+      // releaseAll is the library's own paired release (the long-lived-
+      // session route); clearCache stays as the harness backstop. BLOCKING,
+      // and outside the timed window: a queued-but-not-executed removal let
+      // the warm pass's cached postings pin the storage floor into the
+      // measured pass's big shuffle (observed: 64×/8 GiB flagship green
+      // warm, OOM measured on 512 MB page requests).
+      graft.engine.QueryCaches.releaseAll(blocking = true)
+      spark.catalog.clearCache()
+      if (failed) return -1.0
       // stderr progress per run: a hung query is identifiable from the log
       // tail (the JSON contract on stdout is unaffected)
       System.err.println(f"[bench] $name%s ${t}%.2fs")

@@ -39,14 +39,22 @@ object QueryCaches {
     df
   }
 
-  /** Unpersist every registered intermediate. Non-blocking (release is
-    * bookkeeping, not on any query's critical path); idempotent — an
-    * entry already unpersisted by its builder (early release) is a no-op.
+  /** Unpersist every registered intermediate. Idempotent — an entry
+    * already unpersisted by its builder (early release) is a no-op.
+    *
+    * `blocking = false` (the default) suits a long-lived session: release
+    * is bookkeeping, not on any query's critical path. A back-to-back
+    * harness (Bench's warm-then-measured passes) must pass `blocking =
+    * true`: a non-blocking unpersist only QUEUES block removal, so the
+    * previous pass's multi-GB cached postings can still occupy the
+    * unified-memory storage floor (which execution cannot evict past)
+    * when the next pass's big shuffle asks for pages — observed at
+    * 64×/8 GiB as a measured-pass OOM right after a green warm pass.
     */
-  def releaseAll(): Unit = {
+  def releaseAll(blocking: Boolean = false): Unit = {
     var df = live.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      df.unpersist(blocking)
       df = live.poll()
     }
   }

@@ -87,6 +87,22 @@ object Dedup {
   def shingleSizes(documents: DataFrame, n: Int): DataFrame =
     spread(documents).select(col("doc_id"), size(TextAnalysis.shingles(col("text"), n)).as("n_sh"))
 
+  /** Doc-keyed sizes projected OFF the (cached) postings: `n_sh` is
+    * constant per doc, so a map-side-combined `max` collapses the posting
+    * relation to one 16-byte row per doc with no kernel re-run. Pair
+    * verification joins this at PAIR granularity (post-aggregation, tiny,
+    * AQE-broadcastable) instead of carrying `n_sh` through the pair
+    * expansion — the widest point of the DAG. Measured at 64× (320k docs,
+    * flagship): carrying the two extra longs per expanded row exhausted
+    * the default 8 GiB heap's execution pool (two broadcast builds
+    * starved, STAGE_MATERIALIZATION failure), while this shape runs the
+    * same corpus in 86 s at the same heap. The per-posting `n_sh` column
+    * stays: doc-granular consumers (the PPJoin prefix bound) read it for
+    * free, and it RLE-compresses to nothing in the columnar cache.
+    */
+  def shingleSizesFromPosts(posts: DataFrame): DataFrame =
+    posts.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+
   /** Exact pairwise n-gram Jaccard via inverted index. Emits pairs
     * (doc_a < doc_b) with Jaccard ≥ num/den, compared in integer arithmetic:
     * j = c/(sa+sb-c) ≥ num/den  ⇔  den*c ≥ num*(sa+sb-c).
@@ -112,13 +128,18 @@ object Dedup {
     // the block is freed by the ContextCleaner when the plan is dropped.
     val postings = shinglePostings(documents, n)
       .transform(graft.engine.QueryCaches.registered)
-    // sizes ride the posting rows (constant per doc), so the pair
-    // aggregation reads them with first() — no sizes relation, no joins
-    postings.as("a")
-      .join(postings.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // the self-join ships (doc_id, h) ONLY — at 64× the +16 bytes/row of
+    // carrying both docs' n_sh through the h-keyed expansion cost more
+    // execution memory than the default heap holds (see
+    // shingleSizesFromPosts); sizes re-attach at pair granularity below
+    val narrow = postings.select(col("doc_id"), col("h"))
+    val sizes = shingleSizesFromPosts(postings)
+    narrow.as("a")
+      .join(narrow.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"),
-        first(col("a.n_sh")).as("size_a"), first(col("b.n_sh")).as("size_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
 
@@ -171,14 +192,18 @@ object Dedup {
     // no forced broadcast: the candidate set is data-dependent (tiny on
     // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
     // its actual size at the shuffle boundary and picks broadcast-hash vs
-    // shuffle join at runtime, which a compile-time hint cannot do safely
+    // shuffle join at runtime, which a compile-time hint cannot do safely.
+    // The verification joins ship (doc, h) only; sizes re-attach at pair
+    // granularity (see shingleSizesFromPosts for the 64× memory story)
+    val sizes = shingleSizesFromPosts(posts)
     candidates
-      .join(posts.select(col("doc_id").as("doc_a"), col("n_sh").as("nsh_a"), col("h")), "doc_a")
-      .join(posts.select(col("doc_id").as("pb"), col("n_sh").as("nsh_b"), col("h").as("h_b")),
+      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
         col("doc_b") === col("pb") && col("h") === col("h_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"),
-        first(col("nsh_a")).as("size_a"), first(col("nsh_b")).as("size_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
@@ -349,14 +374,18 @@ object Dedup {
     // no forced broadcast: the candidate set is data-dependent (tiny on
     // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
     // its actual size at the shuffle boundary and picks broadcast-hash vs
-    // shuffle join at runtime, which a compile-time hint cannot do safely
+    // shuffle join at runtime, which a compile-time hint cannot do safely.
+    // The verification joins ship (doc, h) only; sizes re-attach at pair
+    // granularity (see shingleSizesFromPosts for the 64× memory story)
+    val sizes = shingleSizesFromPosts(posts)
     candidates
-      .join(posts.select(col("doc_id").as("doc_a"), col("n_sh").as("nsh_a"), col("h")), "doc_a")
-      .join(posts.select(col("doc_id").as("pb"), col("n_sh").as("nsh_b"), col("h").as("h_b")),
+      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
         col("doc_b") === col("pb") && col("h") === col("h_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"),
-        first(col("nsh_a")).as("size_a"), first(col("nsh_b")).as("size_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
