@@ -52,4 +52,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full heap still OOMs promptly.
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
-)
+) ++
+  // Experiment knob (default absent = behavior unchanged): AQE's initial
+  // shuffle-partition count before coalescing. At ≥64× corpus scale the
+  // fixed 32 shuffle partitions make single sort tasks large enough to
+  // request 512 MB pointer-array doublings (transient retries observed on
+  // green 64× runs); a higher initial count splits those sorts while AQE
+  // coalesces small stages back, which is exactly the production setting
+  // on a real cluster. Measured before any default change.
+  sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").map(n =>
+    s"-Dspark.sql.adaptive.coalescePartitions.initialPartitionNum=$n").toSeq
