@@ -99,9 +99,17 @@ object Dedup {
     * same corpus in 86 s at the same heap. The per-posting `n_sh` column
     * stays: doc-granular consumers (the PPJoin prefix bound) read it for
     * free, and it RLE-compresses to nothing in the columnar cache.
+    *
+    * Persisted (registered): every caller joins this relation TWICE —
+    * once keyed as doc_a, once as doc_b — and an unpersisted subplan
+    * re-runs the groupBy over the postings cache per join. The relation
+    * is one 16-byte row per doc (~5 MB at 64×), so the cache is free and
+    * the second groupBy pass isn't (measured at sf0.1: the uncached form
+    * cost the minhash chain ~0.2–0.5 s/query of the narrow-shape tax).
     */
   def shingleSizesFromPosts(posts: DataFrame): DataFrame =
     posts.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+      .transform(graft.engine.QueryCaches.registered)
 
   /** Exact pairwise n-gram Jaccard via inverted index. Emits pairs
     * (doc_a < doc_b) with Jaccard ≥ num/den, compared in integer arithmetic:
