@@ -14,21 +14,36 @@ object Bench {
     // local[N] skews the steady-state timings the warm pass stabilizes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    // Host-speed canary: a fixed 2e9-step single-thread xorshift loop, timed
-    // before Spark starts. Bench totals are only comparable across rounds
-    // modulo host speed — rounds 7/8 both measured a BROAD ~1.2x inflation
-    // (median per-query ratio 1.20 over 250 queries, untouched micro-batch-
-    // floor rows included) on an idle host, i.e. the host itself drifted,
-    // not the plans. This pins per-core speed into the same JSON so the
-    // next such episode is attributable in one division.
-    val canary = {
+    // Host-speed canary: a fixed 2e9-step-per-thread xorshift loop. Bench
+    // totals are only comparable across rounds modulo host speed — rounds
+    // 7/8 both measured a BROAD ~1.2x inflation (median per-query ratio
+    // 1.20 over 250 queries, untouched micro-batch-floor rows included) on
+    // an "idle" host, i.e. the host itself drifted, not the plans. Round 8
+    // additionally proved one pre-run single-thread sample CANNOT attribute
+    // such an episode (it ran equal while the suite ran 1.19x): it measures
+    // clock speed once, before Spark starts, and is blind to (a) all-core
+    // contention — the thing that actually moves a local[32] suite — and
+    // (b) load arriving mid-run. So the canary is now BRACKETED (before and
+    // after the suite) and run in both 1-thread and all-threads variants;
+    // all four samples land in the JSON. A drift episode then shows up as
+    // post > pre or mt-per-thread >> single, in the same record it inflated.
+    def canaryOnce(threads: Int): Double = {
       val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L; var i = 0L
-      while (i < 2000000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      if (x == 0) System.err.println("")  // keep the loop live under JIT
+      val ts = (0 until threads).map { tid =>
+        val th = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L ^ tid; var i = 0L
+          while (i < 2000000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 0) System.err.println("")  // keep the loop live under JIT
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    System.err.println(f"[bench] host canary ${canary}%.2f s (2e9 xorshift steps, 1 thread)")
+    val canary = canaryOnce(1)
+    val canaryMt = canaryOnce(cpus.toInt)
+    System.err.println(
+      f"[bench] host canary pre: ${canary}%.2f s (1 thread), ${canaryMt}%.2f s (${cpus}%s threads, 2e9 steps each)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,7 +77,7 @@ object Bench {
       // the warm pass's cached postings pin the storage floor into the
       // measured pass's big shuffle (observed: 64×/8 GiB flagship green
       // warm, OOM measured on 512 MB page requests).
-      graft.engine.QueryCaches.releaseAll(blocking = true)
+      graft.engine.QueryCaches.releaseAll(spark, blocking = true)
       spark.catalog.clearCache()
       if (failed) return -1.0
       // stderr progress per run: a hung query is identifiable from the log
@@ -142,6 +157,14 @@ object Bench {
       }
     }
     val results = names.map(n => n -> measure(n))
+    // closing bracket of the canary: same loops, after the suite — a load
+    // episode that arrived mid-run is visible as post >> pre
+    val canaryPost = canaryOnce(1)
+    val canaryMtPost = canaryOnce(cpus.toInt)
+    System.err.println(
+      f"[bench] host canary post: ${canaryPost}%.2f s (1 thread), ${canaryMtPost}%.2f s (${cpus}%s threads)")
+    val canaryFields =
+      f""""canary_sec":$canary%.2f,"canary_mt_sec":$canaryMt%.2f,"canary_post_sec":$canaryPost%.2f,"canary_mt_post_sec":$canaryMtPost%.2f,"canary_threads":${cpus}%s"""
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // estimator provenance per query: "single" (one measured pass) vs
     // "min3" (re-measured; optimistically biased) — so round-over-round
@@ -163,7 +186,7 @@ object Bench {
       if (common.isEmpty || prevSubset <= 0) ""
       else f""","prev_subset_total":$prevSubset%.1f,"cur_subset_total":$curSubset%.1f,"prev_subset_ratio":${curSubset / prevSubset}%.3f,"prev_subset_n":${common.size}"""
     val json =
-      f"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary%.2f,"queries":$qs,"protocol":$protos$ratioFields,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total,"unit":"sec",$canaryFields,"queries":$qs,"protocol":$protos$ratioFields,"sf":"$sfDir"}"""
     // stable full record on disk: the driver tail-captures stdout and has
     // truncated the (now ~10 KB) JSON line mid-object before (r3); the
     // repo-path copy plus a SHORT headline line keep the round record whole
@@ -173,7 +196,7 @@ object Bench {
     println(json)
     // the LAST stdout line (build.sbt suppresses sbt's success banner) —
     // short enough to survive any tail window, parseable on its own
-    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.count(_._2._1 >= 0)},"canary_sec":$canary%.2f$ratioFields,"detail":"target/bench_latest.json"}""")
+    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n_queries":${results.count(_._2._1 >= 0)},$canaryFields$ratioFields,"detail":"target/bench_latest.json"}""")
     spark.stop()
   }
 }

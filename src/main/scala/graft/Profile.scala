@@ -88,7 +88,7 @@ object Profile {
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        finally { graft.engine.QueryCaches.releaseAll(); spark.catalog.clearCache() }
+        finally { graft.engine.QueryCaches.releaseAll(spark, blocking = true); spark.catalog.clearCache() }
         (System.nanoTime() - t0) / 1e9
       }
       // Bench's per-query resilience: a bad name or failing query reports

@@ -67,7 +67,7 @@ object ScaleProbe {
           val n = graft.queries.AnalyticsQueries
             .orderChainWalk(spark, broadcastProbe = regime == "hint").count()
           println(f"[probe]   walk-only ${(System.nanoTime() - t1) / 1e9}%.2f s")
-          graft.engine.QueryCaches.releaseAll(); spark.catalog.clearCache()
+          graft.engine.QueryCaches.releaseAll(spark, blocking = true); spark.catalog.clearCache()
           n
         // As-of hot-key regime (round-5 verdict #2): collapse pct% of users
         // onto ONE key on both sides, then run the native merge

@@ -28,8 +28,11 @@ object Verify {
       }
       // release per-query persisted subplans (dedup postings etc.) so the
       // 100+ sequential queries don't accumulate storage-memory pressure;
-      // releaseAll is the paired per-persist release, clearCache the backstop
-      graft.engine.QueryCaches.releaseAll()
+      // releaseAll is the paired per-persist release, clearCache the backstop.
+      // blocking = true: same back-to-back sequential shape as Bench — a
+      // queued (non-blocking) removal can leave the previous query's blocks
+      // pinning the storage floor into this query's shuffle on scaled runs
+      graft.engine.QueryCaches.releaseAll(spark, blocking = true)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Query-scoped cache registry: pairs every `persist` the engine takes on
@@ -22,40 +22,76 @@ import org.apache.spark.storage.StorageLevel
   * after any oracled query's action plus `releaseAll()`, the session's
   * cacheManager is empty.
   *
+  * The registry is keyed by `SparkSession`, derived from each registered
+  * frame: two sessions embedding the library concurrently each see only
+  * their own intermediates, so one session's query boundary cannot
+  * unpersist a frame the other session's in-flight query still needs
+  * (the compute-once invariant the persists exist for). Within one
+  * session the caller still owns the boundary discipline: call
+  * [[releaseAll]] only when no query of that session is mid-action.
+  *
   * Iterative operators that pin rounds via [[Snapshot.pin]] are a separate
   * mechanism (localCheckpoint blocks, freed by the ContextCleaner when the
   * round's RDD is unreferenced) and intentionally not tracked here.
   */
 object QueryCaches {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Past this many un-released entries for one session we warn once: the
+    * registry holds strong references, so a session that registers but
+    * never reaches a [[releaseAll]] boundary would otherwise grow its
+    * cached footprint silently until the storage floor pins execution.
+    */
+  private val WarnDepth = 256
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Persist `df` (MEMORY_AND_DISK — every engine intermediate wants
-    * spill-not-recompute) and register it for the next [[releaseAll]].
-    * Drop-in via `.transform(QueryCaches.registered)`.
+    * spill-not-recompute) and register it for the next [[releaseAll]] of
+    * its own session. Drop-in via `.transform(QueryCaches.registered)`.
     */
   def registered(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    live.add(df)
+    val q = live.computeIfAbsent(df.sparkSession, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    q.add(df)
+    if (q.size > WarnDepth && warned.add(df.sparkSession)) {
+      System.err.println(
+        s"[graft] QueryCaches holds >$WarnDepth un-released intermediates for one session; " +
+          "call QueryCaches.releaseAll(session) at query boundaries to free them.")
+    }
     df
   }
 
-  /** Unpersist every registered intermediate. Idempotent — an entry
-    * already unpersisted by its builder (early release) is a no-op.
+  /** Unpersist every intermediate registered by `session`. Idempotent — an
+    * entry already unpersisted by its builder (early release) is a no-op.
     *
-    * `blocking = false` (the default) suits a long-lived session: release
-    * is bookkeeping, not on any query's critical path. A back-to-back
-    * harness (Bench's warm-then-measured passes) must pass `blocking =
-    * true`: a non-blocking unpersist only QUEUES block removal, so the
-    * previous pass's multi-GB cached postings can still occupy the
-    * unified-memory storage floor (which execution cannot evict past)
-    * when the next pass's big shuffle asks for pages — observed at
-    * 64×/8 GiB as a measured-pass OOM right after a green warm pass.
+    * `blocking = false` suits a latency-sensitive long-lived session:
+    * release is bookkeeping, not on any query's critical path. Any
+    * back-to-back sequential harness (Bench's warm-then-measured passes,
+    * Verify / Profile walking queries one after another) must pass
+    * `blocking = true`: a non-blocking unpersist only QUEUES block
+    * removal, so the previous query's multi-GB cached postings can still
+    * occupy the unified-memory storage floor (which execution cannot
+    * evict past) when the next query's big shuffle asks for pages —
+    * observed at 64×/8 GiB as a measured-pass OOM right after a green
+    * warm pass.
     */
-  def releaseAll(blocking: Boolean = false): Unit = {
-    var df = live.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      df = live.poll()
+  def releaseAll(session: SparkSession, blocking: Boolean): Unit = {
+    val q = live.remove(session)
+    warned.remove(session)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) {
+        df.unpersist(blocking)
+        df = q.poll()
+      }
     }
   }
+
+  /** [[releaseAll]] for the calling thread's active session (falling back
+    * to the default session). No-op when neither exists — there is then no
+    * session whose intermediates this thread can safely claim.
+    */
+  def releaseAll(blocking: Boolean = false): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(releaseAll(_, blocking))
 }

@@ -505,6 +505,26 @@ case class SimhashFP(child: Expression, bits: Int) extends UnaryExpression {
 case class CurationCountsFP(child: Expression, markerLists: Seq[Seq[String]])
   extends UnaryExpression {
 
+  // The kernel's equivalence to the `\b(w1|w2|...)\b` regex scan (argued
+  // per count in the scaladoc above curationCounts) holds ONLY for markers
+  // that are lowercase ASCII word tokens with no duplicates inside a list:
+  // an accented marker ('más') can never byte-equal a maximal ASCII
+  // word-char run (silent 0), and a duplicate inside one list counts every
+  // occurrence twice where the regex alternation counts it once. Fail at
+  // construction, not silently at scan time, when a marker-list edit
+  // breaks the precondition. (The same marker in TWO lists is fine and
+  // intentional — per-language scans are independent.)
+  markerLists.zipWithIndex.foreach { case (ws, l) =>
+    ws.foreach { w =>
+      require(w.nonEmpty && w.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+        s"graft_curation_counts marker '$w' (list $l) must match [a-z0-9_]+ — " +
+          "the fused byte-scan kernel only equals the \\b-regex form for lowercase ASCII word tokens")
+    }
+    require(ws.distinct.length == ws.length,
+      s"graft_curation_counts marker list $l contains duplicates: " +
+        ws.diff(ws.distinct).distinct.mkString(", "))
+  }
+
   @transient private lazy val markerBytes: Array[Array[Byte]] =
     markerLists.flatten.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
   @transient private lazy val markerLang: Array[Int] =

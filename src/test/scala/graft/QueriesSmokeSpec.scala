@@ -27,7 +27,7 @@ class QueriesSmokeSpec extends SparkSuite {
       // paired release leaves the session's SQL cache completely empty —
       // an unregistered persist would accumulate blocks for the lifetime
       // of a long-lived session. Checked per query, over every query.
-      graft.engine.QueryCaches.releaseAll()
+      graft.engine.QueryCaches.releaseAll(spark, blocking = false)
       assert(org.apache.spark.sql.graftbridge.CacheBridge.cacheIsEmpty(spark),
         s"$name left unregistered persisted plans in the cache manager")
     }
