@@ -329,4 +329,56 @@ class PlansSpec extends SparkSuite {
       s"the dim-derived day filter must prune fact partitions at RUNTIME, " +
         s"got:\n$partLines")
   }
+
+  test("pair-expansion joins ship (doc_id, h) only — n_sh never rides the h-keyed expansion") {
+    // The 64x/8 GiB OOM class (SCALE.md "pair-expansion width bound"): the
+    // h-keyed self-join is the widest relation in the dedup DAG — Σ df²
+    // rows — and carrying each doc's per-key constant n_sh through it cost
+    // more execution memory than the default heap holds. The fix ships
+    // (doc_id, h) only and re-attaches sizes at PAIR granularity (post-
+    // aggregation, tiny). This invariant makes the shape regress-proof:
+    // in the OPTIMIZED plan of every exact/LSH pair operator, any join
+    // whose condition involves the shingle hash must have n_sh pruned out
+    // of both inputs — an edit that re-consumes n_sh downstream of the
+    // expansion join defeats column pruning and turns this red.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LogicalJoin}
+    // a PAIR-GENERATING join: keyed on the shingle hash with a doc identity
+    // on BOTH sides (self-join or candidate-verification). The df-attach
+    // join (posts ⋈ (h, df)) also keys on h but its count side carries no
+    // doc column — it is posting-grained (linear, n_sh legitimately flows
+    // to the prefix bound below it), so it is exempt by the doc-id test.
+    val docCols = Set("doc_id", "doc_a", "doc_b", "pb")
+    def wideHashJoins(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LogicalJoin
+            if j.condition.toSeq.flatMap(_.references).exists(a => a.name == "h" || a.name == "h_b") &&
+              j.children.forall(_.output.exists(a => docCols.contains(a.name))) &&
+              j.children.exists(_.output.exists(_.name == "n_sh")) =>
+          j.simpleString(3)
+      }
+    // positive control: the detector must FIRE on the wide shape, or the
+    // assertions below are vacuous
+    val posts = graft.llm.Dedup.shinglePostings(engine.Tables.documents(spark, sf1), 3)
+    val wide = posts.as("a")
+      .join(posts.as("b"),
+        org.apache.spark.sql.functions.col("a.h") === org.apache.spark.sql.functions.col("b.h"))
+      .groupBy(org.apache.spark.sql.functions.col("a.doc_id"),
+        org.apache.spark.sql.functions.col("b.doc_id"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("a.n_sh") + org.apache.spark.sql.functions.col("b.n_sh")))
+    assert(wideHashJoins(wide).nonEmpty, "detector failed to flag a deliberately wide h-join")
+    val docs = engine.Tables.documents(spark, sf1)
+    val operators = Seq(
+      "ngram_jaccard_naive" -> graft.llm.Dedup.ngramJaccardPairs(docs, 3, 7, 10),
+      "ngram_jaccard_prefix" -> graft.llm.Dedup.ngramJaccardPairsPrefix(docs, 3, 7, 10),
+      "containment" -> graft.llm.Dedup.containmentPairs(docs, 3, 7, 10),
+      "minhash_lsh" -> graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, 7, 10))
+    for ((name, df) <- operators) {
+      val wides = wideHashJoins(df)
+      assert(wides.isEmpty,
+        s"$name re-widened the pair expansion — n_sh rides an h-keyed join:\n${wides.mkString("\n")}")
+    }
+    graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+    spark.catalog.clearCache()
+  }
 }
