@@ -114,8 +114,12 @@ object ScaleProbe {
                 .count()
             case "auto" =>
               // the router end-to-end at production thresholds: print the
-              // sampled decision, then run the route it picks
-              val dec = graft.plans.AsofJoin.hotKeyProbe(
+              // sampled decision, then run the route it picks. The CACHED
+              // probe shares joinRouted's memo entry (same left plan, same
+              // params), so the decision print and the router together pay
+              // ONE probe job cold and zero warm — the probe no longer
+              // shows up in the warm auto time at all
+              val dec = graft.plans.AsofJoin.hotKeyProbeCached(
                 purchases, Seq("user_id"),
                 hotShareThreshold = 0.5, minHotRows = 250000L)
               println(s"[probe]   $dec")

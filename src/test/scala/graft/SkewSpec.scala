@@ -134,4 +134,47 @@ class SkewSpec extends SparkSuite {
     assert(onHot.select("lid", "rid").as[(Long, Long)].collect().toSet == plain,
       "auto-banded output must equal the plain native join")
   }
+
+  test("joinRouted memoizes the probe: same left + thresholds re-probe zero jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    // listener delivery is async; the probe's head() is synchronous, so a
+    // short settle after each construction is enough to drain the bus
+    def settled(): Int = { Thread.sleep(500); jobs.get() }
+    def routed() =
+      graft.plans.AsofJoin.joinRouted(hotLefts, hotRights, Seq("k" -> "rk"),
+        "t", "rt", rightTiebreak = Seq("rid"),
+        tolerance = "0.001 seconds", inner = true,
+        hotShareThreshold = 0.5, minHotRows = 5000L, sampleFraction = 0.5)
+    graft.plans.AsofJoin.clearRouteCache()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      routed()
+      val afterFirst = settled()
+      assert(afterFirst >= 1, "first construction after clearRouteCache must run the probe job")
+      routed()
+      assert(settled() == afterFirst,
+        "second construction of the same route must reuse the memoized decision (zero jobs)")
+      graft.plans.AsofJoin.clearRouteCache()
+      routed()
+      assert(settled() > afterFirst, "clearRouteCache must force a fresh probe")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("joinRouted refuses a streaming left side at construction") {
+    val streamLeft = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      MemoryStream[(Long, Long, Long)].toDF().toDF("k", "t", "lid")
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsofJoin.joinRouted(streamLeft, hotRights, Seq("k" -> "rk"),
+        "t", "rt", tolerance = "0.001 seconds")
+    }
+    assert(e.getMessage.contains("streaming"),
+      s"the batch-only restriction must fail fast with a clear message, got: ${e.getMessage}")
+  }
 }
