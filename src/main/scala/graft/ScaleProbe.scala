@@ -43,6 +43,27 @@ object ScaleProbe {
           println(s"[probe]   ivfCells -> k=$k")
           graft.llm.Similarity.ivfNearDupPairsMultiProbe(
             emb, k, np.toInt, minCos = 0.45).count()
+        // Recall-TARGETED nprobe (round-8 verdict #4): the selector
+        // end-to-end — √N cells, ~512-vector held-out sample, smallest np
+        // meeting t% sample recall capped at m. Prints the calibration
+        // curve the selector saw and the np it picked, then times the
+        // selected join. ivfselect=t85m4 = the production config.
+        case s"ivfselect=t${t}m${m}" =>
+          val emb = graft.engine.Tables.embeddings(spark, dir)
+          val n = emb.count()
+          val k = graft.llm.Similarity.ivfCells(n)
+          val mod = math.max(1L, math.ceil(n / 512.0).toLong)
+          graft.llm.Similarity.ivfProbeRecallCurve(emb, k, m.toInt, mod, minCos = 0.45)
+            .collect().foreach(r => println(s"[probe]   curve np=${r.get(0)} " +
+              s"recovered=${r.get(1)}/${r.get(2)} recall=${r.get(3)}"))
+          graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+          val out = graft.llm.Similarity.ivfAutoProbePairs(
+            emb, k, m.toInt, t.toInt, 100, mod, minCos = 0.45)
+          val picked = out.select("nprobe").limit(1).collect()
+            .headOption.map(_.getLong(0)).getOrElse(-1L)
+          val cnt = out.count()
+          println(s"[probe]   ivfselect k=$k sampleMod=$mod chose np=$picked pairs=$cnt")
+          cnt
         // multi-probe cost/recall curve at the judged 8×4 config: found
         // pairs are exact-verified, so recall = rows / rows("exact")
         case s"annprobe=${p}" =>

@@ -232,16 +232,27 @@ object Similarity {
       .partitionBy(col("v_id")).orderBy(col("sim_c").desc, col("c_id").asc)
     val assigned = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
       .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id").as("cell"))
-    val cand = assigned.as("a").join(assigned.as("b"),
+    // Verify INSIDE the cell self-join, not in a later candidates ⋈
+    // embeddings pass. The embeddings ride the PRE-pair exchange (nprobe·N
+    // rows hashed by cell — ~nprobe·300 B/vector), the candidate pairs
+    // exist only streaming through the join's codegen filter, and distinct
+    // runs on the minCos SURVIVORS (duplicate same-pair rows from shared
+    // probed cells carry a deterministic, identical 6-dp sim, so it
+    // collapses them exactly). The previous dedup-candidates-then-attach-
+    // embeddings shape shuffled the PAIR-granularity relation with two
+    // 256-byte embeddings per row — measured at 64×/np=4 (128k vectors,
+    // √N cells → ~3.7·10⁸ candidates): >76 GB of sort spill, run killed
+    // by disk exhaustion, while this shape computes the same ~10⁸ extra
+    // in-join dot products (the at-most np² per-pair duplicates) in
+    // seconds of CPU and shuffles pairs at 16 bytes only after the
+    // filter. Same law as the dedup pair-expansion width bound: never
+    // ship per-row payloads at pair granularity.
+    assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.v_id") < col("b.v_id"))
-      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"))
-      .distinct()
-    val sides = withNorm(embeddings, "s")
-    cand
-      .join(sides.select(col("s_id").as("a_id"), col("s_emb").as("a_emb"), col("s_norm").as("a_norm")), "a_id")
-      .join(sides.select(col("s_id").as("b_id"), col("s_emb").as("b_emb"), col("s_norm").as("b_norm")), "b_id")
-      .select(col("a_id"), col("b_id"), round(cosine("a", "b"), 6).as("sim"))
+      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
+        round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"))
       .filter(col("sim") >= minCos)
+      .distinct()
   }
 
   /** Deterministic k-means IVF: seed the codebook with the K lowest-id
@@ -342,19 +353,29 @@ object Similarity {
 
   def exactNearDupPairs(embeddings: DataFrame, minCos: Double,
                         maxExactN: Long = MaxExactPairsN): DataFrame = {
-    val spark = embeddings.sparkSession
     // One cheap count (column-pruned scan) gates hours of quadratic work.
     val n = embeddings.count()
     require(n <= maxExactN,
       s"exactNearDupPairs is the O(N²) exactness baseline, capped at " +
         s"$maxExactN rows (got $n): use lshNearDupPairs/ivfNearDupPairs " +
         s"(LSH/IVF candidates + exact verify) for corpus-scale near-dup")
+    trianglePairs(withNorm(embeddings, "v")).filter(col("sim") >= minCos)
+  }
+
+  /** The triangle-block all-pairs core over a normed frame (`v_id`,
+    * `v_emb`, `v_norm`): every unordered pair exactly once, (a_id < b_id,
+    * sim) out, quadratic work spread evenly (scaladoc above). UNGUARDED —
+    * callers own the O(N²) decision ([[exactNearDupPairs]] gates on a
+    * count; [[ivfAutoProbePairs]] feeds a bounded calibration sample).
+    */
+  private def trianglePairs(base0: DataFrame): DataFrame = {
+    val spark = base0.sparkSession
     val g = math.max(2,
       math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt)
     import spark.implicits._
     val blockPairs = broadcast(
       (for (i <- 0 until g; j <- i until g) yield (i, j)).toDF("g1", "g2"))
-    val base = withNorm(embeddings, "v")
+    val base = base0
       .withColumn("blk", pmod(col("v_id"), lit(g)).cast("int"))
     val lhs = base.join(blockPairs, col("blk") === col("g1"))
       .select(col("g1"), col("g2"),
@@ -369,7 +390,151 @@ object Similarity {
         least(col("l_id"), col("r_id")).as("a_id"),
         greatest(col("l_id"), col("r_id")).as("b_id"),
         round(dot(col("l_emb"), col("r_emb")) / (col("l_norm") * col("r_norm")), 6).as("sim"))
+  }
+
+  /** Multi-probe IVF with a RECALL-TARGETED nprobe: instead of the caller
+    * guessing the probe count, the plan calibrates it on a deterministic
+    * held-out sample and picks the SMALLEST nprobe whose sample recall
+    * meets `recallNum/recallDen`, capped at `maxProbe`.
+    *
+    * How (every step lives in the plan — no driver loop — and is
+    * integer-deterministic, so the DuckDB oracle replays the selection
+    * bit-for-bit):
+    *  1. rank every vector's `maxProbe` nearest cells (the multi-probe
+    *     assignment, computed ONCE and reused for calibration and the
+    *     final join);
+    *  2. sample = vectors with `v_id % sampleMod == 0` (the caller sizes
+    *     sampleMod to hold the sample ~constant, cf. [[ivfCells]]);
+    *     ground truth = the sample's exact cosine-≥-minCos neighbors
+    *     against the WHOLE corpus (sample broadcast, corpus streams —
+    *     O(sample·N); one-end sampling, because requiring both endpoints
+    *     sampled thins pairs quadratically and yields zero truth at
+    *     corpus scale);
+    *  3. each truth pair's minimal recovering probe count =
+    *     min over shared cells of max(rank_a, rank_b);
+    *  4. chosen nprobe = the ⌈target · |truth|⌉-th smallest of those
+    *     minima (exactly the smallest np with recall(np) ≥ target);
+    *     maxProbe when even that recall is unreachable, 1 when the truth
+    *     set is empty (nothing to recover — cheapest setting);
+    *  5. the 1-row chosen frame folds into the assignment filter
+    *     (`rank ≤ np`), then the usual same-cell candidates + exact
+    *     verification.
+    *
+    * Scale: calibration adds one bounded triangle join (~sample² dots) and
+    * one single-partition rank over |truth| rows (tiny — truth pairs, not
+    * vectors); everything data-sized is the same one hash exchange on cell
+    * ids the fixed-nprobe operator pays. Output carries the selected
+    * `nprobe` so callers (and the oracle) see the decision.
+    */
+  /** Shared calibration plumbing for the auto-probe selector and its
+    * diagnostic curve: (ranked multi-probe assignment, sample ground-truth
+    * pairs, per-pair minimal recovering probe depth). `ranked` is persisted
+    * — it feeds the calibration joins AND the final candidate join.
+    */
+  /** The deterministic held-out calibration sample: every `sampleMod`-th
+    * vec_id, normed, `q_`-prefixed (the broadcastable query side).
+    */
+  private def samp(embeddings: DataFrame, sampleMod: Long): DataFrame =
+    withNorm(embeddings, "q").filter(pmod(col("q_id"), lit(sampleMod)) === 0)
+
+  private def probeCalibration(embeddings: DataFrame, k: Int, maxProbe: Int,
+      sampleMod: Long, minCos: Double): (DataFrame, DataFrame, DataFrame) = {
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
+    val codebook = withNorm(embeddings.filter(col("vec_id") < k), "c")
+    val scored = base.crossJoin(broadcast(codebook))
+      .select(col("v_id"), col("v_emb"), col("v_norm"), col("c_id"),
+        round(dot(col("v_emb"), col("c_emb")) / (col("v_norm") * col("c_norm")), 6).as("sim_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id")).orderBy(col("sim_c").desc, col("c_id").asc)
+    val ranked = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxProbe)
+      .select(col("v_id"), col("c_id").as("cell"), col("rn"))
+      .transform(graft.engine.QueryCaches.registered)
+    // Ground truth = the SAMPLE's exact near-neighbors against the WHOLE
+    // corpus (bounded sample broadcast, corpus streams — O(sample·N),
+    // linear in N). NOT sample-internal pairs: requiring both endpoints
+    // sampled thins pairs by 1/sampleMod² — measured at 64× (128k
+    // vectors, mod 250): ZERO truth pairs survive, and the selector
+    // would fly blind exactly where it matters. One-end sampling keeps
+    // E[truth] ≈ 2·|pairs|/sampleMod, shrinking only linearly.
+    val sampQ = samp(embeddings, sampleMod)
+    val truth = base
+      .join(broadcast(sampQ), col("q_id") =!= col("v_id"))
+      .select(least(col("q_id"), col("v_id")).as("a_id"),
+        greatest(col("q_id"), col("v_id")).as("b_id"),
+        round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6).as("sim"))
       .filter(col("sim") >= minCos)
+      .select(col("a_id"), col("b_id")).distinct()
+    val ra = ranked.select(col("v_id").as("a_id"), col("cell").as("cell_a"), col("rn").as("rn_a"))
+    val rb = ranked.select(col("v_id").as("rb_id"), col("cell").as("cell_b"), col("rn").as("rn_b"))
+    val minNeeded = truth
+      .join(ra, "a_id")
+      .join(rb, col("b_id") === col("rb_id") && col("cell_a") === col("cell_b"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(greatest(col("rn_a"), col("rn_b"))).as("need_np"))
+    (ranked, truth, minNeeded)
+  }
+
+  /** Diagnostic recall curve behind [[ivfAutoProbePairs]]'s selection: one
+    * row per probe depth 1..maxProbe with the sample ground-truth count,
+    * pairs recovered at that depth, and the recall fraction — what the
+    * selector sees when it picks. Harness/introspection surface (the
+    * SCALE.md probe prints it); all frames bounded by the sample size.
+    */
+  def ivfProbeRecallCurve(embeddings: DataFrame, k: Int, maxProbe: Int,
+                          sampleMod: Long, minCos: Double): DataFrame = {
+    val (_, truth, minNeeded) = probeCalibration(embeddings, k, maxProbe, sampleMod, minCos)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nps = (1 to maxProbe).toDF("np")
+    val totals = truth.agg(count(lit(1)).as("total"))
+    nps.crossJoin(minNeeded)
+      .groupBy(col("np"))
+      .agg(sum(when(col("need_np") <= col("np"), 1L).otherwise(0L)).as("recovered"))
+      .join(nps, Seq("np"), "right")
+      .crossJoin(totals)
+      .select(col("np"), coalesce(col("recovered"), lit(0L)).as("recovered"), col("total"),
+        when(col("total") > 0,
+          coalesce(col("recovered"), lit(0L)).cast("double") / col("total")).as("recall"))
+      .orderBy(col("np"))
+  }
+
+  def ivfAutoProbePairs(embeddings: DataFrame, k: Int, maxProbe: Int,
+                        recallNum: Int, recallDen: Int, sampleMod: Long,
+                        minCos: Double): DataFrame = {
+    require(maxProbe >= 1 && recallNum >= 0 && recallDen > 0 && sampleMod >= 1,
+      s"bad selector params: maxProbe=$maxProbe recall=$recallNum/$recallDen sampleMod=$sampleMod")
+    val (ranked, truth, minNeeded) =
+      probeCalibration(embeddings, k, maxProbe, sampleMod, minCos)
+    // the (⌈target·total⌉)-th smallest minimum IS the smallest np meeting
+    // the target; single-partition window over |truth| rows only
+    val needed = truth.agg(count(lit(1)).as("total"))
+      .select(col("total"),
+        expr(s"(total * $recallNum + $recallDen - 1) div $recallDen").as("need"))
+    val orderedNeeds = minNeeded
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("need_np"))))
+    val chosen = needed.join(orderedNeeds, col("pos") === col("need"), "left")
+      .select(coalesce(col("need_np"),
+        when(col("need") === 0, lit(1)).otherwise(lit(maxProbe))).as("np"))
+    // Verify INSIDE the cell self-join (the [[ivfNearDupPairsMultiProbe]]
+    // shape — see the law there): embeddings attach to the ASSIGNMENT
+    // (np·N rows, one hash join on v_id), pairs stream through the join's
+    // codegen filter at 24 bytes, distinct collapses the ≤np² same-pair
+    // duplicates on the deterministic 6-dp survivors. The previous
+    // dedup-candidates-then-attach shape shipped two 256-byte embeddings
+    // per CANDIDATE pair — at 64×/np=4 (~3.7·10⁸ candidates) that is
+    // ~220 GB of sort spill; the run died on disk exhaustion.
+    val sides = withNorm(embeddings, "v")
+    val assigned = ranked.crossJoin(broadcast(chosen)).filter(col("rn") <= col("np"))
+      .join(sides, "v_id")
+      .select(col("v_id"), col("cell"), col("np"), col("v_emb"), col("v_norm"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.v_id") < col("b.v_id"))
+      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
+        round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"),
+        col("a.np").cast("long").as("nprobe"))
+      .filter(col("sim") >= minCos)
+      .distinct()
   }
 
   /** Deterministic plane matrix shared with the oracle SQL: 8 tables × 4

@@ -1092,6 +1092,69 @@ object LlmQueries {
        |WHERE round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
   }
 
+  // ------------------------------ similarity: recall-targeted nprobe IVF
+  // The selector in the loop (round-8 verdict #4): nprobe is no longer a
+  // caller-picked constant — the plan calibrates recall on a deterministic
+  // held-out sample (every sampleMod-th vec_id; sampleMod sized so the
+  // sample holds ~512 vectors at ANY corpus scale, the ivfCells pattern)
+  // and picks the smallest nprobe meeting 85% sample recall, capped at 4.
+  // Ground truth is the sample's exact neighbors against the WHOLE corpus
+  // (one-end sampling — both-ends sampling thins pairs by 1/mod² and
+  // measured ZERO truth pairs at 64×). The oracle replays the WHOLE
+  // selection: truth pairs, each pair's minimal recovering probe depth,
+  // the ⌈0.85·total⌉-th smallest of those minima, then the final
+  // multi-probe join at that np.
+  private val ivfMaxProbe = 4
+  private val ivfRecallNum = 85
+  private val ivfRecallDen = 100
+  private val ivfSampleTarget = 512
+  private def ivfSampleMod(spark: SparkSession, dir: String): Long =
+    math.max(1L, math.ceil(
+      Tables.embeddings(spark, dir).count() / ivfSampleTarget.toDouble).toLong)
+  private val ivfSampleModSql: String =
+    s"(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $ivfSampleTarget.0) AS BIGINT)) FROM embeddings)"
+
+  def ivfAutoprobeNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAutoProbePairs(Tables.embeddings(spark, dir), ivfK(spark, dir),
+      ivfMaxProbe, ivfRecallNum, ivfRecallDen, ivfSampleMod(spark, dir), minCos)
+      .select("a_id", "b_id", "sim", "nprobe")
+
+  val ivfAutoprobeNeardupSql: String = {
+    def ldot(a: String, b: String) =
+      s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
+       |           FROM embeddings e0),
+       |cb AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < $ivfKSql),
+       |scored AS (SELECT e.vec_id, cb.c_id,
+       |           round(${ldot("e.embedding", "cb.c_emb")} / (e.nrm * cb.c_nrm), 6) AS sim_c
+       |           FROM e, cb),
+       |ranked AS (SELECT vec_id, c_id AS cell, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_c DESC, c_id ASC) AS rn
+       |    FROM scored) WHERE rn <= $ivfMaxProbe),
+       |samp AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % $ivfSampleModSql = 0),
+       |truth AS (SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS a_id,
+       |                 GREATEST(a.vec_id, b.vec_id) AS b_id
+       |          FROM samp a JOIN e b ON b.vec_id <> a.vec_id
+       |          WHERE round(${ldot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $minCos),
+       |minneed AS (SELECT t.a_id, t.b_id, MIN(GREATEST(x.rn, y.rn)) AS need_np
+       |            FROM truth t
+       |            JOIN ranked x ON x.vec_id = t.a_id
+       |            JOIN ranked y ON y.vec_id = t.b_id AND y.cell = x.cell
+       |            GROUP BY t.a_id, t.b_id),
+       |tot AS (SELECT ((COUNT(*) * $ivfRecallNum + $ivfRecallDen - 1) // $ivfRecallDen) AS need FROM truth),
+       |ordn AS (SELECT need_np, row_number() OVER (ORDER BY need_np) AS pos FROM minneed),
+       |chosen AS (SELECT COALESCE(o.need_np, CASE WHEN t.need = 0 THEN 1 ELSE $ivfMaxProbe END) AS np
+       |           FROM tot t LEFT JOIN ordn o ON o.pos = t.need),
+       |assigned AS (SELECT r.vec_id, r.cell FROM ranked r, chosen WHERE r.rn <= chosen.np),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT c.a_id, c.b_id,
+       |       round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) AS sim,
+       |       CAST((SELECT np FROM chosen) AS BIGINT) AS nprobe
+       |FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+       |WHERE round(${ldot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) >= $minCos""".stripMargin
+  }
+
   // ------------------------------------------ similarity: k-means IVF
   def ivfKmeansNeardup(spark: SparkSession, dir: String): DataFrame =
     Similarity.kmeansIvfPairs(Tables.embeddings(spark, dir), k = ivfK(spark, dir), iters = 1, minCos)

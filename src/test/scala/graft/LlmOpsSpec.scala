@@ -312,6 +312,45 @@ class LlmOpsSpec extends SparkSuite {
     assert(measured.map(_._5).min >= 0.40, "ivf(nprobe=2) recall below floor")
   }
 
+  test("auto-probe selector picks the smallest nprobe meeting the sample recall target") {
+    import spark.implicits._
+    // both fixtures: the selection must equal what the diagnostic curve
+    // implies, and the output must equal the fixed-nprobe operator run at
+    // the chosen np (same pairs, same sims — the selector only chooses).
+    Seq("sf0.001", "sf0.01").foreach { sf =>
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val k = 16; val maxP = 4; val mod = 7L
+      val curve = Similarity.ivfProbeRecallCurve(emb, k, maxP, mod, 0.45)
+        .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1)
+      assert(curve.map(_._1).toSeq == (1 to maxP), "one curve row per depth")
+      assert(curve.map(_._2).toSeq == curve.map(_._2).sorted.toSeq,
+        "recovered count monotone in probe depth")
+      val total = curve.head._3
+      def expectNp(num: Int, den: Int): Int = {
+        val need = (total * num + den - 1) / den
+        if (need == 0) 1
+        else curve.find(_._2 >= need).map(_._1).getOrElse(maxP)
+      }
+      for ((num, den) <- Seq((85, 100), (0, 100), (100, 100), (1, 2))) {
+        val out = Similarity.ivfAutoProbePairs(emb, k, maxP, num, den, mod, 0.45)
+        val nps = out.select("nprobe").distinct().as[Long].collect()
+        assert(nps.length <= 1, s"one selected nprobe, got ${nps.toSeq}")
+        val got = nps.headOption.map(_.toInt).getOrElse {
+          // empty output ⇒ re-derive the choice from the curve for the check
+          expectNp(num, den)
+        }
+        assert(got == expectNp(num, den),
+          s"$sf target=$num/$den: selector chose $got, curve says ${expectNp(num, den)} " +
+            s"(total=$total, curve=${curve.map(c => c._1 -> c._2).toSeq})")
+        val fixed = Similarity.ivfNearDupPairsMultiProbe(emb, k, got, 0.45)
+          .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect().toSet
+        val auto = out.select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect().toSet
+        assert(auto == fixed, s"$sf target=$num/$den: auto(np=$got) != fixed(np=$got)")
+      }
+      graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+    }
+  }
+
   test("PQ-ADC top-k is well-formed, partition-independent, and recalls the exact L2 top-k") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf1/embeddings.parquet")

@@ -40,6 +40,10 @@ class PlansSpec extends SparkSuite {
     */
   private val boundedBroadcastCross = Set("tfidf", "training_corpus",
     "lm_fluency", "ann_topk", "ivf_neardup", "ivf_multiprobe_neardup",
+    // ivf_autoprobe_neardup: the K-row codebook broadcast + the 1-row
+    // chosen-nprobe fold-in + the G(G+1)/2-row triangle block-pair frame
+    // (all construction-bounded)
+    "ivf_autoprobe_neardup",
     "source_mixture",
     // semdedup: the K-row cell codebook (ivf_neardup's pattern);
     // pagerank_sim: the 1-row corpus-N fold-in (tfidf's pattern);
