@@ -64,6 +64,28 @@ object ScaleProbe {
           val cnt = out.count()
           println(s"[probe]   ivfselect k=$k sampleMod=$mod chose np=$picked pairs=$cnt")
           cnt
+        // initial physical plan of the minhash verify chain / the clusters
+        // edge relation — diagnosis surface: where do broadcasts land?
+        case "dupcplan" =>
+          import org.apache.spark.sql.functions.col
+          val pairs = graft.llm.Dedup.minhashLshPairs(
+            graft.engine.Tables.documents(spark, dir), n = 3, perms = 64,
+            bands = 16, num = 4, den = 5).select("doc_a", "doc_b")
+          val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+            .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+            .distinct()
+          println("==== minhash pairs initial plan ====")
+          println(pairs.queryExecution.executedPlan.toString.take(12000))
+          println("==== edges initial plan ====")
+          println(edges.queryExecution.executedPlan.toString.take(12000))
+          0L
+        // connected components over the MinHash pair graph (the dup_clusters
+        // query) — the 64×/256× scale point for the cluster family
+        case "dupc" =>
+          graft.llm.Dedup.duplicateClusters(
+            graft.llm.Dedup.minhashLshPairs(
+              graft.engine.Tables.documents(spark, dir), n = 3, perms = 64,
+              bands = 16, num = 4, den = 5).select("doc_a", "doc_b")).count()
         // multi-probe cost/recall curve at the judged 8×4 config: found
         // pairs are exact-verified, so recall = rows / rows("exact")
         case s"annprobe=${p}" =>

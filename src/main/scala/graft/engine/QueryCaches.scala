@@ -47,14 +47,43 @@ object QueryCaches {
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Persist `df` (MEMORY_AND_DISK — every engine intermediate wants
-    * spill-not-recompute) and register it for the next [[releaseAll]] of
-    * its own session. Drop-in via `.transform(QueryCaches.registered)`.
+    * spill-not-recompute), MATERIALIZE it, and register it for the next
+    * [[releaseAll]] of its own session. Drop-in via
+    * `.transform(QueryCaches.registered)`.
+    *
+    * Materialization is eager ON PURPOSE — it is load-bearing for planning,
+    * not a convenience. An un-materialized `InMemoryRelation`'s statistics
+    * fall back to the CHILD plan's estimate, and for the engine's typical
+    * cached shapes (kernel explodes, join-derived pair frames) that
+    * estimate is garbage-small; the static planner then happily puts the
+    * cache on the BUILD side of a broadcast join, and a statically-planned
+    * broadcast is one decision AQE can never demote at runtime. Measured at
+    * 64×/8 GiB: the minhash posting cache (~16M rows) static-planned as a
+    * broadcast build in `dup_clusters`' edge materialization — a ~512 MB
+    * UnsafeHashedRelation per rebuild — and died with
+    * UNABLE_TO_ACQUIRE_MEMORY, while the same join over a MATERIALIZED
+    * cache (real byte sizes in `computeStats`) sort-merge-joins at scale
+    * and still broadcasts on the 500-doc fixtures where the cache really
+    * is small. The fill work is not extra: the first consuming action
+    * would have paid it anyway; `count()` just moves it before any
+    * dependent plan is compiled.
     */
-  def registered(df: DataFrame): DataFrame = {
+  def registered(df: DataFrame): DataFrame = registered(df, df.sparkSession)
+
+  /** [[registered]] with an explicit OWNING session for the release pairing.
+    * Needed when a builder evaluates on a throwaway CHILD session (conf
+    * scoping, e.g. the recursive-CTE row-limit raise) but the cache
+    * logically belongs to the caller's query: the cache manager is
+    * SharedState (any session can unpersist), while the registry is
+    * session-keyed — registering under the child would orphan the entry
+    * from the caller's `releaseAll(callerSession)` boundary.
+    */
+  def registered(df: DataFrame, owner: SparkSession): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    val q = live.computeIfAbsent(df.sparkSession, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    df.count()
+    val q = live.computeIfAbsent(owner, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
     q.add(df)
-    if (q.size > WarnDepth && warned.add(df.sparkSession)) {
+    if (q.size > WarnDepth && warned.add(owner)) {
       System.err.println(
         s"[graft] QueryCaches holds >$WarnDepth un-released intermediates for one session; " +
           "call QueryCaches.releaseAll(session) at query boundaries to free them.")

@@ -507,10 +507,22 @@ object Dedup {
     * (the executor-loss-safe cluster form).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // PIN (localCheckpoint), do NOT persist: a persist here would make the
+    // whole upstream pair computation a CACHE-FILL plan, and cached plans
+    // are planned STATICALLY (AQE is off under InMemoryRelation unless
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is set) —
+    // which silently reverts the minhash candidate-verify join to the
+    // static broadcast shape the measured plans rejected. Measured at
+    // 64×/8 GiB (320k docs): the static cache-fill plan broadcast a ~22M-key
+    // UnsafeHashedRelation (512 MB longArray per task at rebuild) and died
+    // with UNABLE_TO_ACQUIRE_MEMORY, while the identical chain un-persisted
+    // (minhash_lsh standalone) AQE-planned the same join and ran in 23 s.
+    // The pin materializes under full AQE once; the loop's per-round joins
+    // then scan the checkpointed blocks.
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .distinct()
-      .transform(graft.engine.QueryCaches.registered)
+      .transform(graft.engine.Snapshot.pin)
     // initialization IS round 1 at lower cost: every neighbor's initial
     // label is its own id, which the edge row already carries — so
     // min(self, neighbors) needs no join yet, just one aggregation.
@@ -558,7 +570,8 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge after $maxIter rounds " +
         "(doubling shortcut active — this input is pathological)")
-    edges.unpersist()
+    // (checkpointed edge blocks are freed by the ContextCleaner on GC —
+    // there is no explicit unpersist for a localCheckpoint)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -807,7 +807,10 @@ object AnalyticsQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("spark.sql.shuffle.partitions"))
-    orderChainRanked(ss, dir)
+    // the cache is registered under the CALLER's session (owner = spark):
+    // the child exists only for the conf raise, and the caller's
+    // releaseAll boundary must reclaim this query's persist
+    orderChainRanked(ss, dir, owner = spark)
     orderChainWalk(ss, broadcastProbe = false)
   }
 
@@ -817,7 +820,8 @@ object AnalyticsQueries {
     * estimate, so the broadcast decision can't be wrong-sided by missing
     * statistics). Split out so ScaleProbe can time the walk regimes
     * without re-timing the ranking. */
-  private[graft] def orderChainRanked(spark: SparkSession, dir: String): Long = {
+  private[graft] def orderChainRanked(spark: SparkSession, dir: String,
+                                      owner: SparkSession = null): Long = {
     val ranked = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("long").as("od_s"),
@@ -830,7 +834,8 @@ object AnalyticsQueries {
       // by o_custkey (verified in-plan: exactly one Exchange, the window's)
       // — when the gate withholds the broadcast hint, loop iterations
       // probe an already-key-partitioned cache, not raw orders
-      .transform(graft.engine.QueryCaches.registered)
+      .transform(df => graft.engine.QueryCaches.registered(
+        df, if (owner != null) owner else spark))
     ranked.createOrReplaceTempView("graft_orders_ranked")
     val n = ranked.count()
     // The recursion ROW limit is a safety valve against non-terminating
