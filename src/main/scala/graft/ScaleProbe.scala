@@ -64,6 +64,23 @@ object ScaleProbe {
           val cnt = out.count()
           println(s"[probe]   ivfselect k=$k sampleMod=$mod chose np=$picked pairs=$cnt")
           cnt
+        // posting/prefix cardinalities + cache byte sizes + raw collision
+        // mass at this corpus scale — the sizing inputs the ngram dedup
+        // exchange works from, plus what actually sits on the heap
+        case "ngramstat" =>
+          import org.apache.spark.sql.functions.{col, count, lit, sum, expr}
+          val docs = graft.engine.Tables.documents(spark, dir)
+          val posts = graft.llm.Dedup.shinglePostings(docs, 3)
+            .transform(graft.engine.QueryCaches.registered)
+          val n = posts.count()
+          val mass = posts.groupBy(col("h")).agg(count(lit(1)).as("c"))
+            .agg(sum(expr("c * (c - 1) div 2"))).collect()(0).get(0)
+          spark.sparkContext.getRDDStorageInfo.foreach { i =>
+            println(s"[probe]   rdd ${i.name} mem=${i.memSize / 1048576}MB " +
+              s"disk=${i.diskSize / 1048576}MB parts=${i.numCachedPartitions}")
+          }
+          println(s"[probe]   posts=$n fullRawMass=$mass")
+          n
         // initial physical plan of the minhash verify chain / the clusters
         // edge relation — diagnosis surface: where do broadcasts land?
         case "dupcplan" =>

@@ -142,9 +142,21 @@ object Dedup {
     // shingleSizesFromPosts); sizes re-attach at pair granularity below
     val narrow = postings.select(col("doc_id"), col("h"))
     val sizes = shingleSizesFromPosts(postings)
+    // pair-aggregation width scales with the raw collision mass Σ df·(df−1)/2
+    // (one scan of the materialized postings cache) — same law as the prefix
+    // path's candidate dedup: a fixed 32-wide exchange turns data-linear
+    // per-task state into sort spill, then heap exhaustion at 256×
+    val rawMass = narrow.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("raw"))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    val aggParts = math.max(documents.sparkSession.sparkContext.defaultParallelism,
+      math.min(4096L, rawMass / 2000000L).toInt)
     narrow.as("a")
       .join(narrow.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(aggParts, col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
@@ -191,25 +203,40 @@ object Dedup {
     val ranked = posts.join(dfCounts, "h")
       .withColumn("rank", row_number().over(w))
     // prefix length = n_sh - ceil(t*n_sh) + 1 with t = num/den (integer ceil)
+    // Persisted NARROW (doc_id, h): it feeds both self-join sides and the
+    // sizing probe below.
     val prefix = ranked.filter(
-      col("rank") <= col("n_sh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
+        col("rank") <= col("n_sh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
+      .select(col("doc_id"), col("h"))
+      .transform(graft.engine.QueryCaches.registered)
+    // Candidate-dedup width must scale with the DATA, not the core count:
+    // the raw collision stream is Σ_h df_p(h)·(df_p(h)−1)/2 rows — at 64×
+    // that is ~240M rows (5.7 GB) which, squeezed through the session's 32
+    // fixed shuffle partitions, cost 26 GB of sort spill (profiled: 54 s of
+    // an 80 s query), and at 256× the per-task aggregation state outgrew
+    // the 8 GiB heap outright. AQE coalesces small partitions but never
+    // SPLITS an oversized aggregation, so the exchange is sized here from
+    // the exact raw-pair mass (one scan of the materialized prefix cache;
+    // map-side partial dedup loses nothing in exchange — each (pair, h)
+    // row is unique, so same-pair collapse before the shuffle is ~zero).
+    val rawMass = prefix.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("raw"))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    val spark = posts.sparkSession
+    val dedupParts = math.max(spark.sparkContext.defaultParallelism,
+      math.min(4096L, rawMass / 2000000L).toInt)
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(dedupParts, col("doc_a"), col("doc_b"))
       .distinct()
-    // no forced broadcast: the candidate set is data-dependent (tiny on
-    // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
-    // its actual size at the shuffle boundary and picks broadcast-hash vs
-    // shuffle join at runtime, which a compile-time hint cannot do safely.
     // The verification joins ship (doc, h) only; sizes re-attach at pair
-    // granularity (see shingleSizesFromPosts for the 64× memory story)
+    // granularity (see shingleSizesFromPosts for the 64× memory story).
+    // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free
+    // hash-join wide.
     val sizes = shingleSizesFromPosts(posts)
-    candidates
-      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
-        col("doc_b") === col("pb") && col("h") === col("h_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    verifiedPairCounts(candidates, posts)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
@@ -371,6 +398,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Past this many posting rows the candidate verification switches from
+    * the AQE-planned shape (broadcast-friendly for fixture-sized corpora)
+    * to the sort-free SHUFFLE_HASH shape below. ~8M rows ≈ the point where
+    * the expansion's per-task merge sort starts spilling at 32 partitions.
+    */
+  private val VerifyHashJoinMinPosts = 8000000L
+
+  /** Per-pair shared-shingle counts for a candidate set: the verification
+    * core shared by the banded ([[minhashLshPairs]]) and prefix
+    * ([[ngramJaccardPairsPrefixFromPosts]]) families.
+    *
+    * The scale law here (measured, 64×/256×): the candidates ⋈ posts
+    * expansion is the QUADRATIC stream of the query (~380M rows at 64×,
+    * ~1.5B at 256×) and must only ever be STREAMED, never sorted — the
+    * default sort-merge plan sorted it through 32 fixed partitions, which
+    * cost 26.6 GB of sort spill at 64× (profiled: 54 s of an 80 s query)
+    * and at 256× killed the JVM outright: hundreds of spill files per task
+    * whose merge-phase reader buffers (`UnsafeSorterSpillReader`, one
+    * read-ahead buffer each) exhausted the 8 GiB heap. So past
+    * [[VerifyHashJoinMinPosts]] both verify joins are SHUFFLE_HASH with the
+    * LINEAR side (posts) as build — the expansion streams through the
+    * probe with zero sort state — and the exchanges are sized from the
+    * measured posting count so the per-task build map stays ~1M rows at
+    * any corpus scale. Below the threshold the AQE-planned shape stands:
+    * on fixture-sized corpora AQE broadcasts the small side at runtime,
+    * which a compile-time hint would forfeit.
+    */
+  private def verifiedPairCounts(candidates: DataFrame, posts: DataFrame): DataFrame = {
+    val pa = posts.select(col("doc_id").as("doc_a"), col("h"))
+    val pb = posts.select(col("doc_id").as("pb"), col("h").as("h_b"))
+    val nPosts = posts.count() // cached + already materialized: a fast action
+    val expanded =
+      if (nPosts < VerifyHashJoinMinPosts) {
+        candidates
+          .join(pa, "doc_a")
+          .join(pb, col("doc_b") === col("pb") && col("h") === col("h_b"))
+      } else {
+        val parts = math.max(posts.sparkSession.sparkContext.defaultParallelism,
+          math.min(4096L, nPosts / 1000000L).toInt)
+        candidates.repartition(parts, col("doc_a"))
+          .join(pa.hint("shuffle_hash"), "doc_a")
+          .repartition(parts, col("doc_b"), col("h"))
+          .join(pb.hint("shuffle_hash"),
+            col("doc_b") === col("pb") && col("h") === col("h_b"))
+      }
+    expanded
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
   def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                       num: Int, den: Int): DataFrame = {
     // postings are persisted for candidate VERIFICATION only — signatures
@@ -379,19 +456,12 @@ object Dedup {
       .transform(graft.engine.QueryCaches.registered)
     val sigs = minhashSignatures(documents, n, perms)
     val candidates = bandCandidates(sigs, perms, bands)
-    // no forced broadcast: the candidate set is data-dependent (tiny on
-    // near-dup-sparse corpora, potentially huge on skewed ones) — AQE sees
-    // its actual size at the shuffle boundary and picks broadcast-hash vs
-    // shuffle join at runtime, which a compile-time hint cannot do safely.
     // The verification joins ship (doc, h) only; sizes re-attach at pair
-    // granularity (see shingleSizesFromPosts for the 64× memory story)
+    // granularity (see shingleSizesFromPosts for the 64× memory story).
+    // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free
+    // hash-join wide.
     val sizes = shingleSizesFromPosts(posts)
-    candidates
-      .join(posts.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(posts.select(col("doc_id").as("pb"), col("h").as("h_b")),
-        col("doc_b") === col("pb") && col("h") === col("h_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    verifiedPairCounts(candidates, posts)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
