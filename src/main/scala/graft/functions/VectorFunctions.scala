@@ -245,11 +245,83 @@ case class SignPlanesFP(child: Expression, planes: Array[Array[Int]],
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED long arrays (ascending, distinct,
+  * non-null elements — the shape `sort_array(collect_list(h))` produces
+  * over distinct per-doc posting hashes): one two-pointer sweep, zero
+  * allocation, fully codegen. This is the per-pair verification kernel of
+  * the dedup families' wide regime: n_common(a, b) = |A ∩ B| computed
+  * directly from the two docs' posting arrays, replacing a second
+  * hash-join probe per posting row (and the exploded (pair, h) expansion
+  * that probe required — see SCALE.md "Never SORT the quadratic stream").
+  */
+case class SortedIntersectCountFP(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_count expects array<bigint> inputs, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Column-level API — usable without any session setup. */
   def graftDot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductFP(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Intersection count of two sorted distinct long arrays (codegen
+    * two-pointer; see [[SortedIntersectCountFP]]).
+    */
+  def graftSortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountFP(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Int8 quantization summary: [scale_bp, checksum, q_min, q_max]

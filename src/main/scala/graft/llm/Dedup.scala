@@ -403,7 +403,7 @@ object Dedup {
     * to the sort-free SHUFFLE_HASH shape below. ~8M rows ≈ the point where
     * the expansion's per-task merge sort starts spilling at 32 partitions.
     */
-  private val VerifyHashJoinMinPosts = 8000000L
+  private[graft] var VerifyHashJoinMinPosts = 8000000L
 
   /** Per-pair shared-shingle counts for a candidate set: the verification
     * core shared by the banded ([[minhashLshPairs]]) and prefix
@@ -426,26 +426,47 @@ object Dedup {
     * which a compile-time hint would forfeit.
     */
   private def verifiedPairCounts(candidates: DataFrame, posts: DataFrame): DataFrame = {
-    val pa = posts.select(col("doc_id").as("doc_a"), col("h"))
-    val pb = posts.select(col("doc_id").as("pb"), col("h").as("h_b"))
     val nPosts = posts.count() // cached + already materialized: a fast action
-    val expanded =
-      if (nPosts < VerifyHashJoinMinPosts) {
-        candidates
-          .join(pa, "doc_a")
-          .join(pb, col("doc_b") === col("pb") && col("h") === col("h_b"))
-      } else {
-        val parts = math.max(posts.sparkSession.sparkContext.defaultParallelism,
-          math.min(4096L, nPosts / 1000000L).toInt)
-        candidates.repartition(parts, col("doc_a"))
-          .join(pa.hint("shuffle_hash"), "doc_a")
-          .repartition(parts, col("doc_b"), col("h"))
-          .join(pb.hint("shuffle_hash"),
-            col("doc_b") === col("pb") && col("h") === col("h_b"))
-      }
-    expanded
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    if (nPosts < VerifyHashJoinMinPosts) {
+      val pa = posts.select(col("doc_id").as("doc_a"), col("h"))
+      val pb = posts.select(col("doc_id").as("pb"), col("h").as("h_b"))
+      candidates
+        .join(pa, "doc_a")
+        .join(pb, col("doc_b") === col("pb") && col("h") === col("h_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+    } else {
+      // Wide regime, round-9 second iteration: even streamed (never
+      // sorted), the EXPLODED expansion — one (doc_a, doc_b, h) row per
+      // posting of doc_a per pair — materialized 35 GB through the
+      // exchange between the two verify joins at 256× (profiled: 142 s of
+      // a 246 s query, 94 s of it pure shuffle WRITE). Each pair's
+      // verification payload is ~n_sh rows ≈ 2.4 KB; the doc's SORTED
+      // posting array ships the same information once per pair at
+      // ~0.8 KB, and the shared-count becomes one sorted two-pointer
+      // sweep per pair instead of a second hash-join probe per posting.
+      // So: build (doc → sorted h array) ONCE from the posting cache
+      // (doc-granularity — 1.28M rows ≈ 1 GB at 256×, the linear side),
+      // hash-join it to the candidates on each endpoint, count the
+      // intersection in-expression. Only the first join's output carries
+      // an array through an exchange (~12 GB at 256× vs 35). Exchanges
+      // sized from the posting count as before.
+      val parts = math.max(posts.sparkSession.sparkContext.defaultParallelism,
+        math.min(4096L, nPosts / 1000000L).toInt)
+      val docsets = posts.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+        .transform(graft.engine.QueryCaches.registered)
+      candidates.repartition(parts, col("doc_a"))
+        .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+          .hint("shuffle_hash"), "doc_a")
+        .repartition(parts, col("doc_b"))
+        .join(docsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+          .hint("shuffle_hash"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.VectorFunctions.graftSortedIntersectCount(
+            col("hs_a"), col("hs_b")).as("n_common"))
+        .filter(col("n_common") > 0)
+    }
   }
 
   def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,

@@ -268,4 +268,55 @@ class FunctionsSpec extends SparkSuite {
     val pairs = Vector.tabulate(10)(i => (i.toLong * 31, i.toLong))
     assert(s.finish(pairs.foldLeft(s.zero)(s.reduce)) == (0L until 10L).toVector)
   }
+
+  test("graft_sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { _ =>
+      val a = Seq.fill(rng.nextInt(40))(rng.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(40))(rng.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L))) :+
+      ((Seq(1L, 3L, 9L), Seq(2L, 4L, 8L)))
+    // repartition so the projection cannot constant-fold into a
+    // LocalTableScan (which would bypass the codegen assertion below)
+    val df = rows.toDF("a", "b").repartition(4)
+    val got = df.select(
+      VectorFunctions.graftSortedIntersectCount(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    val rows2 = got.collect()
+    assert(rows2.forall(r => r.getLong(0) == r.getLong(1)),
+      rows2.filter(r => r.getLong(0) != r.getLong(1)).take(3).mkString(", "))
+    // codegen path actually compiles (the DotProductFP nullability lesson):
+    // executedPlan AFTER the action reflects the AQE final plan, where the
+    // projection must print with a "*(id)" whole-stage prefix
+    val plan = got.queryExecution.executedPlan.toString
+    val fenced = plan.linesIterator.exists(l =>
+      l.contains("sortedintersectcountfp") && l.contains("*("))
+    assert(fenced, s"codegen fallback:\n$plan")
+  }
+
+  test("dedup verify wide regime (array intersection) equals the AQE-planned shape") {
+    // force the wide branch at fixture scale, then compare the full pair
+    // output of both families against the default branch
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    import spark.implicits._
+    def minhash() = graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, 4, 5)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    def ngram() = graft.llm.Dedup.ngramJaccardPairsPrefix(docs, 3, 4, 5)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val (mSmall, nSmall) = (minhash(), ngram())
+    graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+    val saved = graft.llm.Dedup.VerifyHashJoinMinPosts
+    try {
+      graft.llm.Dedup.VerifyHashJoinMinPosts = 0L
+      assert(minhash() == mSmall, "wide regime changed minhash pair output")
+      assert(ngram() == nSmall, "wide regime changed ngram pair output")
+    } finally {
+      graft.llm.Dedup.VerifyHashJoinMinPosts = saved
+      graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+    }
+  }
 }
