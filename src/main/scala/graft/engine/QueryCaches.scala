@@ -80,9 +80,16 @@ object QueryCaches {
     */
   def registered(df: DataFrame, owner: SparkSession): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
+    // Enqueue BEFORE the materializing count: if the count throws (OOM, task
+    // failure, job cancel) the frame is already registered, so the caller's
+    // releaseAll() boundary still frees it. Counting first would strand a
+    // persisted-but-unregistered frame — the exact unreleasable-leak class
+    // this registry exists to prevent, and Verify/Bench deliberately continue
+    // past per-query failures, so such strands would accumulate pinned
+    // storage across a long run.
     val q = live.computeIfAbsent(owner, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
     q.add(df)
+    df.count()
     if (q.size > WarnDepth && warned.add(owner)) {
       System.err.println(
         s"[graft] QueryCaches holds >$WarnDepth un-released intermediates for one session; " +

@@ -19,7 +19,13 @@ import org.apache.spark.sql.DataFrame
   *   - reliable `checkpoint(eager = true)` writes to the fault-tolerant
   *     checkpoint directory (HDFS/S3) — the production switch for a
   *     1000-executor run, bought with one config call:
-  *     `spark.sparkContext.setCheckpointDir(...)`.
+  *     `spark.sparkContext.setCheckpointDir(...)`. CLEANUP caveat: unlike
+  *     local-checkpoint blocks (freed by the ContextCleaner on GC),
+  *     reliable checkpoint FILES are only auto-deleted when
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  *     false) — a deployment that sets a checkpoint dir without that flag
+  *     accumulates one directory per pinned round per run. Set the flag,
+  *     or sweep the checkpoint dir at application boundaries.
   *
   * [[pin]] picks reliable checkpointing exactly when the session has a
   * checkpoint dir configured, so the same operator code is sandbox-fast

@@ -661,8 +661,12 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters did not converge after $maxIter rounds " +
         "(doubling shortcut active — this input is pathological)")
-    // (checkpointed edge blocks are freed by the ContextCleaner on GC —
-    // there is no explicit unpersist for a localCheckpoint)
+    // (LOCAL checkpoint blocks — the no-checkpoint-dir branch of
+    // Snapshot.pin — are freed by the ContextCleaner on GC; there is no
+    // explicit unpersist for a localCheckpoint. RELIABLE checkpoint files,
+    // taken when a checkpoint dir IS configured, are only auto-deleted
+    // under spark.cleaner.referenceTracking.cleanCheckpoints=true — see
+    // Snapshot's scaladoc for the deployment note.)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -284,8 +284,19 @@ object AsofJoin {
       df.queryExecution.analyzed.semanticHash(),
       s"${keyCols.mkString(",")}|$hotShareThreshold|$minHotRows|$sampleFraction|$seed")
     if (routeCache.size > 1024) routeCache.clear()
-    routeCache.computeIfAbsent(cacheKey, _ =>
-      hotKeyProbe(df, keyCols, hotShareThreshold, minHotRows, sampleFraction, seed))
+    // Deliberately get-then-putIfAbsent, NOT computeIfAbsent: the probe is a
+    // multi-second Spark job, and CHM mapping functions must be short and
+    // non-blocking (a concurrent caller whose different plan hashes to the
+    // same bin would stall behind the job; a re-entrant probe on the bin
+    // would deadlock). Racing callers may duplicate a probe — both routes
+    // are output-identical, so the loser's wasted job is the only cost.
+    val cached = routeCache.get(cacheKey)
+    if (cached != null) cached
+    else {
+      val decision = hotKeyProbe(df, keyCols, hotShareThreshold, minHotRows, sampleFraction, seed)
+      val prior = routeCache.putIfAbsent(cacheKey, decision)
+      if (prior != null) prior else decision
+    }
   }
 
   /** [[join]] with AUTOMATIC hot-key routing: probes the left side's key
