@@ -146,12 +146,10 @@ object Dedup {
     // (one scan of the materialized postings cache) — same law as the prefix
     // path's candidate dedup: a fixed 32-wide exchange turns data-linear
     // per-task state into sort spill, then heap exhaustion at 256×
-    val rawMass = narrow.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).as("raw"))
-      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
-    val aggParts = math.max(documents.sparkSession.sparkContext.defaultParallelism,
-      math.min(4096L, rawMass / 2000000L).toInt)
+    // (the canonical statement lives on graft.engine.Sizing)
+    val rawMass = graft.engine.Sizing.collisionMass(narrow, "h")
+    val aggParts = graft.engine.Sizing.partsFor(
+      documents.sparkSession, rawMass, graft.engine.Sizing.PairRowsPerPartition)
     narrow.as("a")
       .join(narrow.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -219,13 +217,10 @@ object Dedup {
     // the exact raw-pair mass (one scan of the materialized prefix cache;
     // map-side partial dedup loses nothing in exchange — each (pair, h)
     // row is unique, so same-pair collapse before the shuffle is ~zero).
-    val rawMass = prefix.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).as("raw"))
-      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
+    val rawMass = graft.engine.Sizing.collisionMass(prefix, "h")
     val spark = posts.sparkSession
-    val dedupParts = math.max(spark.sparkContext.defaultParallelism,
-      math.min(4096L, rawMass / 2000000L).toInt)
+    val dedupParts = graft.engine.Sizing.partsFor(
+      spark, rawMass, graft.engine.Sizing.PairRowsPerPartition)
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -451,8 +446,8 @@ object Dedup {
       // intersection in-expression. Only the first join's output carries
       // an array through an exchange (~12 GB at 256× vs 35). Exchanges
       // sized from the posting count as before.
-      val parts = math.max(posts.sparkSession.sparkContext.defaultParallelism,
-        math.min(4096L, nPosts / 1000000L).toInt)
+      val parts = graft.engine.Sizing.partsFor(
+        posts.sparkSession, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
       val docsets = posts.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("h"))).as("hs"))
         .transform(graft.engine.QueryCaches.registered)

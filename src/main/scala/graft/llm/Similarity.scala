@@ -498,49 +498,382 @@ object Similarity {
       .orderBy(col("np"))
   }
 
+  /** Memo for the eager calibration decisions ([[ivfAutoProbePairs]]'s
+    * chosen nprobe, [[annRecallTargetPairs]]' chosen setting), keyed by
+    * (session identity, input plan semanticHash, params) — the
+    * `AsofJoin.routeCache` pattern, for the same reason: calibration cost
+    * ~40% of the fixed-setting operator at 64× (SCALE.md), and a repeated
+    * invocation of the same logical input under the same params
+    * re-derives the identical integer-deterministic decision. Safety:
+    * every cached value is replayed by the oracle from the data, so a
+    * stale entry after an in-place FILE overwrite can only mis-place cost,
+    * never change which pairs are near-dups at the recomputed sim — but it
+    * CAN change the emitted decision columns; callers that overwrite input
+    * files in place must [[clearCalibrationCache]]. Computation runs
+    * OUTSIDE the map lock (get → compute → putIfAbsent): a racing caller
+    * duplicates a calibration instead of blocking a CHM bin behind a
+    * multi-second Spark job. Bounded: cleared wholesale past 1024 entries.
+    */
+  private val calibCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), AnyRef]()
+
+  /** Drop all memoized calibration decisions (e.g. after overwriting input
+    * files in place, which reuses the same logical plan shape).
+    */
+  def clearCalibrationCache(): Unit = calibCache.clear()
+
+  private def calibMemoGet[T](df: DataFrame, params: String): Option[T] =
+    Option(calibCache.get(calibKey(df, params))).map(_.asInstanceOf[T])
+
+  private def calibMemoPut[T](df: DataFrame, params: String, value: T): T = {
+    if (calibCache.size > 1024) calibCache.clear()
+    val prior = calibCache.putIfAbsent(calibKey(df, params), value.asInstanceOf[AnyRef])
+    if (prior != null) prior.asInstanceOf[T] else value
+  }
+
+  private def calibKey(df: DataFrame, params: String): (Int, Int, String) =
+    (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), params)
+
+  /** NOTE — like [[graft.plans.AsofJoin.joinRouted]], this method runs an
+    * EAGER Spark job at DataFrame-construction time when the decision is
+    * not memoized (the calibration: one codebook scoring pass + the
+    * sample ground-truth join), memoized per (session, input plan, params)
+    * so repeated construction is free — a WARM call builds the fixed-np
+    * plan directly and costs within noise of [[ivfNearDupPairsMultiProbe]]
+    * at the chosen np. Batch inputs only (the calibration samples the
+    * corpus). [[clearCalibrationCache]] is the escape hatch for inputs
+    * overwritten in place.
+    */
   def ivfAutoProbePairs(embeddings: DataFrame, k: Int, maxProbe: Int,
                         recallNum: Int, recallDen: Int, sampleMod: Long,
                         minCos: Double): DataFrame = {
     require(maxProbe >= 1 && recallNum >= 0 && recallDen > 0 && sampleMod >= 1,
       s"bad selector params: maxProbe=$maxProbe recall=$recallNum/$recallDen sampleMod=$sampleMod")
-    val (ranked, truth, minNeeded) =
-      probeCalibration(embeddings, k, maxProbe, sampleMod, minCos)
-    // the (⌈target·total⌉)-th smallest minimum IS the smallest np meeting
-    // the target; single-partition window over |truth| rows only
-    val needed = truth.agg(count(lit(1)).as("total"))
-      .select(col("total"),
-        expr(s"(total * $recallNum + $recallDen - 1) div $recallDen").as("need"))
-    val orderedNeeds = minNeeded
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("need_np"))))
-    val chosen = needed.join(orderedNeeds, col("pos") === col("need"), "left")
-      .select(coalesce(col("need_np"),
-        when(col("need") === 0, lit(1)).otherwise(lit(maxProbe))).as("np"))
-    // Verify INSIDE the cell self-join (the [[ivfNearDupPairsMultiProbe]]
-    // shape — see the law there): embeddings attach to the ASSIGNMENT
-    // (np·N rows, one hash join on v_id), pairs stream through the join's
-    // codegen filter at 24 bytes, distinct collapses the ≤np² same-pair
-    // duplicates on the deterministic 6-dp survivors. The previous
-    // dedup-candidates-then-attach shape shipped two 256-byte embeddings
-    // per CANDIDATE pair — at 64×/np=4 (~3.7·10⁸ candidates) that is
-    // ~220 GB of sort spill; the run died on disk exhaustion.
-    val sides = withNorm(embeddings, "v")
-    val assigned = ranked.crossJoin(broadcast(chosen)).filter(col("rn") <= col("np"))
-      .join(sides, "v_id")
-      .select(col("v_id"), col("cell"), col("np"), col("v_emb"), col("v_norm"))
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.v_id") < col("b.v_id"))
-      .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
-        round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"),
-        col("a.np").cast("long").as("nprobe"))
-      .filter(col("sim") >= minCos)
-      .distinct()
+    val params = s"autoprobe|$k|$maxProbe|$recallNum|$recallDen|$sampleMod|$minCos"
+    calibMemoGet[java.lang.Integer](embeddings, params) match {
+      case Some(np) =>
+        // warm path: the decision is known — build the fixed-np operator
+        // (same rows: the selection is a deterministic function of the
+        // data) and append the decision column
+        ivfNearDupPairsMultiProbe(embeddings, k, np.intValue(), minCos)
+          .withColumn("nprobe", lit(np.longValue()))
+      case None =>
+        val (ranked, truth, minNeeded) =
+          probeCalibration(embeddings, k, maxProbe, sampleMod, minCos)
+        // the (⌈target·total⌉)-th smallest minimum IS the smallest np meeting
+        // the target; single-partition window over |truth| rows only
+        val needed = truth.agg(count(lit(1)).as("total"))
+          .select(col("total"),
+            expr(s"(total * $recallNum + $recallDen - 1) div $recallDen").as("need"))
+        val orderedNeeds = minNeeded
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("need_np"))))
+        val np = needed.join(orderedNeeds, col("pos") === col("need"), "left")
+          .select(coalesce(col("need_np"),
+            when(col("need") === 0, lit(1)).otherwise(lit(maxProbe))).as("np"))
+          .collect()(0).getInt(0)
+        calibMemoPut(embeddings, params, java.lang.Integer.valueOf(np))
+        // Verify INSIDE the cell self-join (the [[ivfNearDupPairsMultiProbe]]
+        // shape — see the law there): embeddings attach to the ASSIGNMENT
+        // (np·N rows, one hash join on v_id), pairs stream through the join's
+        // codegen filter at 24 bytes, distinct collapses the ≤np² same-pair
+        // duplicates on the deterministic 6-dp survivors. The previous
+        // dedup-candidates-then-attach shape shipped two 256-byte embeddings
+        // per CANDIDATE pair — at 64×/np=4 (~3.7·10⁸ candidates) that is
+        // ~220 GB of sort spill; the run died on disk exhaustion.
+        // Cold path reuses the REGISTERED ranked cache for the final join
+        // (rn ≤ np is a filter of the rn ≤ maxProbe cache), so memoization
+        // costs the cold caller nothing over the round-9 in-plan form.
+        val sides = withNorm(embeddings, "v")
+        val assigned = ranked.filter(col("rn") <= np)
+          .join(sides, "v_id")
+          .select(col("v_id"), col("cell"), col("v_emb"), col("v_norm"))
+        assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.v_id") < col("b.v_id"))
+          .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
+            round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"),
+            lit(np.toLong).as("nprobe"))
+          .filter(col("sim") >= minCos)
+          .distinct()
+    }
   }
 
   /** Deterministic plane matrix shared with the oracle SQL: 8 tables × 4
     * planes over 64 dims.
     */
   def defaultPlanes: Array[Array[Int]] = PortableHash.signPlanes(32, 64)
+
+  /** 128-plane matrix for the cross-family selector's LSH grid (config
+    * (L, w) uses the first L·w rows, indexed planes(t·w + j) — so the
+    * (8, 4) config hashes identically to [[defaultPlanes]]).
+    */
+  def widePlanes: Array[Array[Int]] = PortableHash.signPlanes(128, 64)
+
+  /** IVF cell-count grid for the cross-family selector: the √N balance
+    * point plus two coarser tiers (÷4, ÷16; floor [[ivfCells]]' 16).
+    * Coarser cells trade candidate mass for recall along a second axis
+    * than nprobe — measured at 64× (SCALE.md "Recall-targeted
+    * configuration"), the (cells, np) frontier reaches 90%+ where
+    * √N-cells/np≤4 topped out at 37.6%.
+    */
+  def gridLevels(kBase: Int): Seq[Int] =
+    Seq(kBase, math.max(16, (kBase + 3) / 4), math.max(16, (kBase + 15) / 16)).distinct
+
+  /** One candidate configuration of the cross-family selector, with its
+    * measured sample recall (recovered of total) and raw candidate mass
+    * (Σ c·(c−1)/2 over cells / (table, bucket) groups — the number of
+    * in-join similarity evaluations the setting would pay, duplicates
+    * included). route "ivf": cells/probe set, tables=width=0; route
+    * "lsh": tables/width/probe set, cells=0.
+    */
+  final case class AnnSetting(route: String, cells: Int, tables: Int, width: Int,
+                              probe: Int, recovered: Long, total: Long, mass: Long) {
+    def recallBp: Long = if (total == 0) 10000L else recovered * 10000L / total
+  }
+
+  /** The measured (setting → sample recall, candidate mass) curves the
+    * cross-family selector decides from — every row one (family, config,
+    * probe depth) point. All integer-deterministic: ground truth is the
+    * [[probeCalibration]] one-end sample, IVF ranks per grid level come
+    * from one conditional-running-count window pass over the √N-codebook
+    * scoring, LSH recovery depths from the truth ENDPOINTS' multi-probe
+    * buckets only (bounded), LSH mass from one corpus bucketing pass per
+    * config. Diagnostic surface (ScaleProbe prints it; the spec pins the
+    * selection against it); [[annRecallTargetPairs]] collects it.
+    */
+  def annSettingCurves(embeddings: DataFrame, kBase: Int, maxProbe: Int,
+                       lshConfigs: Seq[(Int, Int)], maxLshProbe: Int,
+                       planes: Array[Array[Int]], sampleMod: Long,
+                       minCos: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    val levels = gridLevels(kBase)
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
+      .transform(graft.engine.QueryCaches.registered)
+
+    // ---- shared ground truth (the ivfAutoProbePairs sample): one-end
+    // sampling against the whole corpus — both-ends thins pairs by 1/mod²
+    // and measured zero truth at 64×
+    val sampQ = samp(embeddings, sampleMod)
+    val truth = base.join(broadcast(sampQ), col("q_id") =!= col("v_id"))
+      .select(least(col("q_id"), col("v_id")).as("a_id"),
+        greatest(col("q_id"), col("v_id")).as("b_id"),
+        round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6).as("sim"))
+      .filter(col("sim") >= minCos)
+      .select(col("a_id"), col("b_id")).distinct()
+      .transform(graft.engine.QueryCaches.registered)
+    val total = broadcast(truth.agg(count(lit(1)).as("total")))
+
+    // ---- IVF grid: rank every vector's cells per level in ONE window
+    // pass — rank within level g (cells with c_id < g, ordered sim desc)
+    // is a conditional running count over the full √N-codebook ordering,
+    // so three levels cost one sort, not three scoring passes
+    val codebook = withNorm(embeddings.filter(col("vec_id") < kBase), "c")
+    val scored = base.crossJoin(broadcast(codebook))
+      .select(col("v_id"), col("c_id"),
+        round(dot(col("v_emb"), col("c_emb")) / (col("v_norm") * col("c_norm")), 6).as("sim_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v_id")).orderBy(col("sim_c").desc, col("c_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withRanks = scored.select(
+      col("v_id") +: col("c_id") +: levels.map(lv =>
+        sum(when(col("c_id") < lv, 1).otherwise(0)).over(w).as(s"rn_$lv")): _*)
+    val ranked = withRanks.select(col("v_id"), col("c_id").as("cell"),
+        explode(array(levels.map(lv => struct(lit(lv).as("lvl"),
+          when(col("c_id") < lv, col(s"rn_$lv")).cast("int").as("rn"))): _*)).as("x"))
+      .select(col("x.lvl").as("lvl"), col("v_id"), col("cell"), col("x.rn").as("rn"))
+      .filter(col("rn") <= maxProbe)
+      .transform(graft.engine.QueryCaches.registered)
+    val nps = spark.range(1, maxProbe + 1).select(col("id").cast("int").as("np"))
+    // per-pair minimal recovering depth per level, as in probeCalibration
+    val ra = ranked.select(col("lvl"), col("v_id").as("a_id"),
+      col("cell").as("cell_a"), col("rn").as("rn_a"))
+    val rb = ranked.select(col("lvl").as("lvl_b"), col("v_id").as("rb_id"),
+      col("cell").as("cell_b"), col("rn").as("rn_b"))
+    val minNeeded = truth
+      .join(ra, "a_id")
+      .join(rb, col("b_id") === col("rb_id") && col("cell_a") === col("cell_b") &&
+        col("lvl") === col("lvl_b"))
+      .groupBy(col("lvl"), col("a_id"), col("b_id"))
+      .agg(min(greatest(col("rn_a"), col("rn_b"))).as("need_np"))
+    val lvlFrame = spark.sql(levels.map(lv => s"SELECT $lv AS lvl").mkString(" UNION ALL "))
+    val needCounts = minNeeded
+      .select(col("lvl").as("r_lvl"), col("need_np"))
+      .groupBy(col("r_lvl"), col("need_np")).agg(count(lit(1)).as("cnt"))
+    val ivfRec = lvlFrame.crossJoin(nps)
+      .join(needCounts,
+        col("lvl") === col("r_lvl") && col("need_np") <= col("np"), "left")
+      .groupBy(col("lvl"), col("np"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("recovered"))
+    // raw candidate mass per (level, np): Σ_cell c_np·(c_np−1)/2 where
+    // c_np counts assignments at rank ≤ np — all np thresholds from one
+    // groupBy over the ranked cache
+    val npAggs = (1 to maxProbe).map(np =>
+      sum(when(col("rn") <= np, 1L).otherwise(0L)).as(s"c_$np"))
+    val cellCounts = ranked.groupBy(col("lvl"), col("cell"))
+      .agg(npAggs.head, npAggs.tail: _*)
+    val ivfMass = cellCounts.select(col("lvl"),
+        explode(array((1 to maxProbe).map(np => struct(lit(np).as("np"),
+          expr(s"c_$np * (c_$np - 1) div 2").as("m"))): _*)).as("x"))
+      .select(col("lvl"), col("x.np").as("np"), col("x.m").as("m"))
+      .groupBy(col("lvl"), col("np"))
+      .agg(sum(col("m")).as("mass"))
+    val ivfCurve = ivfRec.join(ivfMass, Seq("lvl", "np"))
+      .crossJoin(total)
+      .select(lit("ivf").as("route"), col("lvl").as("cells"),
+        lit(0).as("tables"), lit(0).as("width"), col("np").as("probe"),
+        col("recovered"), col("total"), col("mass"))
+
+    // ---- LSH grid: corpus bucketing per config at maxLshProbe (mass for
+    // every probe depth from one pass via the q tags); recovery depths
+    // from the truth ENDPOINTS' buckets only
+    val bk = lshConfigs.map { case (l, ww) =>
+      base.select(col("v_id"), posexplode(
+          graft.functions.VectorFunctions.graftSignPlanes(
+            col("v_emb"), planes, l, ww, maxLshProbe)))
+        .toDF("v_id", "pos", "bucket")
+        .select(lit(l).as("tables"), lit(ww).as("width"), col("v_id"),
+          (col("pos") / maxLshProbe).cast("int").as("t"),
+          (col("pos") % maxLshProbe).cast("int").as("q"), col("bucket"))
+    }.reduce(_.unionAll(_)).transform(graft.engine.QueryCaches.registered)
+    val ps = spark.range(1, maxLshProbe + 1).select(col("id").cast("int").as("p"))
+    val pAggs = (1 to maxLshProbe).map(p =>
+      sum(when(col("q") < p, 1L).otherwise(0L)).as(s"c_$p"))
+    val bCounts = bk.groupBy(col("tables"), col("width"), col("t"), col("bucket"))
+      .agg(pAggs.head, pAggs.tail: _*)
+    val lshMass = bCounts.select(col("tables"), col("width"),
+        explode(array((1 to maxLshProbe).map(p => struct(lit(p).as("p"),
+          expr(s"c_$p * (c_$p - 1) div 2").as("m"))): _*)).as("x"))
+      .select(col("tables"), col("width"), col("x.p").as("p"), col("x.m").as("m"))
+      .groupBy(col("tables"), col("width"), col("p"))
+      .agg(sum(col("m")).as("mass"))
+    val eps = truth.select(col("a_id").as("id"))
+      .unionAll(truth.select(col("b_id").as("id"))).distinct()
+    val epk = bk.join(broadcast(eps), col("v_id") === col("id"), "left_semi")
+    val lshNeed = truth
+      .join(epk.as("x"), col("a_id") === col("x.v_id"))
+      .join(epk.as("y"), col("b_id") === col("y.v_id") &&
+        col("x.tables") === col("y.tables") && col("x.width") === col("y.width") &&
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.tables").as("tables"), col("x.width").as("width"),
+        col("a_id"), col("b_id"), (greatest(col("x.q"), col("y.q")) + 1).as("d"))
+      .groupBy(col("tables"), col("width"), col("a_id"), col("b_id"))
+      .agg(min(col("d")).as("need_p"))
+    val cfgFrame = spark.sql(lshConfigs.map { case (l, ww) =>
+      s"SELECT $l AS tables, $ww AS width" }.mkString(" UNION ALL "))
+    val lshNeedCounts = lshNeed
+      .select(col("tables").as("r_t"), col("width").as("r_w"), col("need_p"))
+      .groupBy(col("r_t"), col("r_w"), col("need_p")).agg(count(lit(1)).as("cnt"))
+    val lshRec = cfgFrame.crossJoin(ps)
+      .join(lshNeedCounts,
+        col("tables") === col("r_t") && col("width") === col("r_w") &&
+          col("need_p") <= col("p"), "left")
+      .groupBy(col("tables"), col("width"), col("p"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("recovered"))
+    val lshCurve = lshRec.join(lshMass, Seq("tables", "width", "p"))
+      .crossJoin(total)
+      .select(lit("lsh").as("route"), lit(0).as("cells"),
+        col("tables"), col("width"), col("p").as("probe"),
+        col("recovered"), col("total"), col("mass"))
+
+    ivfCurve.unionAll(lshCurve)
+      .orderBy(col("route"), col("cells"), col("tables"), col("width"), col("probe"))
+  }
+
+  /** Near-duplicate pairs at a STATED RECALL TARGET — the cross-family
+    * configuration selector (round-9 verdict #1). Instead of the caller
+    * guessing an index setting, the operator measures the sample
+    * recall/cost curve of every candidate setting — the IVF (cells ×
+    * nprobe) grid of [[gridLevels]] AND a multi-table sign-LSH grid
+    * (tables × width × probes) — and runs the CHEAPEST setting (by raw
+    * candidate mass, the in-join similarity-evaluation count) whose
+    * sample recall meets `recallNum/recallDen` within `massBudget`.
+    * When no setting qualifies (target too high for the corpus geometry,
+    * or budget too tight), it falls back to the best-effort setting
+    * (highest recovered, then cheapest) — still deterministic, and the
+    * output's `recall_bp` column states what was actually achieved, so a
+    * caller (and the oracle) can see an un-met target rather than
+    * silently trusting one.
+    *
+    * Why cross-family (measured at 64×, SCALE.md "Recall-targeted
+    * configuration"): at √N cells / np ≤ 4 IVF recall tops out at 37.6%;
+    * co-sizing (cells, np) reaches 90.7% at 4.47e9 mass (90 cells, np 7)
+    * — but the sign-LSH family reaches 85.6% at 2.40e9 mass (16 tables ×
+    * 8 bits, probes 2), 1.9× cheaper, because hyperplane buckets exploit
+    * the pair ANGLE directly where coarse-codebook cells only exploit
+    * proximity to a random centroid. Which family wins is a property of
+    * the data — exactly why the selector measures instead of assuming.
+    *
+    * Everything is integer-deterministic and replayed by the DuckDB
+    * oracle: ground truth, both grids' recovery depths, masses, the
+    * ordered choice, and the final join. Eager + memoized like
+    * [[ivfAutoProbePairs]] (see the contract there); output columns
+    * (a_id, b_id, sim, route, cells, tables, width, probe, recall_bp).
+    *
+    * Scale shape: the final join always verifies IN-JOIN — embeddings
+    * ride the pre-pair exchange (cell or bucket keyed), pairs exist only
+    * streaming through the codegen cosine filter, distinct collapses
+    * duplicate survivors — the pair-expansion width law. Calibration adds
+    * one √N-codebook scoring pass (one window sort), one corpus bucketing
+    * pass per LSH config, and truth-bounded joins.
+    */
+  def annRecallTargetPairs(embeddings: DataFrame, kBase: Int, maxProbe: Int,
+                           lshConfigs: Seq[(Int, Int)], maxLshProbe: Int,
+                           planes: Array[Array[Int]], recallNum: Int, recallDen: Int,
+                           sampleMod: Long, minCos: Double,
+                           massBudget: Long): DataFrame = {
+    require(maxProbe >= 1 && maxLshProbe >= 1 && recallNum >= 0 && recallDen > 0 &&
+      sampleMod >= 1 && massBudget >= 0 && lshConfigs.nonEmpty,
+      s"bad selector params: maxProbe=$maxProbe maxLshProbe=$maxLshProbe " +
+        s"recall=$recallNum/$recallDen sampleMod=$sampleMod budget=$massBudget")
+    val params = s"recalltarget|$kBase|$maxProbe|${lshConfigs.mkString(";")}|" +
+      s"$maxLshProbe|${planes.length}|$recallNum|$recallDen|$sampleMod|$minCos|$massBudget"
+    val chosen = calibMemoGet[AnnSetting](embeddings, params).getOrElse {
+      val rows = annSettingCurves(embeddings, kBase, maxProbe, lshConfigs,
+        maxLshProbe, planes, sampleMod, minCos).collect()
+      val settings = rows.map(r => AnnSetting(r.getString(0), r.getInt(1),
+        r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      val qualifying = settings.filter(s =>
+        s.recovered * recallDen >= recallNum.toLong * s.total && s.mass <= massBudget)
+      val pick =
+        if (qualifying.nonEmpty)
+          qualifying.minBy(s => (s.mass, s.probe, s.route, s.cells, s.tables, s.width))
+        else
+          settings.minBy(s => (-s.recovered, s.mass, s.probe, s.route, s.cells, s.tables, s.width))
+      calibMemoPut(embeddings, params, pick)
+    }
+    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
+    val pairs = chosen.route match {
+      case "ivf" =>
+        ivfNearDupPairsMultiProbe(embeddings, chosen.cells, chosen.probe, minCos)
+      case "lsh" =>
+        // in-join verify, same width law as the IVF shape: embeddings ride
+        // the (t, bucket) exchange (N·L·p rows), pairs stream through the
+        // codegen cosine filter at 16 bytes, distinct collapses the
+        // per-colliding-bucket duplicate survivors
+        val bkx = base.select(col("v_id"), col("v_emb"), col("v_norm"), posexplode(
+            graft.functions.VectorFunctions.graftSignPlanes(
+              col("v_emb"), planes, chosen.tables, chosen.width, chosen.probe)))
+          .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "bucket")
+          .select(col("v_id"), col("v_emb"), col("v_norm"),
+            (col("pos0") / chosen.probe).cast("int").as("t"), col("bucket"))
+        bkx.as("a").join(bkx.as("b"),
+            col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+              col("a.v_id") < col("b.v_id"))
+          .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
+            round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"))
+          .filter(col("sim") >= minCos)
+          .distinct()
+    }
+    pairs
+      .withColumn("route", lit(chosen.route))
+      .withColumn("cells", lit(chosen.cells.toLong))
+      .withColumn("tables", lit(chosen.tables.toLong))
+      .withColumn("width", lit(chosen.width.toLong))
+      .withColumn("probe", lit(chosen.probe.toLong))
+      .withColumn("recall_bp", lit(chosen.recallBp))
+  }
 
   /** Squared L2 distance between two equal-length double arrays: squared
     * differences folded left from a 0.0 accumulator — index order on both
