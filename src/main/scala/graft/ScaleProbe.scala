@@ -64,6 +64,76 @@ object ScaleProbe {
           val cnt = out.count()
           println(s"[probe]   ivfselect k=$k sampleMod=$mod chose np=$picked pairs=$cnt")
           cnt
+        // Cross-family recall-target selector (round-10 verdict #1): print
+        // the full (setting -> recall, mass) curve the selector decides
+        // from, the chosen setting, then time the selected join COLD
+        // (calibration included) and WARM (memoized decision — the fixed-
+        // setting price). recalltarget=t85 = the production 85% config.
+        case s"recalltarget=t${t}" =>
+          val emb = graft.engine.Tables.embeddings(spark, dir)
+          val n = emb.count()
+          val k = graft.llm.Similarity.ivfCells(n)
+          val mod = math.max(1L, math.ceil(n / 512.0).toLong)
+          val grid = Seq((8, 4), (8, 8), (16, 8))
+          val budget = 128L * n * k
+          graft.llm.Similarity.annSettingCurves(emb, k, 8, grid, 4,
+              graft.llm.Similarity.widePlanes, mod, minCos = 0.45)
+            .collect().foreach { r =>
+              val tot = r.getLong(6)
+              val pct = if (tot == 0) 100.0 else r.getLong(5) * 100.0 / tot
+              println(f"[probe]   curve route=${r.getString(0)} cells=${r.getInt(1)} " +
+                f"L=${r.getInt(2)} w=${r.getInt(3)} p=${r.getInt(4)} " +
+                f"recovered=${r.getLong(5)}/$tot (${pct}%.1f%%) mass=${r.getLong(7)}")
+            }
+          graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+          graft.llm.Similarity.clearCalibrationCache()
+          def rt() = graft.llm.Similarity.annRecallTargetPairs(emb, k, 8, grid, 4,
+            graft.llm.Similarity.widePlanes, t.toInt, 100, mod, 0.45, budget)
+          val tc = System.nanoTime()
+          val cold = rt()
+          val dec = cold.select("route", "cells", "tables", "width", "probe", "recall_bp")
+            .limit(1).collect().headOption
+          val cnt = cold.count()
+          val coldS = (System.nanoTime() - tc) / 1e9
+          graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+          val tw = System.nanoTime()
+          val cnt2 = rt().count()
+          val warmS = (System.nanoTime() - tw) / 1e9
+          dec.foreach(d => println(s"[probe]   chose route=${d.getString(0)} " +
+            s"cells=${d.getLong(1)} L=${d.getLong(2)} w=${d.getLong(3)} " +
+            s"probe=${d.getLong(4)} recall_bp=${d.getLong(5)}"))
+          println(f"[probe]   recalltarget budget=$budget pairs=$cnt cold=${coldS}%.1f s " +
+            f"warm=${warmS}%.1f s (pairs2=$cnt2)")
+          cnt
+        // Warm-vs-fixed autoprobe (round-10 verdict #3): the memoized
+        // selector's warm construction must cost within 10% of the fixed-
+        // np operator at the np it chose.
+        case s"ivfwarmauto=t${t}m${m}" =>
+          val emb = graft.engine.Tables.embeddings(spark, dir)
+          val n = emb.count()
+          val k = graft.llm.Similarity.ivfCells(n)
+          val mod = math.max(1L, math.ceil(n / 512.0).toLong)
+          graft.llm.Similarity.clearCalibrationCache()
+          def auto() = graft.llm.Similarity.ivfAutoProbePairs(
+            emb, k, m.toInt, t.toInt, 100, mod, minCos = 0.45)
+          val t1 = System.nanoTime()
+          val coldCnt = auto().count()
+          val coldS = (System.nanoTime() - t1) / 1e9
+          val np = auto().select("nprobe").limit(1).collect()
+            .headOption.map(_.getLong(0).toInt).getOrElse(1)
+          graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+          val t2 = System.nanoTime()
+          val warmCnt = auto().count()
+          val warmS = (System.nanoTime() - t2) / 1e9
+          graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+          val t3 = System.nanoTime()
+          val fixedCnt = graft.llm.Similarity.ivfNearDupPairsMultiProbe(
+            emb, k, np, minCos = 0.45).count()
+          val fixedS = (System.nanoTime() - t3) / 1e9
+          println(f"[probe]   autoprobe np=$np cold=${coldS}%.1f s warm=${warmS}%.1f s " +
+            f"fixed(np=$np)=${fixedS}%.1f s warm/fixed=${warmS / fixedS}%.2f " +
+            f"(pairs cold=$coldCnt warm=$warmCnt fixed=$fixedCnt)")
+          warmCnt
         // posting/prefix cardinalities + cache byte sizes + raw collision
         // mass at this corpus scale — the sizing inputs the ngram dedup
         // exchange works from, plus what actually sits on the heap
