@@ -27,19 +27,7 @@ object Bench {
     // after the suite) and run in both 1-thread and all-threads variants;
     // all four samples land in the JSON. A drift episode then shows up as
     // post > pre or mt-per-thread >> single, in the same record it inflated.
-    def canaryOnce(threads: Int): Double = {
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { tid =>
-        val th = new Thread(() => {
-          var x = 0x9E3779B97F4A7C15L ^ tid; var i = 0L
-          while (i < 2000000000L) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-          if (x == 0) System.err.println("")  // keep the loop live under JIT
-        })
-        th.start(); th
-      }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canaryOnce(threads: Int): Double = graft.engine.HostCanary.once(threads)
     val canary = canaryOnce(1)
     val canaryMt = canaryOnce(cpus.toInt)
     System.err.println(
