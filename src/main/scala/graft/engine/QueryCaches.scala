@@ -79,6 +79,22 @@ object QueryCaches {
     * from the caller's `releaseAll(callerSession)` boundary.
     */
   def registered(df: DataFrame, owner: SparkSession): DataFrame = {
+    registeredCounted(df, owner)
+    df
+  }
+
+  /** [[registered]], also returning the materializing count. For callers
+    * whose query needs the cached frame's CARDINALITY anyway (an eval
+    * harness reporting n_truth / n_cand): the eager fill already pays a
+    * full count — re-deriving the same number downstream as a 1-row
+    * aggregate re-scans the cache and schedules an extra job per cache.
+    */
+  def registeredCounted(df: DataFrame): (DataFrame, Long) =
+    registeredCounted(df, df.sparkSession)
+
+  /** [[registeredCounted]] with an explicit owning session ([[registered]]'s
+    * owner contract). */
+  def registeredCounted(df: DataFrame, owner: SparkSession): (DataFrame, Long) = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
     // Enqueue BEFORE the materializing count: if the count throws (OOM, task
     // failure, job cancel) the frame is already registered, so the caller's
@@ -89,13 +105,13 @@ object QueryCaches {
     // storage across a long run.
     val q = live.computeIfAbsent(owner, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
     q.add(df)
-    df.count()
+    val n = df.count()
     if (q.size > WarnDepth && warned.add(owner)) {
       System.err.println(
         s"[graft] QueryCaches holds >$WarnDepth un-released intermediates for one session; " +
           "call QueryCaches.releaseAll(session) at query boundaries to free them.")
     }
-    df
+    (df, n)
   }
 
   /** Unpersist every intermediate registered by `session`. Idempotent — an

@@ -2890,8 +2890,9 @@ object LlmQueries {
     * for (4-row, 16-band) at s = 0.8 predicts recall ≈ 1−(1−0.8⁴)¹⁶ ≈
     * 0.9998; this query MEASURES it under the oracle.
     *
-    * Scale: three 1-row aggregates crossed (the ann_recall_eval
-    * allowlisted shape). The exact-truth side is the deliberate cost of
+    * Scale: one 1-row aggregate over the truth⋈cand intersection; the
+    * truth and candidate cardinalities ride the caches' own materializing
+    * counts (registeredCounted). The exact-truth side is the deliberate cost of
     * an evaluation harness — run it on a sample at corpus scale, never
     * the full 100 TB (same note as ann_recall_eval's exact baseline).
     */
@@ -2903,21 +2904,22 @@ object LlmQueries {
     // no exchange): deriving signatures from the truth side's postings was
     // measured SLOWER (the 64-min aggregation over ~1M posting rows costs
     // ~3.7 s of stage time vs ~0.6 s for the kernel's second corpus scan).
-    val truth = Dedup.ngramJaccardPairsPrefix(docs, 3, jaccardNum, jaccardDen)
-      .select("doc_a", "doc_b").transform(graft.engine.QueryCaches.registered)
-    val cand = Dedup.bandCandidates(
-      Dedup.minhashSignatures(docs, 3, 64), 64, 16).transform(graft.engine.QueryCaches.registered)
-    val nT = truth.agg(count(lit(1)).as("n_truth"))
-    val nC = cand.agg(count(lit(1)).as("n_cand"))
-    val nTp = truth.join(cand, Seq("doc_a", "doc_b"))
+    // registeredCounted: the eager fill already counts each cache — reuse
+    // those numbers as n_truth / n_cand instead of re-scanning both caches
+    // through two more 1-row aggregates (round-10 trim; values identical)
+    val (truth, nTruth) = graft.engine.QueryCaches.registeredCounted(
+      Dedup.ngramJaccardPairsPrefix(docs, 3, jaccardNum, jaccardDen)
+        .select("doc_a", "doc_b"))
+    val (cand, nCand) = graft.engine.QueryCaches.registeredCounted(
+      Dedup.bandCandidates(Dedup.minhashSignatures(docs, 3, 64), 64, 16))
+    truth.join(cand, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).as("tp"))
-    nT.crossJoin(nC).crossJoin(nTp)
-      .select(col("n_truth"), col("n_cand"), col("tp"),
-        (col("n_truth") - col("tp")).as("fn"),
-        (col("n_cand") - col("tp")).as("fp"),
-        when(col("n_cand") > 0, expr("(10000 * tp) div n_cand"))
+      .select(lit(nTruth).as("n_truth"), lit(nCand).as("n_cand"), col("tp"),
+        (lit(nTruth) - col("tp")).as("fn"),
+        (lit(nCand) - col("tp")).as("fp"),
+        when(lit(nCand) > 0, expr(s"(10000 * tp) div ${nCand}L"))
           .otherwise(10000L).as("precision_bp"),
-        when(col("n_truth") > 0, expr("(10000 * tp) div n_truth"))
+        when(lit(nTruth) > 0, expr(s"(10000 * tp) div ${nTruth}L"))
           .otherwise(10000L).as("recall_bp"))
   }
 
