@@ -137,6 +137,94 @@ object ScaleProbe {
         // posting/prefix cardinalities + cache byte sizes + raw collision
         // mass at this corpus scale — the sizing inputs the ngram dedup
         // exchange works from, plus what actually sits on the heap
+        // minimal reproduction of the repartition-width rewrite seen at
+        // 1024x: does repartition(266, col) survive to the physical plan?
+        case "repro266" =>
+          import org.apache.spark.sql.functions.col
+          val df = spark.range(100000).toDF("doc_a")
+          val r = df.repartition(266, col("doc_a"))
+          println("==== bare repartition ====")
+          println(r.queryExecution.executedPlan.toString.take(1200))
+          val other = spark.range(1000).toDF("doc_a")
+            .withColumn("v", col("doc_a") * 2)
+          val j = r.join(other.hint("shuffle_hash"), "doc_a")
+          println("==== repartition under shuffle_hash join ====")
+          println(j.queryExecution.executedPlan.toString.take(2500))
+          j.count()
+        // faithful-shape reproduction: distinct -> repartition(266, a) ->
+        // SHJ(build=cached docsets) -> repartition(266, b) -> SHJ ->
+        // size-reattach joins on top (the verifiedPairCounts topology)
+        case "reprowide" =>
+          import org.apache.spark.sql.functions.{array, col}
+          val cand = spark.range(100000)
+            .select((col("id") % 1000).as("doc_a"), (col("id") % 997).as("doc_b"))
+            .distinct()
+          val docsets = graft.engine.QueryCaches.registered(
+            spark.range(1000).select(col("id").as("doc_id"), array(col("id")).as("hs")))
+          val j1 = cand.repartition(266, col("doc_a"))
+            .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+              .hint("shuffle_hash"), "doc_a")
+          val j2 = j1.repartition(266, col("doc_b"))
+            .join(docsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+              .hint("shuffle_hash"), "doc_b")
+            .select(col("doc_a"), col("doc_b"),
+              graft.functions.VectorFunctions.graftSortedIntersectCount(
+                col("hs_a"), col("hs_b")).as("n_common"))
+          val sizes = spark.range(1000).select(col("id").as("doc_id"), col("id").as("n_sh"))
+          val top = j2
+            .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
+            .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
+          println("==== reprowide plan ====")
+          println(top.queryExecution.executedPlan.toString.take(6000))
+          top.count()
+        // bisect step: REAL bandCandidates subtree + fake docsets — does
+        // the repartition width survive?
+        case "reprocand" =>
+          import org.apache.spark.sql.functions.{array, col}
+          val docs = graft.engine.Tables.documents(spark, dir)
+          val cand = graft.llm.Dedup.bandCandidates(
+            graft.llm.Dedup.minhashSignatures(docs, 3, 64), 64, 16)
+          val docsets = graft.engine.QueryCaches.registered(
+            spark.range(1000).select(col("id").as("doc_id"), array(col("id")).as("hs")))
+          val j1 = cand.repartition(266, col("doc_a"))
+            .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+              .hint("shuffle_hash"), "doc_a")
+          println("==== reprocand plan ====")
+          println(j1.queryExecution.executedPlan.toString.take(4000))
+          j1.count()
+        // bisect step: fake candidates + REAL docsets (posting-cache
+        // collect_list aggregate, registered) — does the width survive?
+        case "reprodocsets" =>
+          import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+          val docs = graft.engine.Tables.documents(spark, dir)
+          val posts = graft.llm.Dedup.shinglePostings(docs, 3)
+            .transform(graft.engine.QueryCaches.registered)
+          val docsets = posts.groupBy(col("doc_id"))
+            .agg(sort_array(collect_list(col("h"))).as("hs"))
+            .transform(graft.engine.QueryCaches.registered)
+          val cand = spark.range(100000)
+            .select((col("id") % 1000).as("doc_a"), (col("id") % 997).as("doc_b"))
+            .distinct()
+          val j1 = cand.repartition(266, col("doc_a"))
+            .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+              .hint("shuffle_hash"), "doc_a")
+          println("==== reprodocsets plan ====")
+          println(j1.queryExecution.executedPlan.toString.take(4000))
+          j1.count()
+        // sizing-path diagnostic: the exact numbers verifiedPairCounts'
+        // exchange width is computed from at this corpus scale
+        case "sizecheck" =>
+          val posts = graft.llm.Dedup.shinglePostings(
+              graft.engine.Tables.documents(spark, dir), 3)
+            .transform(graft.engine.QueryCaches.registered)
+          val n = posts.count()
+          val parts = graft.engine.Sizing.partsFor(
+            spark, n, graft.engine.Sizing.PostingRowsPerPartition)
+          println(s"[probe]   sizecheck posts=$n partsFor=$parts " +
+            s"defaultParallelism=${spark.sparkContext.defaultParallelism} " +
+            s"div=${n / graft.engine.Sizing.PostingRowsPerPartition} " +
+            s"min=${math.min(graft.engine.Sizing.MaxParts, n / graft.engine.Sizing.PostingRowsPerPartition)}")
+          n
         case "ngramstat" =>
           import org.apache.spark.sql.functions.{col, count, lit, sum, expr}
           val docs = graft.engine.Tables.documents(spark, dir)

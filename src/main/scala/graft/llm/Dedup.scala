@@ -400,6 +400,14 @@ object Dedup {
     */
   private[graft] var VerifyHashJoinMinPosts = 8000000L
 
+  /** Test hook: forces the verify-join exchange width. At fixture scale
+    * [[graft.engine.Sizing.partsFor]] always returns the core count, which
+    * is indistinguishable from the session default — the cache-width law
+    * (see [[verifiedPairCounts]]) is only observable in a spec with an
+    * injected width. Production callers never set this.
+    */
+  private[graft] var VerifyPartsOverride: Option[Int] = None
+
   /** Per-pair shared-shingle counts for a candidate set: the verification
     * core shared by the banded ([[minhashLshPairs]]) and prefix
     * ([[ngramJaccardPairsPrefixFromPosts]]) families.
@@ -446,9 +454,25 @@ object Dedup {
       // intersection in-expression. Only the first join's output carries
       // an array through an exchange (~12 GB at 256× vs 35). Exchanges
       // sized from the posting count as before.
-      val parts = graft.engine.Sizing.partsFor(
-        posts.sparkSession, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
-      val docsets = posts.groupBy(col("doc_id"))
+      val parts = VerifyPartsOverride.getOrElse(graft.engine.Sizing.partsFor(
+        posts.sparkSession, nPosts, graft.engine.Sizing.PostingRowsPerPartition))
+      System.err.println(s"[graft] verify-join width: posts=$nPosts parts=$parts")
+      // The docsets cache must be FILLED at the sized width (round-10 law,
+      // measured at 1024×): an InMemoryRelation's outputPartitioning is its
+      // fill plan's, and EnsureRequirements prefers not to re-shuffle a
+      // child that already satisfies the join's distribution — so a cache
+      // filled through the session-default 32-partition aggregation exchange
+      // PINS both verify joins to 32, silently rewriting the mass-sized
+      // repartition(parts) on the probe side back to the cache's width.
+      // At 1024× (5.1M docsets rows ≈ 4.4 GB of sorted-hash arrays) the
+      // 32-way build maps were ~137 MB per task × 32 concurrent — past the
+      // unified pool, and the build died with UNABLE_TO_ACQUIRE_MEMORY.
+      // Repartitioning the postings by doc_id BEFORE the aggregation makes
+      // the fill plan itself parts-wide (the groupBy's distribution is then
+      // already satisfied — no extra exchange), so cache, probe exchanges,
+      // and join all agree on the data-sized width.
+      val docsets = posts.repartition(parts, col("doc_id"))
+        .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("h"))).as("hs"))
         .transform(graft.engine.QueryCaches.registered)
       candidates.repartition(parts, col("doc_a"))

@@ -385,4 +385,77 @@ class PlansSpec extends SparkSuite {
     graft.engine.QueryCaches.releaseAll(spark, blocking = true)
     spark.catalog.clearCache()
   }
+
+  test("verify-join width survives the docsets cache — the cache is filled AT the sized width") {
+    // The 1024x/8 GiB failure class (SCALE.md "the cache pins the join
+    // width"): an InMemoryRelation's outputPartitioning is its FILL plan's
+    // partitioning, and EnsureRequirements prefers not to re-shuffle a
+    // child that already satisfies the join's distribution — so a docsets
+    // cache filled through the session-default aggregation exchange drags
+    // the probe side's mass-sized repartition(parts) back down to the
+    // session default (observed at 1024x: parts=266 computed, 32 planned,
+    // 137 MB per-task build maps, UNABLE_TO_ACQUIRE_MEMORY). The fix fills
+    // the cache parts-wide. Width 7 is injected because at fixture scale
+    // partsFor returns the core count, indistinguishable from the default.
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    val width = 7 // != the suite session's spark.sql.shuffle.partitions (4)
+    val docs = engine.Tables.documents(spark, sf1)
+    // positive control — the OLD shape: cache filled at the session
+    // default, probe repartitioned to `width`. The rewrite must FIRE
+    // (no width-wide REPARTITION_BY_NUM survives), or the fixed-shape
+    // assertion below is vacuous.
+    val postsOld = graft.llm.Dedup.shinglePostings(docs, 3)
+      .transform(graft.engine.QueryCaches.registered)
+    val docsetsOld = postsOld.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .transform(graft.engine.QueryCaches.registered)
+    val candOld = graft.llm.Dedup.bandCandidates(
+      graft.llm.Dedup.minhashSignatures(docs, 3, 64), 64, 16)
+    val probeOld = candOld.repartition(width, col("doc_a"))
+      .join(docsetsOld.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        .hint("shuffle_hash"), "doc_a")
+    val oldPlan = probeOld.queryExecution.executedPlan.toString
+    val widthRe = s"hashpartitioning\\(doc_a#\\d+L?, $width\\), REPARTITION_BY_NUM".r
+    assert(widthRe.findFirstIn(oldPlan).isEmpty,
+      s"control failed: the unsized-cache shape kept the $width-wide repartition — " +
+        "EnsureRequirements no longer rewrites it, re-examine the law:\n" + oldPlan.take(3000))
+    graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+    spark.catalog.clearCache()
+    // the FIXED shape: verifiedPairCounts with the width injected — both
+    // probe repartitions must survive at `width`, and the docsets cache's
+    // own fill plan must carry the width-wide doc_id exchange.
+    graft.llm.Dedup.VerifyHashJoinMinPosts = 1L
+    graft.llm.Dedup.VerifyPartsOverride = Some(width)
+    try {
+      val pairs = graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, 7, 10)
+      val plan = pairs.queryExecution.executedPlan.toString
+      for (k <- Seq("doc_a", "doc_b")) {
+        val re = s"hashpartitioning\\($k#\\d+L?, $width\\), REPARTITION_BY_NUM".r
+        assert(re.findFirstIn(plan).isDefined,
+          s"the $k probe repartition did not survive at width $width:\n" + plan.take(3000))
+      }
+      val fillRe = s"hashpartitioning\\(doc_id#\\d+L?, $width\\), REPARTITION_BY_NUM".r
+      assert(fillRe.findFirstIn(plan).isDefined,
+        s"the docsets cache fill is not $width-wide:\n" + plan.take(3000))
+      // and the whole wide-path operator still computes the right answer
+      val expected = graft.llm.Dedup.VerifyPartsOverride.synchronized {
+        // reference run on the default path (threshold restored)
+        graft.llm.Dedup.VerifyHashJoinMinPosts = 8000000L
+        graft.llm.Dedup.VerifyPartsOverride = None
+        val r = graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, 7, 10)
+          .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.llm.Dedup.VerifyHashJoinMinPosts = 1L
+        graft.llm.Dedup.VerifyPartsOverride = Some(width)
+        r
+      }
+      val got = pairs.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"wide-path output diverged: ${got.size} vs ${expected.size} pairs")
+    } finally {
+      graft.llm.Dedup.VerifyHashJoinMinPosts = 8000000L
+      graft.llm.Dedup.VerifyPartsOverride = None
+      graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+      spark.catalog.clearCache()
+    }
+  }
 }
