@@ -1119,7 +1119,25 @@ object LlmQueries {
       ivfMaxProbe, ivfRecallNum, ivfRecallDen, ivfSampleMod(spark, dir), minCos)
       .select("a_id", "b_id", "sim", "nprobe")
 
-  val ivfAutoprobeNeardupSql: String = {
+  /** Force every CTE of a selector-style oracle to `AS MATERIALIZED`.
+    *
+    * DuckDB INLINES a CTE at each reference site, so an oracle that
+    * replays a decision DAG — where `truth`/`ranked`/`choice` feed many
+    * downstream stages — recomputes whole subtrees once per reference,
+    * multiplicatively through the DAG. Measured on `ann_recall_target`:
+    * 12.7 s → 0.8 s at sf0.01, and at the x10 tier (20k vectors) the
+    * inlined form spilled > 73 GB of DuckDB temp and died ENOSPC three
+    * times (the "sf1-tier" blocker first recorded in BASELINE.md) while
+    * the materialized form completes in minutes with ZERO spill —
+    * identical rows both scales. Only CTE heads at line start are
+    * rewritten; VALUES-list CTEs like `np(np) AS (` keep their shape
+    * (materializing constants buys nothing).
+    */
+  private def withMaterializedCtes(sql: String): String =
+    sql.replaceFirst("""^WITH (\w+) AS \(""", "WITH $1 AS MATERIALIZED (")
+      .replaceAll("""(?m)^(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  val ivfAutoprobeNeardupSql: String = withMaterializedCtes {
     def ldot(a: String, b: String) =
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
     s"""WITH e AS (SELECT vec_id, embedding, nullif(sqrt(${ldot("e0.embedding", "e0.embedding")}), 0) AS nrm
@@ -1187,7 +1205,7 @@ object LlmQueries {
       ivfSampleMod(spark, dir), minCos, annTargetBudget(spark, dir))
       .select("a_id", "b_id", "sim", "route", "cells", "tables", "width", "probe", "recall_bp")
 
-  val annRecallTargetSql: String = {
+  val annRecallTargetSql: String = withMaterializedCtes {
     def ldot(a: String, b: String) =
       s"list_reduce([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, 65)], (acc, x) -> acc + x)"
     val planeRows = Similarity.widePlanes.zipWithIndex
