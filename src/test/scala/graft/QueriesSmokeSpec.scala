@@ -15,6 +15,23 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Round-10 oracle law: DuckDB inlines a CTE at each reference site, so a
+  // selector-style oracle that replays a decision DAG must MATERIALIZE its
+  // shared stages or the replay re-computes whole subtrees multiplicatively
+  // (measured: 12.7 s -> 0.8 s at sf0.01; >73 GB ENOSPC -> zero spill at
+  // the x10 tier — BASELINE.md "sf1-tier oracle run"). Pin: every named
+  // CTE head in the two selector oracles carries AS MATERIALIZED, so a
+  // future CTE added to either template can't silently reopen the blowup.
+  for (name <- Seq("ivf_autoprobe_neardup", "ann_recall_target")) {
+    test(s"$name oracle materializes every named CTE") {
+      val sql = SparkEntry.oracleSql(name)
+      val bare = """(?m)^(\w+) AS \(""".r.findAllMatchIn(sql).map(_.group(1)).toSeq
+      assert(bare.isEmpty, s"$name oracle has un-materialized CTE heads: $bare")
+      val mat = """AS MATERIALIZED \(""".r.findAllMatchIn(sql).size
+      assert(mat >= 10, s"$name oracle lost its materialized CTEs (found $mat)")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs and is deterministic at sf0.001") {
       val a = fn(spark, sf1)
