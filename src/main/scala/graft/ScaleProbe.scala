@@ -52,7 +52,7 @@ object ScaleProbe {
           val emb = graft.engine.Tables.embeddings(spark, dir)
           val n = emb.count()
           val k = graft.llm.Similarity.ivfCells(n)
-          val mod = math.max(1L, math.ceil(n / 512.0).toLong)
+          val mod = graft.queries.LlmQueries.sampleModFor(n)
           graft.llm.Similarity.ivfProbeRecallCurve(emb, k, m.toInt, mod, minCos = 0.45)
             .collect().foreach(r => println(s"[probe]   curve np=${r.get(0)} " +
               s"recovered=${r.get(1)}/${r.get(2)} recall=${r.get(3)}"))
@@ -72,11 +72,15 @@ object ScaleProbe {
         case s"recalltarget=t${t}" =>
           val emb = graft.engine.Tables.embeddings(spark, dir)
           val n = emb.count()
-          val k = graft.llm.Similarity.ivfCells(n)
-          val mod = math.max(1L, math.ceil(n / 512.0).toLong)
-          val grid = Seq((8, 4), (8, 8), (16, 8))
-          val budget = 128L * n * k
-          graft.llm.Similarity.annSettingCurves(emb, k, 8, grid, 4,
+          // the PRODUCTION operating point, shared with LlmQueries — not
+          // re-hardcoded, so a config tune moves probe and query together
+          val k = graft.queries.LlmQueries.annTargetCells(n)
+          val mod = graft.queries.LlmQueries.sampleModFor(n)
+          val grid = graft.queries.LlmQueries.annTargetLshGrid
+          val mp = graft.queries.LlmQueries.annTargetMaxProbe
+          val mlp = graft.queries.LlmQueries.annTargetMaxLshProbe
+          val budget = graft.queries.LlmQueries.massBudgetFor(n)
+          graft.llm.Similarity.annSettingCurves(emb, k, mp, grid, mlp,
               graft.llm.Similarity.widePlanes, mod, minCos = 0.45)
             .collect().foreach { r =>
               val tot = r.getLong(6)
@@ -87,14 +91,18 @@ object ScaleProbe {
             }
           graft.engine.QueryCaches.releaseAll(spark, blocking = true)
           graft.llm.Similarity.clearCalibrationCache()
-          def rt() = graft.llm.Similarity.annRecallTargetPairs(emb, k, 8, grid, 4,
+          def rt() = graft.llm.Similarity.annRecallTargetPairs(emb, k, mp, grid, mlp,
             graft.llm.Similarity.widePlanes, t.toInt, 100, mod, 0.45, budget)
           val tc = System.nanoTime()
           val cold = rt()
-          val dec = cold.select("route", "cells", "tables", "width", "probe", "recall_bp")
-            .limit(1).collect().headOption
           val cnt = cold.count()
           val coldS = (System.nanoTime() - tc) / 1e9
+          // decision columns AFTER the cold stamp: the plan ends in
+          // distinct, so even limit(1) runs the whole pair join — inside
+          // the timer it would bill a second full run to "cold" (the
+          // ivfwarmauto np-extraction placement)
+          val dec = cold.select("route", "cells", "tables", "width", "probe", "recall_bp")
+            .limit(1).collect().headOption
           graft.engine.QueryCaches.releaseAll(spark, blocking = true)
           val tw = System.nanoTime()
           val cnt2 = rt().count()
@@ -112,7 +120,7 @@ object ScaleProbe {
           val emb = graft.engine.Tables.embeddings(spark, dir)
           val n = emb.count()
           val k = graft.llm.Similarity.ivfCells(n)
-          val mod = math.max(1L, math.ceil(n / 512.0).toLong)
+          val mod = graft.queries.LlmQueries.sampleModFor(n)
           graft.llm.Similarity.clearCalibrationCache()
           def auto() = graft.llm.Similarity.ivfAutoProbePairs(
             emb, k, m.toInt, t.toInt, 100, mod, minCos = 0.45)
@@ -134,9 +142,6 @@ object ScaleProbe {
             f"fixed(np=$np)=${fixedS}%.1f s warm/fixed=${warmS / fixedS}%.2f " +
             f"(pairs cold=$coldCnt warm=$warmCnt fixed=$fixedCnt)")
           warmCnt
-        // posting/prefix cardinalities + cache byte sizes + raw collision
-        // mass at this corpus scale — the sizing inputs the ngram dedup
-        // exchange works from, plus what actually sits on the heap
         // minimal reproduction of the repartition-width rewrite seen at
         // 1024x: does repartition(266, col) survive to the physical plan?
         case "repro266" =>
@@ -225,6 +230,9 @@ object ScaleProbe {
             s"div=${n / graft.engine.Sizing.PostingRowsPerPartition} " +
             s"min=${math.min(graft.engine.Sizing.MaxParts, n / graft.engine.Sizing.PostingRowsPerPartition)}")
           n
+        // posting/prefix cardinalities + cache byte sizes + raw collision
+        // mass at this corpus scale — the sizing inputs the ngram dedup
+        // exchange works from, plus what actually sits on the heap
         case "ngramstat" =>
           import org.apache.spark.sql.functions.{col, count, lit, sum, expr}
           val docs = graft.engine.Tables.documents(spark, dir)

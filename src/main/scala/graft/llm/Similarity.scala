@@ -645,7 +645,24 @@ object Similarity {
   def annSettingCurves(embeddings: DataFrame, kBase: Int, maxProbe: Int,
                        lshConfigs: Seq[(Int, Int)], maxLshProbe: Int,
                        planes: Array[Array[Int]], sampleMod: Long,
-                       minCos: Double): DataFrame = {
+                       minCos: Double): DataFrame =
+    annCalibrationFrames(embeddings, kBase, maxProbe, lshConfigs, maxLshProbe,
+      planes, sampleMod, minCos)._1
+
+  /** [[annSettingCurves]] plus the two REGISTERED assignment caches it
+    * builds on the way — `ranked` (lvl, v_id, cell, rn ≤ maxProbe) and
+    * `bk` (tables, width, v_id, t, q, bucket). A cold
+    * [[annRecallTargetPairs]] call reuses `ranked` for an IVF pick (a
+    * filter of the cache replaces N×cells re-scoring plus a window sort —
+    * the [[ivfAutoProbePairs]] cold-path contract). `bk` is NOT reused for
+    * an LSH pick: re-running the sign-planes kernel is a shuffle-free
+    * per-row pass, cheaper than joining the cache back to the embeddings.
+    * Both caches live until the caller's releaseAll boundary.
+    */
+  private def annCalibrationFrames(embeddings: DataFrame, kBase: Int, maxProbe: Int,
+                       lshConfigs: Seq[(Int, Int)], maxLshProbe: Int,
+                       planes: Array[Array[Int]], sampleMod: Long,
+                       minCos: Double): (DataFrame, DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     val levels = gridLevels(kBase)
     val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
@@ -655,14 +672,16 @@ object Similarity {
     // sampling against the whole corpus — both-ends thins pairs by 1/mod²
     // and measured zero truth at 64×
     val sampQ = samp(embeddings, sampleMod)
-    val truth = base.join(broadcast(sampQ), col("q_id") =!= col("v_id"))
-      .select(least(col("q_id"), col("v_id")).as("a_id"),
-        greatest(col("q_id"), col("v_id")).as("b_id"),
-        round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6).as("sim"))
-      .filter(col("sim") >= minCos)
-      .select(col("a_id"), col("b_id")).distinct()
-      .transform(graft.engine.QueryCaches.registered)
-    val total = broadcast(truth.agg(count(lit(1)).as("total")))
+    // registeredCounted: the eager fill already counts the cache, so the
+    // truth cardinality rides the materialization instead of a second
+    // full-cache 1-row aggregate (the lsh_quality_eval idiom, round 10)
+    val (truth, nTruth) = graft.engine.QueryCaches.registeredCounted(
+      base.join(broadcast(sampQ), col("q_id") =!= col("v_id"))
+        .select(least(col("q_id"), col("v_id")).as("a_id"),
+          greatest(col("q_id"), col("v_id")).as("b_id"),
+          round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6).as("sim"))
+        .filter(col("sim") >= minCos)
+        .select(col("a_id"), col("b_id")).distinct())
 
     // ---- IVF grid: rank every vector's cells per level in ONE window
     // pass — rank within level g (cells with c_id < g, ordered sim desc)
@@ -720,10 +739,9 @@ object Similarity {
       .groupBy(col("lvl"), col("np"))
       .agg(sum(col("m")).as("mass"))
     val ivfCurve = ivfRec.join(ivfMass, Seq("lvl", "np"))
-      .crossJoin(total)
       .select(lit("ivf").as("route"), col("lvl").as("cells"),
         lit(0).as("tables"), lit(0).as("width"), col("np").as("probe"),
-        col("recovered"), col("total"), col("mass"))
+        col("recovered"), lit(nTruth).as("total"), col("mass"))
 
     // ---- LSH grid: corpus bucketing per config at maxLshProbe (mass for
     // every probe depth from one pass via the q tags); recovery depths
@@ -772,13 +790,13 @@ object Similarity {
       .groupBy(col("tables"), col("width"), col("p"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("recovered"))
     val lshCurve = lshRec.join(lshMass, Seq("tables", "width", "p"))
-      .crossJoin(total)
       .select(lit("lsh").as("route"), lit(0).as("cells"),
         col("tables"), col("width"), col("p").as("probe"),
-        col("recovered"), col("total"), col("mass"))
+        col("recovered"), lit(nTruth).as("total"), col("mass"))
 
-    ivfCurve.unionAll(lshCurve)
+    val curves = ivfCurve.unionAll(lshCurve)
       .orderBy(col("route"), col("cells"), col("tables"), col("width"), col("probe"))
+    (curves, ranked, bk)
   }
 
   /** Near-duplicate pairs at a STATED RECALL TARGET — the cross-family
@@ -829,42 +847,90 @@ object Similarity {
         s"recall=$recallNum/$recallDen sampleMod=$sampleMod budget=$massBudget")
     val params = s"recalltarget|$kBase|$maxProbe|${lshConfigs.mkString(";")}|" +
       s"$maxLshProbe|${planes.length}|$recallNum|$recallDen|$sampleMod|$minCos|$massBudget"
-    val chosen = calibMemoGet[AnnSetting](embeddings, params).getOrElse {
-      val rows = annSettingCurves(embeddings, kBase, maxProbe, lshConfigs,
-        maxLshProbe, planes, sampleMod, minCos).collect()
-      val settings = rows.map(r => AnnSetting(r.getString(0), r.getInt(1),
-        r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7)))
-      val qualifying = settings.filter(s =>
-        s.recovered * recallDen >= recallNum.toLong * s.total && s.mass <= massBudget)
-      val pick =
-        if (qualifying.nonEmpty)
-          qualifying.minBy(s => (s.mass, s.probe, s.route, s.cells, s.tables, s.width))
-        else
-          settings.minBy(s => (-s.recovered, s.mass, s.probe, s.route, s.cells, s.tables, s.width))
-      calibMemoPut(embeddings, params, pick)
+    // The final pair join is the same in-join-verified self-join for both
+    // families — embeddings attach to the ASSIGNMENT (v_id-keyed hash join,
+    // pre-pair exchange), pairs stream through the codegen cosine filter,
+    // distinct collapses duplicate survivors (the width law). Only the
+    // assignment differs: (cell) for ivf, (t, bucket) for lsh.
+    def verifiedSelfJoin(assigned: DataFrame, keys: Seq[String]): DataFrame = {
+      val cond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col("a.v_id") < col("b.v_id")
+      assigned.as("a").join(assigned.as("b"), cond)
+        .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
+          round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"))
+        .filter(col("sim") >= minCos)
+        .distinct()
     }
-    val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
-    val pairs = chosen.route match {
-      case "ivf" =>
-        ivfNearDupPairsMultiProbe(embeddings, chosen.cells, chosen.probe, minCos)
-      case "lsh" =>
-        // in-join verify, same width law as the IVF shape: embeddings ride
-        // the (t, bucket) exchange (N·L·p rows), pairs stream through the
-        // codegen cosine filter at 16 bytes, distinct collapses the
-        // per-colliding-bucket duplicate survivors
-        val bkx = base.select(col("v_id"), col("v_emb"), col("v_norm"), posexplode(
-            graft.functions.VectorFunctions.graftSignPlanes(
-              col("v_emb"), planes, chosen.tables, chosen.width, chosen.probe)))
-          .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "bucket")
-          .select(col("v_id"), col("v_emb"), col("v_norm"),
-            (col("pos0") / chosen.probe).cast("int").as("t"), col("bucket"))
-        bkx.as("a").join(bkx.as("b"),
-            col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-              col("a.v_id") < col("b.v_id"))
-          .select(col("a.v_id").as("a_id"), col("b.v_id").as("b_id"),
-            round(dot(col("a.v_emb"), col("b.v_emb")) / (col("a.v_norm") * col("b.v_norm")), 6).as("sim"))
-          .filter(col("sim") >= minCos)
-          .distinct()
+    // The LSH pair join is the same shape warm AND cold: re-running the
+    // sign-planes kernel is a shuffle-free per-row pass (N·L·w plane dots),
+    // strictly cheaper than joining the calibration's bk cache back to the
+    // embeddings (that adds a v_id-keyed exchange of both relations) — the
+    // cache-reuse economics only flip for IVF, where re-scoring means
+    // N×cells dot products plus a full window sort (cold path below).
+    def lshPairs(s: AnnSetting): DataFrame = {
+      val base = withNorm(graft.engine.Spread.spreadSmallInput(embeddings), "v")
+      val bkx = base.select(col("v_id"), col("v_emb"), col("v_norm"), posexplode(
+          graft.functions.VectorFunctions.graftSignPlanes(
+            col("v_emb"), planes, s.tables, s.width, s.probe)))
+        .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "bucket")
+        .select(col("v_id"), col("v_emb"), col("v_norm"),
+          (col("pos0") / s.probe).cast("int").as("t"), col("bucket"))
+      verifiedSelfJoin(bkx, Seq("t", "bucket"))
+    }
+    val (chosen, pairs) = calibMemoGet[AnnSetting](embeddings, params) match {
+      case Some(memo) =>
+        // warm path: the decision is known — build the fixed-setting
+        // operator directly (same rows: the selection is a deterministic
+        // function of the data)
+        val warm = memo.route match {
+          case "ivf" =>
+            ivfNearDupPairsMultiProbe(embeddings, memo.cells, memo.probe, minCos)
+          case "lsh" =>
+            lshPairs(memo)
+        }
+        (memo, warm)
+      case None =>
+        val (curves, ranked, _) = annCalibrationFrames(embeddings, kBase,
+          maxProbe, lshConfigs, maxLshProbe, planes, sampleMod, minCos)
+        val rows = curves.collect()
+        val settings = rows.map(r => AnnSetting(r.getString(0), r.getInt(1),
+          r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        val qualifying = settings.filter(s =>
+          s.recovered * recallDen >= recallNum.toLong * s.total && s.mass <= massBudget)
+        val pick =
+          if (settings.isEmpty) {
+            // Degenerate corpus (no embeddings): both curves are empty — any
+            // route joins zero rows, so pin the first LSH config at probe 1
+            // to keep the plan shape uniform instead of crashing on
+            // minBy-of-empty. The oracle's `choice` CTE is empty on the same
+            // input and its final cross join emits zero rows — parity is
+            // empty == empty.
+            val (l, ww) = lshConfigs.head
+            AnnSetting("lsh", 0, l, ww, 1, 0L, 0L, 0L)
+          } else if (qualifying.nonEmpty)
+            qualifying.minBy(s => (s.mass, s.probe, s.route, s.cells, s.tables, s.width))
+          else
+            settings.minBy(s => (-s.recovered, s.mass, s.probe, s.route, s.cells, s.tables, s.width))
+        calibMemoPut(embeddings, params, pick)
+        // cold IVF path: build the final join from the REGISTERED `ranked`
+        // cache the calibration just filled — the chosen (cells, probe)
+        // assignment is a filter of the (lvl, rn ≤ maxProbe) cache, and
+        // re-scoring instead would repeat N×cells dot products plus the
+        // full window sort (ivfAutoProbePairs' cold-path contract:
+        // memoization costs the cold caller nothing). Assignment tie-break
+        // is identical both ways: rank by (6-dp sim desc, c_id asc).
+        val cold = pick.route match {
+          case "ivf" =>
+            val sides = withNorm(embeddings, "v")
+            val assigned = ranked
+              .filter(col("lvl") === pick.cells && col("rn") <= pick.probe)
+              .join(sides, "v_id")
+              .select(col("v_id"), col("cell"), col("v_emb"), col("v_norm"))
+            verifiedSelfJoin(assigned, Seq("cell"))
+          case "lsh" =>
+            lshPairs(pick)
+        }
+        (pick, cold)
     }
     pairs
       .withColumn("route", lit(chosen.route))

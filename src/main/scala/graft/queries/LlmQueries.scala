@@ -1108,9 +1108,15 @@ object LlmQueries {
   private val ivfRecallNum = 85
   private val ivfRecallDen = 100
   private val ivfSampleTarget = 512
+  /** The production sample-mod formula, exposed so harness probes
+    * (ScaleProbe's selector cases) measure the operating point the query
+    * ships instead of re-hardcoding 512 — if the sample target is ever
+    * tuned, probe and production move together.
+    */
+  private[graft] def sampleModFor(n: Long): Long =
+    math.max(1L, math.ceil(n / ivfSampleTarget.toDouble).toLong)
   private def ivfSampleMod(spark: SparkSession, dir: String): Long =
-    math.max(1L, math.ceil(
-      Tables.embeddings(spark, dir).count() / ivfSampleTarget.toDouble).toLong)
+    sampleModFor(Tables.embeddings(spark, dir).count())
   private val ivfSampleModSql: String =
     s"(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $ivfSampleTarget.0) AS BIGINT)) FROM embeddings)"
 
@@ -1188,13 +1194,16 @@ object LlmQueries {
   // recall_bp column states the achieved sample recall. The oracle
   // replays ALL of it: truth, both grids' recovery depths and masses,
   // the ordered choice, and the chosen route's verified pair join.
-  private val annTargetMaxProbe = 8
-  private val annTargetLshGrid = Seq((8, 4), (8, 8), (16, 8))
-  private val annTargetMaxLshProbe = 4
-  private def annTargetBudget(spark: SparkSession, dir: String): Long = {
-    val n = Tables.embeddings(spark, dir).count()
-    128L * n * Similarity.ivfCells(n, ivfMinK)
-  }
+  // private[graft] (not private): ScaleProbe's recalltarget case measures
+  // THIS configuration — sharing the constants pins probe and production
+  // to the same operating point (same for [[sampleModFor]]/[[massBudgetFor]])
+  private[graft] val annTargetMaxProbe = 8
+  private[graft] val annTargetLshGrid = Seq((8, 4), (8, 8), (16, 8))
+  private[graft] val annTargetMaxLshProbe = 4
+  private[graft] def annTargetCells(n: Long): Int = Similarity.ivfCells(n, ivfMinK)
+  private[graft] def massBudgetFor(n: Long): Long = 128L * n * annTargetCells(n)
+  private def annTargetBudget(spark: SparkSession, dir: String): Long =
+    massBudgetFor(Tables.embeddings(spark, dir).count())
   private val annTargetBudgetSql: String =
     s"(SELECT 128 * COUNT(*) * GREATEST($ivfMinK, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
 

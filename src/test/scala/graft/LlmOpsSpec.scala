@@ -943,6 +943,24 @@ class LlmOpsSpec extends SparkSuite {
     graft.engine.QueryCaches.releaseAll(spark, blocking = true)
   }
 
+  test("recall-target selector on an empty corpus: zero rows, no crash") {
+    // both setting curves are empty on an empty embeddings table; the
+    // selector must pin its degenerate fallback instead of minBy-of-empty
+    // (the DuckDB oracle's `choice` CTE is empty on the same input and its
+    // final cross join emits zero rows — parity is empty == empty)
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    Similarity.clearCalibrationCache()
+    val out = Similarity.annRecallTargetPairs(emb, 16, 8, rtGrid, 4,
+      Similarity.widePlanes, 85, 100, 1L, 0.45, 1000L)
+    assert(out.count() == 0)
+    // the memoized warm path must take the same degenerate branch
+    assert(Similarity.annRecallTargetPairs(emb, 16, 8, rtGrid, 4,
+      Similarity.widePlanes, 85, 100, 1L, 0.45, 1000L).count() == 0)
+    Similarity.clearCalibrationCache()
+    graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+  }
+
   test("recall-target selector memoizes: second construction of the same decision runs zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val (emb, _, k, mod, budget) = recallTargetFixture("sf0.001")
@@ -950,7 +968,13 @@ class LlmOpsSpec extends SparkSuite {
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
     }
-    def settled(): Int = { Thread.sleep(500); jobs.get() }
+    // drain the async listener bus before reading the count: a fixed sleep
+    // can undercount on a loaded host (late cold events then fail the warm
+    // zero-jobs assertion spuriously) — waitUntilEmpty is deterministic
+    def settled(): Int = {
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      jobs.get()
+    }
     def build() = Similarity.annRecallTargetPairs(emb, k, 8, rtGrid, 4,
       Similarity.widePlanes, 85, 100, mod, 0.45, budget)
     def buildAuto() = Similarity.ivfAutoProbePairs(emb, k, 4, 85, 100, mod, 0.45)

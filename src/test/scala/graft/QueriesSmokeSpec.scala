@@ -25,7 +25,13 @@ class QueriesSmokeSpec extends SparkSuite {
   for (name <- Seq("ivf_autoprobe_neardup", "ann_recall_target")) {
     test(s"$name oracle materializes every named CTE") {
       val sql = SparkEntry.oracleSql(name)
-      val bare = """(?m)^(\w+) AS \(""".r.findAllMatchIn(sql).map(_.group(1)).toSeq
+      // anchor-free on purpose: the rewrite in withMaterializedCtes only
+      // matches line-START heads, so this guard must catch the one shape
+      // the rewrite can miss — a CTE head reflowed mid-line. `\w AS (`
+      // only ever matches a bare named head: materialized heads read
+      // `AS MATERIALIZED (`, VALUES-list heads (`np(np) AS (`) end in `)`,
+      // and column aliases are `AS name`, never `name AS (`.
+      val bare = """(\w+) AS \(""".r.findAllMatchIn(sql).map(_.group(1)).toSeq
       assert(bare.isEmpty, s"$name oracle has un-materialized CTE heads: $bare")
       val mat = """AS MATERIALIZED \(""".r.findAllMatchIn(sql).size
       assert(mat >= 10, s"$name oracle lost its materialized CTEs (found $mat)")
