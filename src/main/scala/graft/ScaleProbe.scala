@@ -113,6 +113,53 @@ object ScaleProbe {
           println(f"[probe]   recalltarget budget=$budget pairs=$cnt cold=${coldS}%.1f s " +
             f"warm=${warmS}%.1f s (pairs2=$cnt2)")
           cnt
+        // Geometry-dependence of the cross-family selector: a DETERMINISTIC
+        // clustered corpus (md5-derived centroids + per-vector jitter, never
+        // touches disk — probe-only, ignores <dir>) where coarse-codebook
+        // cells align with the clusters, the structure IVF exploits and
+        // random hyperplanes only see through the pair angle. The rotated
+        // scaled corpora made the selector pick LSH (SCALE.md); this case
+        // measures the same frontier on cluster geometry and prints what
+        // the mass ordering picks there.
+        case s"recalltargetgeo=t${t}" =>
+          val n = 32768; val dims = 64; val clusters = 128; val amp = 0.3f
+          def unitish(tag: String): Array[Float] = Array.tabulate(dims)(d =>
+            (graft.engine.PortableHash.md5LongScala(s"$tag-$d") % 2001 - 1000) / 1000.0f)
+          val cents = Array.tabulate(clusters)(c => unitish(s"geocent$c"))
+          import spark.implicits._
+          val emb = (0 until n).map { i =>
+            val c = i % clusters
+            val j = unitish(s"geojit$i")
+            (i.toLong, Array.tabulate(dims)(d => cents(c)(d) + amp * j(d)))
+          }.toDF("vec_id", "embedding")
+          val k = graft.queries.LlmQueries.annTargetCells(n)
+          val mod = graft.queries.LlmQueries.sampleModFor(n)
+          val grid = graft.queries.LlmQueries.annTargetLshGrid
+          val mp = graft.queries.LlmQueries.annTargetMaxProbe
+          val mlp = graft.queries.LlmQueries.annTargetMaxLshProbe
+          val budget = graft.queries.LlmQueries.massBudgetFor(n)
+          graft.llm.Similarity.annSettingCurves(emb, k, mp, grid, mlp,
+              graft.llm.Similarity.widePlanes, mod, minCos = 0.45)
+            .collect().foreach { r =>
+              val tot = r.getLong(6)
+              val pct = if (tot == 0) 100.0 else r.getLong(5) * 100.0 / tot
+              println(f"[probe]   geocurve route=${r.getString(0)} cells=${r.getInt(1)} " +
+                f"L=${r.getInt(2)} w=${r.getInt(3)} p=${r.getInt(4)} " +
+                f"recovered=${r.getLong(5)}/$tot (${pct}%.1f%%) mass=${r.getLong(7)}")
+            }
+          graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+          graft.llm.Similarity.clearCalibrationCache()
+          val out = graft.llm.Similarity.annRecallTargetPairs(emb, k, mp, grid, mlp,
+            graft.llm.Similarity.widePlanes, t.toInt, 100, mod, 0.45, budget)
+          val cnt = out.count()
+          out.select("route", "cells", "tables", "width", "probe", "recall_bp")
+            .limit(1).collect().headOption.foreach(d =>
+              println(s"[probe]   geo chose route=${d.getString(0)} " +
+                s"cells=${d.getLong(1)} L=${d.getLong(2)} w=${d.getLong(3)} " +
+                s"probe=${d.getLong(4)} recall_bp=${d.getLong(5)}"))
+          println(s"[probe]   recalltargetgeo n=$n clusters=$clusters k=$k " +
+            s"budget=$budget pairs=$cnt")
+          cnt
         // Warm-vs-fixed autoprobe (round-10 verdict #3): the memoized
         // selector's warm construction must cost within 10% of the fixed-
         // np operator at the np it chose.
