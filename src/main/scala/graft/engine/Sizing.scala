@@ -48,6 +48,26 @@ object Sizing {
     */
   val MaxParts: Long = 4096L
 
+  /** Docs ceiling under which the doc-granular (doc_id, n_sh) sizes
+    * relation is BROADCAST for the pair-family length filter (PPJoin
+    * length bound, see `Dedup.lengthCompatible`): below it the prune is
+    * MAP-SIDE (zero exchanges added), so it is strictly
+    * shuffle-byte-reducing and safe to run even on a raw pre-dedup
+    * collision stream. The value is MEASURED, not theoretical: at 1024×
+    * (5.12M docs) building the two ~5M-entry hashed relations alongside
+    * the family's posting/docset caches was NONDETERMINISTIC on the
+    * 8 GiB JVM — `minhash_lsh` completed once (115 s) and died twice
+    * ("Not enough memory to build and broadcast"), while 256× (1.28M
+    * docs) was always clean — so the ceiling sits at 2M docs (two
+    * ~2M-entry builds ≈ low hundreds of MB with room to spare) and
+    * everything past it takes the keyed piggyback form instead
+    * (`Dedup.lengthCompatible`'s wide branch: shuffle-hash size joins at
+    * the caller's data-sized width — one extra narrow exchange of the
+    * candidate stream, paid only where the stream it prunes is tens of
+    * GB).
+    */
+  val SizesBroadcastMaxDocs: Long = 2000000L
+
   /** Exact raw collision mass Σ_k c_k·(c_k−1)/2 of `keyed` grouped by
     * `key` — the row count of the key-equality self-join of the frame with
     * itself (before any same-pair collapse). One 1-row driver-blocking

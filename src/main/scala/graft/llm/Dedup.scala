@@ -111,6 +111,16 @@ object Dedup {
     posts.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
       .transform(graft.engine.QueryCaches.registered)
 
+  /** Weighted analogue of [[shingleSizesFromPosts]] for the bag family:
+    * per-doc TOTAL shingle weight (doc_id, w_sh). Registered for the same
+    * reason — both bag callers read it twice for the final size attach and
+    * a third time as the length-filter broadcast ([[lengthCompatible]]),
+    * and the relation is one 16-byte row per doc.
+    */
+  def weightedSizesFromBag(bag: DataFrame): DataFrame =
+    bag.groupBy(col("doc_id")).agg(sum(col("cnt")).as("w_sh"))
+      .transform(graft.engine.QueryCaches.registered)
+
   /** Exact pairwise n-gram Jaccard via inverted index. Emits pairs
     * (doc_a < doc_b) with Jaccard ≥ num/den, compared in integer arithmetic:
     * j = c/(sa+sb-c) ≥ num/den  ⇔  den*c ≥ num*(sa+sb-c).
@@ -219,18 +229,35 @@ object Dedup {
     // row is unique, so same-pair collapse before the shuffle is ~zero).
     val rawMass = graft.engine.Sizing.collisionMass(prefix, "h")
     val spark = posts.sparkSession
+    // dedupParts is sized from the PRE-prune mass (the post-prune mass
+    // can't be known without the pair expansion itself) — conservative by
+    // the measured ~0.37 keep-rate, i.e. partitions run ~1/3 full rather
+    // than risking oversized per-task dedup state.
     val dedupParts = graft.engine.Sizing.partsFor(
       spark, rawMass, graft.engine.Sizing.PairRowsPerPartition)
-    val candidates = prefix.as("a")
+    val sizes = shingleSizesFromPosts(posts)
+    // In the broadcast regime the length filter runs on the RAW collision
+    // stream — map-side, zero exchanges — so the candidate-dedup
+    // exchange, the distinct's state, AND every verify exchange only ever
+    // see length-compatible pairs (~37% of the stream at t=0.8; see
+    // [[lengthCompatible]] for the 1024× ENOSPC arithmetic this buys).
+    // In the piggyback regime the prune joins would each RE-EXCHANGE what
+    // they prune, so there it runs once on the DEDUPED candidates instead.
+    val broadcastRegime = sizes.count() <= SizesBroadcastMax
+    val raw = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .repartition(dedupParts, col("doc_a"), col("doc_b"))
-      .distinct()
+    val deduped =
+      (if (broadcastRegime) lengthCompatible(raw, sizes, num, den, dedupParts) else raw)
+        .repartition(dedupParts, col("doc_a"), col("doc_b"))
+        .distinct()
+    val candidates =
+      if (broadcastRegime) deduped
+      else lengthCompatible(deduped, sizes, num, den, dedupParts)
     // The verification joins ship (doc, h) only; sizes re-attach at pair
     // granularity (see shingleSizesFromPosts for the 64× memory story).
     // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free
     // hash-join wide.
-    val sizes = shingleSizesFromPosts(posts)
     verifiedPairCounts(candidates, posts)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
@@ -408,6 +435,78 @@ object Dedup {
     */
   private[graft] var VerifyPartsOverride: Option[Int] = None
 
+  /** Test hook for [[lengthCompatible]]'s regime switch — at fixture scale
+    * every corpus is far below the broadcast ceiling, so the piggyback
+    * branch is only reachable in a spec that lowers this. */
+  private[graft] var SizesBroadcastMax: Long = graft.engine.Sizing.SizesBroadcastMaxDocs
+
+  /** PPJoin length filter over a candidate-pair stream: drops pairs whose
+    * shingle-set sizes make the Jaccard threshold UNREACHABLE before any
+    * verification work runs. Exact by implication: |A∩B| ≤ min(|A|,|B|)
+    * and |A∪B| ≥ max(|A|,|B|), so J(A,B) ≤ min/max — a pair with
+    * den·min(sa,sb) < num·max(sa,sb) cannot pass the final
+    * `den·c ≥ num·(sa+sb−c)` filter no matter what verification counts.
+    * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08 — the length bound that accompanies the prefix
+    * bound already applied upstream.)
+    *
+    * Scale (measured, sf0.1 structure — which IS the per-copy structure of
+    * every outer-stacked tier, vocabularies being disjoint across copies):
+    * at t = 0.8 the bound keeps only 35.6% of deduped candidates / 37.1%
+    * of the raw collision stream, i.e. ~64% of the downstream verify
+    * bytes — including the posting-array-carrying exchange that was
+    * ~48 GB of ngram_jaccard's ~75–90 GB 1024× shuffle footprint (the
+    * measured single-host ENOSPC, SCALE.md) — never get written. The
+    * sizes relation rides one of two regimes, switched on its measured
+    * row count ([[graft.engine.Sizing.SizesBroadcastMaxDocs]]): below the
+    * ceiling it is BROADCAST and the prune is MAP-SIDE — zero exchanges
+    * added at any position in the stream, which is what makes it safe to
+    * run on the raw (pre-distinct) collision stream where it also shrinks
+    * the candidate-dedup exchange; above the ceiling (where the hashed
+    * relation build was measured nondeterministically fatal at 8 GiB —
+    * see the constant) the prune joins go keyed SHUFFLE_HASH at the
+    * caller's data-sized width, which adds one narrow candidate exchange
+    * — so above-ceiling callers apply it to the DEDUPED candidate set,
+    * not the raw stream.
+    */
+  private[graft] def lengthCompatible(cands: DataFrame, sizes: DataFrame,
+                                      num: Int, den: Int, parts: Int): DataFrame = {
+    val nDocs = sizes.count() // registered cache: a fast action
+    val outCols = cands.columns.map(col).toIndexedSeq
+    val compat = col("lf_a") * den >= col("lf_b") * num &&
+      col("lf_b") * den >= col("lf_a") * num
+    if (nDocs <= SizesBroadcastMax) {
+      cands
+        .join(org.apache.spark.sql.functions.broadcast(
+          sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("lf_a"))), "doc_a")
+        .join(org.apache.spark.sql.functions.broadcast(
+          sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("lf_b"))), "doc_b")
+        .filter(compat)
+        .select(outCols: _*)
+    } else {
+      // Keyed piggyback: both prune joins SHUFFLE_HASH with the sizes
+      // relation as build, everything pre-exchanged to the caller's
+      // data-sized width. The sizes side is explicitly repartitioned OVER
+      // its cache — the cache-width law (SCALE.md round 10): the cached
+      // fill plan's default-width partitioning would otherwise "satisfy"
+      // the join and drag BOTH sides down to the session default. The
+      // candidate stream pays one extra narrow exchange versus the
+      // broadcast regime; the caller only reaches this branch when the
+      // stream it prunes is tens of GB, where the measured ~0.37
+      // keep-rate repays it many times over.
+      val sa = sizes.repartition(parts, col("doc_id"))
+        .select(col("doc_id").as("doc_a"), col("n_sh").as("lf_a"))
+      val sb = sizes.repartition(parts, col("doc_id"))
+        .select(col("doc_id").as("doc_b"), col("n_sh").as("lf_b"))
+      cands.repartition(parts, col("doc_b"))
+        .join(sb.hint("shuffle_hash"), "doc_b")
+        .repartition(parts, col("doc_a"))
+        .join(sa.hint("shuffle_hash"), "doc_a")
+        .filter(compat)
+        .select(outCols: _*)
+    }
+  }
+
   /** Per-pair shared-shingle counts for a candidate set: the verification
     * core shared by the banded ([[minhashLshPairs]]) and prefix
     * ([[ngramJaccardPairsPrefixFromPosts]]) families.
@@ -495,12 +594,21 @@ object Dedup {
     val posts = shinglePostings(documents, n)
       .transform(graft.engine.QueryCaches.registered)
     val sigs = minhashSignatures(documents, n, perms)
-    val candidates = bandCandidates(sigs, perms, bands)
+    val sizes = shingleSizesFromPosts(posts)
+    // Band collisions skew similar, but size-INCOMPATIBLE collisions still
+    // occur (a band of minima can agree across very different set sizes);
+    // the length bound drops them before the array-carrying verify
+    // exchanges — same exactness argument as the prefix path
+    // ([[lengthCompatible]]). Piggyback width = the verify width, so in
+    // that regime the prune joins and the verify joins agree end to end.
+    val candidates = lengthCompatible(
+      bandCandidates(sigs, perms, bands), sizes, num, den,
+      graft.engine.Sizing.partsFor(documents.sparkSession, posts.count(),
+        graft.engine.Sizing.PostingRowsPerPartition))
     // The verification joins ship (doc, h) only; sizes re-attach at pair
     // granularity (see shingleSizesFromPosts for the 64× memory story).
     // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free
     // hash-join wide.
-    val sizes = shingleSizesFromPosts(posts)
     verifiedPairCounts(candidates, posts)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
@@ -535,11 +643,26 @@ object Dedup {
   def bagJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
     val bag = bagPostings(documents, n)
       .transform(graft.engine.QueryCaches.registered)
-    val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
-    val common = bag.as("a")
+    val wsizes = weightedSizesFromBag(bag)
+    // Same length bound as the set family, on total weights: w_common =
+    // Σ min(cnt_a, cnt_b) ≤ min(w_a, w_b), so den·min(w) < num·max(w)
+    // pairs can never pass the bag-Jaccard filter — pruned map-side on the
+    // raw collision stream before the pair aggregation. Broadcast regime
+    // only: the piggyback form would re-exchange the raw stream three
+    // times to prune it once, and this exact-join surface has no deduped
+    // candidate set to prune instead.
+    val raw = bag.as("a")
       .join(bag.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("w_common"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        least(col("a.cnt"), col("b.cnt")).as("m"))
+    val wsizesN = wsizes.select(col("doc_id"), col("w_sh").as("n_sh"))
+    val common =
+      (if (wsizes.count() <= SizesBroadcastMax)
+        lengthCompatible(raw, wsizesN, num, den,
+          documents.sparkSession.sparkContext.defaultParallelism)
+      else raw)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("m")).as("w_common"))
     common
       .join(wsizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w_sh", "wsize_a"), "doc_a")
       .join(wsizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w_sh", "wsize_b"), "doc_b")
@@ -575,8 +698,14 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.TextFunctions.graftMinhashSigWeighted(col("text"), n, perms).as("sig"))
       .filter(size(col("sig")) > 0)
-    val candidates = bandCandidates(sigs, perms, bands)
-    val wsizes = bag.groupBy("doc_id").agg(sum("cnt").as("w_sh"))
+    val wsizes = weightedSizesFromBag(bag)
+    // same weighted length bound as [[bagJaccardPairs]], applied to the
+    // (deduped) band collisions before the posting-granular verify joins
+    val candidates = lengthCompatible(
+      bandCandidates(sigs, perms, bands),
+      wsizes.select(col("doc_id"), col("w_sh").as("n_sh")), num, den,
+      graft.engine.Sizing.partsFor(documents.sparkSession, bag.count(),
+        graft.engine.Sizing.PostingRowsPerPartition))
     // AQE picks the verify-join strategy from the candidate set's runtime size
     val common = candidates
       .join(bag.select(col("doc_id").as("doc_a"), col("h"), col("cnt").as("cnt_a")), "doc_a")

@@ -42,6 +42,38 @@ class LlmOpsSpec extends SparkSuite {
       canon(Dedup.ngramJaccardPairs(docsFx, 3, 1, 2)))
   }
 
+  test("length bound drops exactly the pairs whose sizes forbid the threshold") {
+    // J(A,B) <= min/max: at t = 4/5 a (40, 51)-sized pair is infeasible
+    // (5*40 < 4*51) and a (40, 50) pair is exactly feasible (5*40 = 4*50).
+    val cands = Seq((1L, 2L, "x"), (1L, 3L, "y"), (2L, 3L, "z"))
+      .toDF("doc_a", "doc_b", "tag")
+    val sizes = Seq((1L, 40L), (2L, 50L), (3L, 51L)).toDF("doc_id", "n_sh")
+    val kept = Dedup.lengthCompatible(cands, sizes, num = 4, den = 5, parts = 4)
+    assert(kept.columns.toSeq == Seq("doc_a", "doc_b", "tag"),
+      "prune must preserve the candidate frame's columns and order")
+    val pairs = kept.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // (1,2): ratio 1.25 exactly -> kept; (1,3): 40 vs 51 -> dropped;
+    // (2,3): 50 vs 51 -> kept
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"got $pairs")
+    // the broadcast regime is map-side: no exchange in the pruned subplan
+    // beyond whatever the candidate frame itself already had
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"length filter must not add a shuffle:\n$plan")
+    // the piggyback regime (forced by lowering the ceiling) must agree
+    // exactly, and must plan its prune joins shuffle-hash, never sort-merge
+    val prev = Dedup.SizesBroadcastMax
+    try {
+      Dedup.SizesBroadcastMax = 0L
+      val wide = Dedup.lengthCompatible(cands, sizes, num = 4, den = 5, parts = 4)
+      assert(wide.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == pairs,
+        "piggyback regime must be output-identical to the broadcast regime")
+      val wplan = wide.queryExecution.executedPlan.toString
+      assert(!wplan.contains("SortMergeJoin"),
+        s"piggyback prune joins must not sort the candidate stream:\n$wplan")
+    } finally Dedup.SizesBroadcastMax = prev
+  }
+
   test("containment flags a short doc quoted inside a long one; jaccard does not") {
     val quoted = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
