@@ -32,14 +32,21 @@ object Bench {
     val canaryMt = canaryOnce(cpus.toInt)
     System.err.println(
       f"[bench] host canary pre: ${canary}%.2f s (1 thread), ${canaryMt}%.2f s (${cpus}%s threads, 2e9 steps each)")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Experiment knob (measurement-only, like the rejected AQE
+    // initial-partition knob): the pair family's residual 1024× tail is
+    // shuffle-WRITE bandwidth, so the shuffle/spill codec trades CPU for
+    // written bytes. lz4 (default) vs zstd is measured in SCALE.md; the
+    // default stands unless the env asks otherwise.
+    sys.env.get("SPARK_GRAFT_IO_CODEC").foreach(c =>
+      builder.config("spark.io.compression.codec", c))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
