@@ -186,7 +186,11 @@ object Dedup {
     * quadratic in hot shingles; the prefix index drops the hottest shingles
     * from candidate generation (rarest-first order), cutting the join to
     * ~(1−t)² of that while staying exact. Costs two extra small shuffles
-    * (df count + per-doc rank).
+    * (df count + per-doc rank). The POSITIONAL bound (PPJoin's second
+    * filter) then prunes collision rows whose prefix positions cap the
+    * possible overlap below the threshold — measured 11.5% row keep at
+    * t = 0.8 — before the collision stream reaches its first exchange;
+    * see the in-body comment for the exactness argument.
     */
   def ngramJaccardPairsPrefix(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame =
     ngramJaccardPairsPrefixFromPosts(
@@ -211,11 +215,19 @@ object Dedup {
     val ranked = posts.join(dfCounts, "h")
       .withColumn("rank", row_number().over(w))
     // prefix length = n_sh - ceil(t*n_sh) + 1 with t = num/den (integer ceil)
-    // Persisted NARROW (doc_id, h): it feeds both self-join sides and the
-    // sizing probe below.
+    // Persisted with (rank, n_sh) kept: the POSITIONAL bound below consumes
+    // both right at the self-join output, before any exchange. This widens
+    // the prefix relation by two ints — a DELIBERATE, bounded exception to
+    // the pair-expansion width law: the law forbids per-doc constants on
+    // the Σ df² FULL-postings expansion and on the pair exchanges (where
+    // width × quadratic rows killed the 64× heap); the prefix relation is
+    // ~(1−t) of the postings and its join output is filtered and projected
+    // back to (doc_a, doc_b) before the first repartition, so the
+    // quadratic stream itself stays 16 bytes/row (PlansSpec pins exactly
+    // this split: one wide h-join allowed HERE, pair exchanges narrow).
     val prefix = ranked.filter(
         col("rank") <= col("n_sh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h"), col("rank"), col("n_sh"))
       .transform(graft.engine.QueryCaches.registered)
     // Candidate-dedup width must scale with the DATA, not the core count:
     // the raw collision stream is Σ_h df_p(h)·(df_p(h)−1)/2 rows — at 64×
@@ -229,31 +241,36 @@ object Dedup {
     // row is unique, so same-pair collapse before the shuffle is ~zero).
     val rawMass = graft.engine.Sizing.collisionMass(prefix, "h")
     val spark = posts.sparkSession
-    // dedupParts is sized from the PRE-prune mass (the post-prune mass
-    // can't be known without the pair expansion itself) — conservative by
-    // the measured ~0.37 keep-rate, i.e. partitions run ~1/3 full rather
-    // than risking oversized per-task dedup state.
+    // dedupParts is sized from the PRE-positional mass (the post-filter
+    // mass can't be known without the expansion itself) — conservative by
+    // the measured ~0.115 row keep-rate; partitions run light rather than
+    // risking oversized per-task dedup state.
     val dedupParts = graft.engine.Sizing.partsFor(
       spark, rawMass, graft.engine.Sizing.PairRowsPerPartition)
     val sizes = shingleSizesFromPosts(posts)
-    // In the broadcast regime the length filter runs on the RAW collision
-    // stream — map-side, zero exchanges — so the candidate-dedup
-    // exchange, the distinct's state, AND every verify exchange only ever
-    // see length-compatible pairs (~37% of the stream at t=0.8; see
-    // [[lengthCompatible]] for the 1024× ENOSPC arithmetic this buys).
-    // In the piggyback regime the prune joins would each RE-EXCHANGE what
-    // they prune, so there it runs once on the DEDUPED candidates instead.
-    val broadcastRegime = sizes.count() <= SizesBroadcastMax
-    val raw = prefix.as("a")
+    // POSITIONAL bound (the second PPJoin filter; Xiao et al., WWW'08),
+    // evaluated per collision row from columns already on the posting rows
+    // — no sizes relation, no broadcast, no regime split. Both docs rank
+    // their shingles by the SAME global (df, h) order, so the first common
+    // shingle sits at the minimal rank in BOTH docs; for that row the
+    // overlap upper bound u = 1 + min(sa−pa, sb−pb) satisfies u ≥ c, hence
+    // any pair with true overlap c meeting the threshold keeps at least
+    // that one row — dropping every row with infeasible u is EXACT. At
+    // pa = pb = 1 the bound equals the length bound (u = min, feasible iff
+    // den·min ≥ num·max), so this strictly subsumes [[lengthCompatible]]
+    // on this path; measured at sf0.1 (DuckDB ground truth) it keeps
+    // 14,045 of 122,289 raw collision rows (11.5%) and 12,784 of the
+    // 43,543 length-surviving candidate pairs (−71%), so the
+    // candidate-dedup exchange, the distinct's state, AND every verify
+    // exchange shrink ~3× beyond the length bound.
+    val u = lit(1) +
+      least(col("a.n_sh") - col("a.rank"), col("b.n_sh") - col("b.rank"))
+    val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .filter(u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val deduped =
-      (if (broadcastRegime) lengthCompatible(raw, sizes, num, den, dedupParts) else raw)
-        .repartition(dedupParts, col("doc_a"), col("doc_b"))
-        .distinct()
-    val candidates =
-      if (broadcastRegime) deduped
-      else lengthCompatible(deduped, sizes, num, den, dedupParts)
+      .repartition(dedupParts, col("doc_a"), col("doc_b"))
+      .distinct()
     // The verification joins ship (doc, h) only; sizes re-attach at pair
     // granularity (see shingleSizesFromPosts for the 64× memory story).
     // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free

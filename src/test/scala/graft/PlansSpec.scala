@@ -374,7 +374,6 @@ class PlansSpec extends SparkSuite {
     val docs = engine.Tables.documents(spark, sf1)
     val operators = Seq(
       "ngram_jaccard_naive" -> graft.llm.Dedup.ngramJaccardPairs(docs, 3, 7, 10),
-      "ngram_jaccard_prefix" -> graft.llm.Dedup.ngramJaccardPairsPrefix(docs, 3, 7, 10),
       "containment" -> graft.llm.Dedup.containmentPairs(docs, 3, 7, 10),
       "minhash_lsh" -> graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, 7, 10))
     for ((name, df) <- operators) {
@@ -382,6 +381,27 @@ class PlansSpec extends SparkSuite {
       assert(wides.isEmpty,
         s"$name re-widened the pair expansion — n_sh rides an h-keyed join:\n${wides.mkString("\n")}")
     }
+    // The prefix path is the law's ONE documented exception (round 10):
+    // the POSITIONAL bound deliberately carries (rank, n_sh) through the
+    // PREFIX self-join — a ~(1−t) subset of the postings — and consumes
+    // both at the join output. The quadratic stream itself must stay
+    // narrow: exactly that one wide h-join, and every pair-keyed
+    // repartition below it ships (doc_a, doc_b)-only.
+    val prefixDf = graft.llm.Dedup.ngramJaccardPairsPrefix(docs, 3, 7, 10)
+    val prefixWides = wideHashJoins(prefixDf)
+    assert(prefixWides.size == 1,
+      s"prefix path must have exactly the positional self-join wide, got " +
+        s"${prefixWides.size}:\n${prefixWides.mkString("\n")}")
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    val wideRepartitions = prefixDf.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression
+          if r.partitionExpressions.flatMap(_.references)
+            .exists(a => a.name == "doc_a" || a.name == "doc_b") &&
+            r.output.exists(a => a.name == "n_sh" || a.name == "rank") =>
+        r.simpleString(3)
+    }
+    assert(wideRepartitions.isEmpty,
+      s"pair-keyed exchanges must not carry per-doc constants:\n${wideRepartitions.mkString("\n")}")
     graft.engine.QueryCaches.releaseAll(spark, blocking = true)
     spark.catalog.clearCache()
   }
