@@ -294,6 +294,41 @@ object ScaleProbe {
           }
           println(s"[probe]   posts=$n fullRawMass=$mass")
           n
+        // Prune-generation selectivities of the prefix path at this corpus
+        // scale: raw prefix-collision rows, rows surviving the POSITIONAL
+        // bound, deduped pairs before/after, and the final exact-pair
+        // count — the reproducible form of the SCALE.md "length/positional
+        // bound" keep-rates (measured there via DuckDB at sf0.1: 122,289
+        // raw rows -> 14,045 positional (11.5%); 43,543 length-ok pairs ->
+        // 12,784 positional-ok).
+        case "prefixstat" =>
+          import org.apache.spark.sql.functions.{col, count, expr, least, lit, row_number}
+          val (num, den) = (4, 5)
+          val posts = graft.llm.Dedup.shinglePostings(
+              graft.engine.Tables.documents(spark, dir), 3)
+            .transform(graft.engine.QueryCaches.registered)
+          val dfc = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+          val prefix = posts.join(dfc, "h")
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= col("n_sh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
+            .select(col("doc_id"), col("h"), col("rank"), col("n_sh"))
+            .transform(graft.engine.QueryCaches.registered)
+          val coll = prefix.as("a").join(prefix.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          val u = lit(1) + least(col("a.n_sh") - col("a.rank"), col("b.n_sh") - col("b.rank"))
+          val rawRows = coll.count()
+          val posRows = coll.filter(u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num).count()
+          val rawPairs = coll.select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+          val posPairs = coll.filter(u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num)
+            .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+          val finalPairs = graft.llm.Dedup.ngramJaccardPairsPrefix(
+            graft.engine.Tables.documents(spark, dir), 3, num, den).count()
+          println(f"[probe]   prefixstat t=$num/$den rawRows=$rawRows posRows=$posRows " +
+            f"(keep=${posRows.toDouble / math.max(1, rawRows)}%.3f) rawPairs=$rawPairs " +
+            f"posPairs=$posPairs finalPairs=$finalPairs")
+          posRows
         // initial physical plan of the minhash verify chain / the clusters
         // edge relation — diagnosis surface: where do broadcasts land?
         case "dupcplan" =>
