@@ -207,12 +207,42 @@ object Dedup {
     * per-row kernel's own scan — see lshQualityEval) — don't re-wire that.
     */
   def ngramJaccardPairsPrefixFromPosts(posts: DataFrame, num: Int, den: Int): DataFrame = {
-    val dfCounts = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val spark = posts.sparkSession
+    val nPosts = posts.count() // cached + already materialized: a fast action
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     // the per-doc set size already rides every posting row (n_sh), so the
-    // prefix bound needs no count() window
-    val ranked = posts.join(dfCounts, "h")
+    // prefix bound needs no count() window.
+    //
+    // Wide regime (round 10, found at 4096×): the prefix BUILD itself is
+    // the next per-task-state casualty past ~1B postings. At the session
+    // default width the df aggregation holds data/32 distinct keys per
+    // task, the df-attach join sort-merges data/32 rows per task, and the
+    // rank window sorts the same — at 4096× (1.07B postings, 33M rows ×
+    // ~28 B per task) the sorts spill and the spill-merge READ-AHEAD
+    // buffers, which live outside managed memory (the round-9 law),
+    // OOM-killed the 8 GiB JVM before any pair existed. The cure is WIDTH,
+    // not join strategy: ONE posting-sized h-keyed exchange feeds both the
+    // df aggregation and the probe side of the df-attach join (the
+    // aggregation preserves the exchange's partitioning, so the join adds
+    // no exchange), then one doc-keyed exchange at the same width
+    // satisfies the window — every per-task sort stays ~1M rows (in
+    // memory, zero spill) at any corpus scale. Forcing SHUFFLE_HASH here
+    // instead was MEASURED FATAL at 1024×: 32 concurrent ~64 MB
+    // hash-relation builds exhausted the unified pool ("Can't acquire
+    // 67108864 bytes", then the shuffle writers got 0 of 32 KB) — a
+    // sized in-memory sort costs no resident state, a sized hash build
+    // costs all of it at once. Below the break-even the AQE-planned shape
+    // stands (fixture corpora broadcast the df side at runtime).
+    val ranked = (if (nPosts < VerifyHashJoinMinPosts) {
+      posts.join(posts.groupBy(col("h")).agg(count(lit(1)).as("df")), "h")
+    } else {
+      val postParts = graft.engine.Sizing.partsFor(
+        spark, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
+      val byH = posts.repartition(postParts, col("h"))
+      byH.join(byH.groupBy(col("h")).agg(count(lit(1)).as("df")), "h")
+        .repartition(postParts, col("doc_id"))
+    })
       .withColumn("rank", row_number().over(w))
     // prefix length = n_sh - ceil(t*n_sh) + 1 with t = num/den (integer ceil)
     // Persisted with (rank, n_sh) kept: the POSITIONAL bound below consumes
@@ -240,7 +270,6 @@ object Dedup {
     // map-side partial dedup loses nothing in exchange — each (pair, h)
     // row is unique, so same-pair collapse before the shuffle is ~zero).
     val rawMass = graft.engine.Sizing.collisionMass(prefix, "h")
-    val spark = posts.sparkSession
     // dedupParts is sized from the PRE-positional mass (the post-filter
     // mass can't be known without the expansion itself) — conservative by
     // the measured ~0.115 row keep-rate; partitions run light rather than
@@ -265,8 +294,19 @@ object Dedup {
     // exchange shrink ~3× beyond the length bound.
     val u = lit(1) +
       least(col("a.n_sh") - col("a.rank"), col("b.n_sh") - col("b.rank"))
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // Wide regime: the self-join's inputs get the same sized-width
+    // treatment (the default width sorts ~data/32 rows per task past ~1B
+    // postings — the same read-ahead OOM class as the prefix build above);
+    // the two children are the same canonicalized subplan, so
+    // ReuseExchange ships the exchange once and each per-task sort stays
+    // ~1M in-memory rows. No join-strategy hint — see the prefix-build
+    // comment for why a forced hash build at this width is fatal.
+    val selfJoinIn =
+      if (nPosts < VerifyHashJoinMinPosts) prefix
+      else prefix.repartition(graft.engine.Sizing.partsFor(
+        spark, prefix.count(), graft.engine.Sizing.PostingRowsPerPartition), col("h"))
+    val candidates = selfJoinIn.as("a")
+      .join(selfJoinIn.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .filter(u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .repartition(dedupParts, col("doc_a"), col("doc_b"))
