@@ -36,6 +36,15 @@ def main() -> None:
     canaries = [r["canary_sec"] for r in runs if "canary_sec" in r]
     if canaries:
         rec["canary_sec"] = min(canaries)
+    # Provenance (round-10 advice): a min-of-N merge must not DROP the
+    # bracketed canary quartets and protocol maps its inputs carried —
+    # they are what lets a later round attribute a per-query mover to a
+    # host episode instead of guessing. Each input's non-query metadata
+    # travels verbatim in `inputs`, keyed by source path.
+    rec["inputs"] = [
+        {"path": p, **{k: v for k, v in r.items() if k != "queries"}}
+        for p, r in zip(paths, runs)
+    ]
     json.dump(rec, open(out, "w"))
     print(f"wrote {out}: {rec['value']:.1f} s over {len(queries)} queries "
           f"(min of {len(runs)} runs)"

@@ -11,6 +11,90 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.ScaleProbe /tmp/scale/x16 lsh=8x4 lsh=4x8"
   */
 object ScaleProbe {
+
+  /** Prune-generation selectivities of the SHIPPING prefix path at this
+    * corpus scale and threshold: raw prefix-collision rows, rows surviving
+    * the POSITIONAL bound, deduped pairs before/after, and the final
+    * exact-pair count — the reproducible form of the SCALE.md
+    * "length/positional bound" keep-rates. Consumes
+    * [[graft.llm.Dedup.rankedPrefix]] / [[graft.llm.Dedup.positionalFeasible]]
+    * directly (round-10 advice: the probe must measure the relation that
+    * ships, so a change to the rank order or prefix arithmetic moves the
+    * probe with it), so post-hapax-prune the reported raw stream is the
+    * pipeline's actual post-prune stream.
+    */
+  private def prefixStat(spark: SparkSession, dir: String, num: Int, den: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val posts = graft.llm.Dedup.shinglePostings(
+        graft.engine.Tables.documents(spark, dir), 3)
+      .transform(graft.engine.QueryCaches.registered)
+    val prefix = graft.llm.Dedup.rankedPrefix(posts, num, den)
+      .transform(graft.engine.QueryCaches.registered)
+    val coll = prefix.as("a").join(prefix.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val feasible = graft.llm.Dedup.positionalFeasible(num, den)
+    val rawRows = coll.count()
+    val posRows = coll.filter(feasible).count()
+    val rawPairs = coll.select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val posPairs = coll.filter(feasible)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val finalPairs = graft.llm.Dedup.ngramJaccardPairsPrefix(
+      graft.engine.Tables.documents(spark, dir), 3, num, den).count()
+    println(f"[probe]   prefixstat t=$num/$den rawRows=$rawRows posRows=$posRows " +
+      f"(keep=${posRows.toDouble / math.max(1, rawRows)}%.3f) rawPairs=$rawPairs " +
+      f"posPairs=$posPairs finalPairs=$finalPairs")
+    posRows
+  }
+
+  /** Pass-level wall profile of the prefix-path ngram join — the
+    * candidate-INDEPENDENT postings-linear passes (kernel+posts fill, df
+    * join + rank window = prefix fill, docsets build) vs the
+    * candidate-DEPENDENT tail (self-join + dedup + verify joins), timed by
+    * materializing each stage in sequence. Also prints the hapax share
+    * (round-11 prune: df=1 postings can never collide and concentrate in
+    * prefixes — dropped inside [[graft.llm.Dedup.rankedPrefix]]).
+    */
+  private def ngramPhase(spark: SparkSession, dir: String, num: Int, den: Int): Long = {
+    import org.apache.spark.sql.functions.{col, collect_list, count, lit, sort_array}
+    def timed[A](tag: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a = body
+      println(f"[probe]   ngramphase $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+    val posts = timed("posts-fill") {
+      graft.llm.Dedup.shinglePostings(
+          graft.engine.Tables.documents(spark, dir), 3)
+        .transform(graft.engine.QueryCaches.registered)
+    }
+    val nPosts = posts.count()
+    val nonHapax = timed("df-agg-only") {
+      posts.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+        .agg(org.apache.spark.sql.functions.sum(col("df"))).collect()(0)
+    }
+    val nNon = Option(nonHapax.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    println(f"[probe]   ngramphase posts=$nPosts nonHapaxPosts=$nNon " +
+      f"(hapaxShare=${1.0 - nNon.toDouble / math.max(1, nPosts)}%.3f)")
+    val prefix = timed("prefix-fill (df join + rank window)") {
+      graft.llm.Dedup.rankedPrefix(posts, num, den)
+        .transform(graft.engine.QueryCaches.registered)
+    }
+    println(s"[probe]   ngramphase prefixRows=${prefix.count()}")
+    val parts = graft.engine.Sizing.partsFor(
+      spark, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
+    timed("docsets-build") {
+      posts.repartition(parts, col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+        .transform(graft.engine.QueryCaches.registered)
+    }
+    // end-to-end on the same warm caches: the remainder is the
+    // candidate-dependent tail (self-join + dedup + verify + size attach)
+    timed("full-query (warm caches)") {
+      graft.llm.Dedup.ngramJaccardPairsPrefixFromPosts(posts, num, den).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -301,34 +385,10 @@ object ScaleProbe {
         // bound" keep-rates (measured there via DuckDB at sf0.1: 122,289
         // raw rows -> 14,045 positional (11.5%); 43,543 length-ok pairs ->
         // 12,784 positional-ok).
-        case "prefixstat" =>
-          import org.apache.spark.sql.functions.{col, count, expr, least, lit, row_number}
-          val (num, den) = (4, 5)
-          val posts = graft.llm.Dedup.shinglePostings(
-              graft.engine.Tables.documents(spark, dir), 3)
-            .transform(graft.engine.QueryCaches.registered)
-          val dfc = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-          val prefix = posts.join(dfc, "h")
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= col("n_sh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
-            .select(col("doc_id"), col("h"), col("rank"), col("n_sh"))
-            .transform(graft.engine.QueryCaches.registered)
-          val coll = prefix.as("a").join(prefix.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          val u = lit(1) + least(col("a.n_sh") - col("a.rank"), col("b.n_sh") - col("b.rank"))
-          val rawRows = coll.count()
-          val posRows = coll.filter(u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num).count()
-          val rawPairs = coll.select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-          val posPairs = coll.filter(u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num)
-            .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-          val finalPairs = graft.llm.Dedup.ngramJaccardPairsPrefix(
-            graft.engine.Tables.documents(spark, dir), 3, num, den).count()
-          println(f"[probe]   prefixstat t=$num/$den rawRows=$rawRows posRows=$posRows " +
-            f"(keep=${posRows.toDouble / math.max(1, rawRows)}%.3f) rawPairs=$rawPairs " +
-            f"posPairs=$posPairs finalPairs=$finalPairs")
-          posRows
+        case "prefixstat" => prefixStat(spark, dir, 4, 5)
+        case s"prefixstat=${nm}x${dn}" => prefixStat(spark, dir, nm.toInt, dn.toInt)
+        case "ngramphase" => ngramPhase(spark, dir, 4, 5)
+        case s"ngramphase=${nm}x${dn}" => ngramPhase(spark, dir, nm.toInt, dn.toInt)
         // initial physical plan of the minhash verify chain / the clusters
         // edge relation — diagnosis surface: where do broadcasts land?
         case "dupcplan" =>

@@ -36,6 +36,18 @@ object Errors {
   def messageContains(marker: String): Throwable => Boolean =
     t => Option(t.getMessage).exists(_.contains(marker))
 
+  /** [[messageContains]] over the full CAUSE CHAIN (bounded): a failure
+    * raised inside a distributed action reaches the caller wrapped —
+    * SparkException over the task failure over the user error — so an
+    * allowlist that only reads the top-level message misclassifies every
+    * executor-side failure as non-allowlisted and FAILs a pipeline the
+    * policy says to CONTINUE. The bound guards against pathological
+    * self-referential cause cycles.
+    */
+  def causeChainContains(marker: String): Throwable => Boolean = t =>
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20)
+      .exists(messageContains(marker))
+
   /** E1: parse a JSON column permissively, counting corrupt rows into `acc`
     * and dropping them. Accumulator caveat: updates happen inside a
     * transformation, so re-evaluating the result (second action, task

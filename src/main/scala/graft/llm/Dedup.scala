@@ -206,45 +206,107 @@ object Dedup {
     * posting rows costs ~3.7 s of stage time at sf0.1 vs ~0.6 s for the
     * per-row kernel's own scan — see lshQualityEval) — don't re-wire that.
     */
-  def ngramJaccardPairsPrefixFromPosts(posts: DataFrame, num: Int, den: Int): DataFrame = {
+  /** The ranked PPJoin prefix relation of a postings frame: one
+    * (doc_id, h, rank, n_sh) row per shingle whose FULL-ORDER rank (the
+    * doc's canonical global-df-ascending, hash-ascending order) falls
+    * inside the threshold-t prefix of length n_sh − ⌈t·n_sh⌉ + 1. This is
+    * the self-join input of [[ngramJaccardPairsPrefixFromPosts]], factored
+    * out so `ScaleProbe prefixstat` measures the SHIPPING relation rather
+    * than a hand-copied twin of it.
+    *
+    * HAPAX PRUNE (exact): a shingle with global df = 1 exists in exactly
+    * one document, so the h-keyed self-join can never pair it
+    * (`doc_a < doc_b` needs two docs) — yet df = 1 rows sort FIRST in the
+    * (df, h) prefix order, so they CONCENTRATE in prefixes. Dropping them
+    * from the df side of the df-attach join removes them from the join
+    * output, the rank-window sort, the prefix cache, and the self-join
+    * exchange all at once — the candidate-independent postings passes that
+    * bound the family's 1024× cost after the two pair-prune generations.
+    * The full-order rank (which the positional bound consumes) survives
+    * the cut exactly: a doc's hapaxes occupy full ranks 1..k with
+    * k = n_sh − n_nh (n_nh = the doc's surviving non-hapax count, a
+    * partition-count window over the SAME doc-keyed sort — zero extra
+    * exchanges), so rank_full = rank_nonhapax + (n_sh − n_nh), and the
+    * prefix condition rank_full ≤ n_sh − ⌈t·n_sh⌉ + 1 simplifies to
+    * rank_nonhapax ≤ n_nh − ⌈t·n_sh⌉ + 1.
+    *
+    * Wide regime (round 10, found at 4096×): the prefix BUILD itself is
+    * the next per-task-state casualty past ~1B postings. At the session
+    * default width the df aggregation holds data/32 distinct keys per
+    * task, the df-attach join sort-merges data/32 rows per task, and the
+    * rank window sorts the same — at 4096× (1.07B postings, 33M rows ×
+    * ~28 B per task) the sorts spill and the spill-merge READ-AHEAD
+    * buffers, which live outside managed memory (the round-9 law),
+    * OOM-killed the 8 GiB JVM before any pair existed. The cure is WIDTH,
+    * not join strategy: ONE posting-sized h-keyed exchange feeds both the
+    * df aggregation and the probe side of the df-attach join (the
+    * aggregation preserves the exchange's partitioning, so the join adds
+    * no exchange), then one doc-keyed exchange at the same width
+    * satisfies the window — every per-task sort stays ~1M rows (in
+    * memory, zero spill) at any corpus scale. Forcing SHUFFLE_HASH here
+    * instead was MEASURED FATAL at 1024×: 32 concurrent ~64 MB
+    * hash-relation builds exhausted the unified pool ("Can't acquire
+    * 67108864 bytes", then the shuffle writers got 0 of 32 KB) — a
+    * sized in-memory sort costs no resident state, a sized hash build
+    * costs all of it at once. Below the break-even the AQE-planned shape
+    * stands (fixture corpora broadcast the df side at runtime).
+    */
+  private[graft] def rankedPrefix(posts: DataFrame, num: Int, den: Int): DataFrame = {
     val spark = posts.sparkSession
     val nPosts = posts.count() // cached + already materialized: a fast action
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    // the per-doc set size already rides every posting row (n_sh), so the
-    // prefix bound needs no count() window.
-    //
-    // Wide regime (round 10, found at 4096×): the prefix BUILD itself is
-    // the next per-task-state casualty past ~1B postings. At the session
-    // default width the df aggregation holds data/32 distinct keys per
-    // task, the df-attach join sort-merges data/32 rows per task, and the
-    // rank window sorts the same — at 4096× (1.07B postings, 33M rows ×
-    // ~28 B per task) the sorts spill and the spill-merge READ-AHEAD
-    // buffers, which live outside managed memory (the round-9 law),
-    // OOM-killed the 8 GiB JVM before any pair existed. The cure is WIDTH,
-    // not join strategy: ONE posting-sized h-keyed exchange feeds both the
-    // df aggregation and the probe side of the df-attach join (the
-    // aggregation preserves the exchange's partitioning, so the join adds
-    // no exchange), then one doc-keyed exchange at the same width
-    // satisfies the window — every per-task sort stays ~1M rows (in
-    // memory, zero spill) at any corpus scale. Forcing SHUFFLE_HASH here
-    // instead was MEASURED FATAL at 1024×: 32 concurrent ~64 MB
-    // hash-relation builds exhausted the unified pool ("Can't acquire
-    // 67108864 bytes", then the shuffle writers got 0 of 32 KB) — a
-    // sized in-memory sort costs no resident state, a sized hash build
-    // costs all of it at once. Below the break-even the AQE-planned shape
-    // stands (fixture corpora broadcast the df side at runtime).
-    val ranked = (if (nPosts < VerifyHashJoinMinPosts) {
-      posts.join(posts.groupBy(col("h")).agg(count(lit(1)).as("df")), "h")
+    // partition-only spec: same doc-keyed exchange and (doc_id)-prefix
+    // sort as `w`, so the second window adds no shuffle and no sort
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val joined = if (nPosts < VerifyHashJoinMinPosts) {
+      posts.join(
+        posts.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2), "h")
     } else {
       val postParts = graft.engine.Sizing.partsFor(
         spark, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
       val byH = posts.repartition(postParts, col("h"))
-      byH.join(byH.groupBy(col("h")).agg(count(lit(1)).as("df")), "h")
+      byH.join(byH.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2), "h")
         .repartition(postParts, col("doc_id"))
-    })
-      .withColumn("rank", row_number().over(w))
-    // prefix length = n_sh - ceil(t*n_sh) + 1 with t = num/den (integer ceil)
+    }
+    // prefix length = n_sh - ceil(t*n_sh) + 1 with t = num/den (integer
+    // ceil), stated on the full-order rank and simplified to non-hapax
+    // terms as derived above
+    joined
+      .withColumn("rank_nh", row_number().over(w))
+      .withColumn("n_nh", count(lit(1)).over(wDoc))
+      .filter(col("rank_nh") <=
+        col("n_nh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
+      .select(col("doc_id"), col("h"),
+        (col("rank_nh") + col("n_sh") - col("n_nh")).as("rank"), col("n_sh"))
+  }
+
+  /** POSITIONAL bound (the second PPJoin filter; Xiao et al., WWW'08) as a
+    * feasibility predicate over an a/b-aliased self-join of [[rankedPrefix]]
+    * rows — evaluated per collision row from columns already on the posting
+    * rows: no sizes relation, no broadcast, no regime split. Both docs rank
+    * their shingles by the SAME global (df, h) order, so the first common
+    * shingle sits at the minimal rank in BOTH docs; for that row the
+    * overlap upper bound u = 1 + min(sa−pa, sb−pb) satisfies u ≥ c, hence
+    * any pair with true overlap c meeting the threshold keeps at least
+    * that one row — dropping every row with infeasible u is EXACT. At
+    * pa = pb = 1 the bound equals the length bound (u = min, feasible iff
+    * den·min ≥ num·max), so this strictly subsumes [[lengthCompatible]]
+    * on this path; measured at sf0.1 (DuckDB ground truth) it keeps
+    * 14,045 of 122,289 raw collision rows (11.5%) and 12,784 of the
+    * 43,543 length-surviving candidate pairs (−71%), so the
+    * candidate-dedup exchange, the distinct's state, AND every verify
+    * exchange shrink ~3× beyond the length bound.
+    */
+  private[graft] def positionalFeasible(num: Int, den: Int): org.apache.spark.sql.Column = {
+    val u = lit(1) +
+      least(col("a.n_sh") - col("a.rank"), col("b.n_sh") - col("b.rank"))
+    u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num
+  }
+
+  def ngramJaccardPairsPrefixFromPosts(posts: DataFrame, num: Int, den: Int): DataFrame = {
+    val spark = posts.sparkSession
+    val nPosts = posts.count() // cached + already materialized: a fast action
     // Persisted with (rank, n_sh) kept: the POSITIONAL bound below consumes
     // both right at the self-join output, before any exchange. This widens
     // the prefix relation by two ints — a DELIBERATE, bounded exception to
@@ -255,9 +317,7 @@ object Dedup {
     // back to (doc_a, doc_b) before the first repartition, so the
     // quadratic stream itself stays 16 bytes/row (PlansSpec pins exactly
     // this split: one wide h-join allowed HERE, pair exchanges narrow).
-    val prefix = ranked.filter(
-        col("rank") <= col("n_sh") - expr(s"(($num * n_sh) + $den - 1) div $den") + 1)
-      .select(col("doc_id"), col("h"), col("rank"), col("n_sh"))
+    val prefix = rankedPrefix(posts, num, den)
       .transform(graft.engine.QueryCaches.registered)
     // Candidate-dedup width must scale with the DATA, not the core count:
     // the raw collision stream is Σ_h df_p(h)·(df_p(h)−1)/2 rows — at 64×
@@ -277,23 +337,6 @@ object Dedup {
     val dedupParts = graft.engine.Sizing.partsFor(
       spark, rawMass, graft.engine.Sizing.PairRowsPerPartition)
     val sizes = shingleSizesFromPosts(posts)
-    // POSITIONAL bound (the second PPJoin filter; Xiao et al., WWW'08),
-    // evaluated per collision row from columns already on the posting rows
-    // — no sizes relation, no broadcast, no regime split. Both docs rank
-    // their shingles by the SAME global (df, h) order, so the first common
-    // shingle sits at the minimal rank in BOTH docs; for that row the
-    // overlap upper bound u = 1 + min(sa−pa, sb−pb) satisfies u ≥ c, hence
-    // any pair with true overlap c meeting the threshold keeps at least
-    // that one row — dropping every row with infeasible u is EXACT. At
-    // pa = pb = 1 the bound equals the length bound (u = min, feasible iff
-    // den·min ≥ num·max), so this strictly subsumes [[lengthCompatible]]
-    // on this path; measured at sf0.1 (DuckDB ground truth) it keeps
-    // 14,045 of 122,289 raw collision rows (11.5%) and 12,784 of the
-    // 43,543 length-surviving candidate pairs (−71%), so the
-    // candidate-dedup exchange, the distinct's state, AND every verify
-    // exchange shrink ~3× beyond the length bound.
-    val u = lit(1) +
-      least(col("a.n_sh") - col("a.rank"), col("b.n_sh") - col("b.rank"))
     // Wide regime: the self-join's inputs get the same sized-width
     // treatment (the default width sorts ~data/32 rows per task past ~1B
     // postings — the same read-ahead OOM class as the prefix build above);
@@ -307,7 +350,7 @@ object Dedup {
         spark, prefix.count(), graft.engine.Sizing.PostingRowsPerPartition), col("h"))
     val candidates = selfJoinIn.as("a")
       .join(selfJoinIn.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .filter(u * den >= (col("a.n_sh") + col("b.n_sh") - u) * num)
+      .filter(positionalFeasible(num, den))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .repartition(dedupParts, col("doc_a"), col("doc_b"))
       .distinct()
@@ -527,20 +570,43 @@ object Dedup {
     * not the raw stream.
     */
   private[graft] def lengthCompatible(cands: DataFrame, sizes: DataFrame,
-                                      num: Int, den: Int, parts: Int): DataFrame = {
-    val nDocs = sizes.count() // registered cache: a fast action
+                                      num: Int, den: Int, parts: Int,
+                                      nDocsKnown: Option[Long] = None): DataFrame = {
+    // callers that already paid the fill count pass it in; otherwise one
+    // fast action over the registered cache
+    val nDocs = nDocsKnown.getOrElse(sizes.count())
     val outCols = cands.columns.map(col).toIndexedSeq
-    val compat = col("lf_a") * den >= col("lf_b") * num &&
-      col("lf_b") * den >= col("lf_a") * num
     if (nDocs <= SizesBroadcastMax) {
+      // ONE broadcast of the sizes relation, joined twice under join-time
+      // aliases. Two subtleties, both probed on Spark 4.1 (round 11):
+      // (1) the old per-join endpoint-rename projections gave the planner
+      // two distinct-looking broadcast children, so it built and shipped
+      // the same 16-byte/doc data twice (the round-10 advice finding);
+      // (2) join-time aliases alone do NOT fix it over a CACHED (or
+      // localCheckpoint'd) relation — AQE wraps each cache scan in its own
+      // TableCacheQueryStage and the two broadcast stages stop
+      // canonicalizing equal, so the stage cache never reuses. A
+      // LocalRelation child canonicalizes equal, so the plan carries ONE
+      // BroadcastExchange + one ReusedExchange (PlansSpec pins it). The
+      // collect is bounded by the regime guard (≤ SizesBroadcastMax rows)
+      // and is the same driver materialization BroadcastExchange itself
+      // performs (executeCollect + driver-side build) — done once instead
+      // of twice, halving build work and resident broadcast footprint at
+      // the regime ceiling.
+      val spark = sizes.sparkSession
+      val proj = sizes.select(col("doc_id"), col("n_sh"))
+      val bsz = org.apache.spark.sql.functions.broadcast(
+        spark.createDataFrame(
+          java.util.Arrays.asList(proj.collect(): _*), proj.schema))
       cands
-        .join(org.apache.spark.sql.functions.broadcast(
-          sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("lf_a"))), "doc_a")
-        .join(org.apache.spark.sql.functions.broadcast(
-          sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("lf_b"))), "doc_b")
-        .filter(compat)
+        .join(bsz.as("sza"), col("doc_a") === col("sza.doc_id"))
+        .join(bsz.as("szb"), col("doc_b") === col("szb.doc_id"))
+        .filter(col("sza.n_sh") * den >= col("szb.n_sh") * num &&
+          col("szb.n_sh") * den >= col("sza.n_sh") * num)
         .select(outCols: _*)
     } else {
+      val compat = col("lf_a") * den >= col("lf_b") * num &&
+        col("lf_b") * den >= col("lf_a") * num
       // Keyed piggyback: both prune joins SHUFFLE_HASH with the sizes
       // relation as build, everything pre-exchanged to the caller's
       // data-sized width. The sizes side is explicitly repartitioned OVER
@@ -584,7 +650,8 @@ object Dedup {
     * on fixture-sized corpora AQE broadcasts the small side at runtime,
     * which a compile-time hint would forfeit.
     */
-  private def verifiedPairCounts(candidates: DataFrame, posts: DataFrame): DataFrame = {
+  private def verifiedPairCounts(candidates: DataFrame, posts: DataFrame,
+                                 candsDocAWidth: Option[Int] = None): DataFrame = {
     val nPosts = posts.count() // cached + already materialized: a fast action
     if (nPosts < VerifyHashJoinMinPosts) {
       val pa = posts.select(col("doc_id").as("doc_a"), col("h"))
@@ -631,7 +698,17 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(col("h"))).as("hs"))
         .transform(graft.engine.QueryCaches.registered)
-      candidates.repartition(parts, col("doc_a"))
+      // A caller that already left the candidate stream hash-partitioned by
+      // doc_a at THIS width (the piggyback length prune's doc_a-last join
+      // order does exactly that) skips the first exchange: Catalyst does
+      // not elide a user repartition even when the child's partitioning
+      // already satisfies it (round-10 advice — one redundant full exchange
+      // of the candidate stream on exactly the >2M-doc tiers this branch
+      // exists for).
+      val candsByA =
+        if (candsDocAWidth.contains(parts)) candidates
+        else candidates.repartition(parts, col("doc_a"))
+      candsByA
         .join(docsets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
           .hint("shuffle_hash"), "doc_a")
         .repartition(parts, col("doc_b"))
@@ -657,16 +734,21 @@ object Dedup {
     // the length bound drops them before the array-carrying verify
     // exchanges — same exactness argument as the prefix path
     // ([[lengthCompatible]]). Piggyback width = the verify width, so in
-    // that regime the prune joins and the verify joins agree end to end.
+    // that regime the prune joins and the verify joins agree end to end —
+    // including the exchange: the prune's doc_a-last join order leaves the
+    // candidates doc_a-partitioned at `parts`, which verifiedPairCounts is
+    // told about so its first exchange is skipped, not repeated.
+    val parts = graft.engine.Sizing.partsFor(documents.sparkSession,
+      posts.count(), graft.engine.Sizing.PostingRowsPerPartition)
+    val nDocs = sizes.count() // registered cache: a fast action
     val candidates = lengthCompatible(
-      bandCandidates(sigs, perms, bands), sizes, num, den,
-      graft.engine.Sizing.partsFor(documents.sparkSession, posts.count(),
-        graft.engine.Sizing.PostingRowsPerPartition))
+      bandCandidates(sigs, perms, bands), sizes, num, den, parts, Some(nDocs))
     // The verification joins ship (doc, h) only; sizes re-attach at pair
     // granularity (see shingleSizesFromPosts for the 64× memory story).
     // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free
     // hash-join wide.
-    verifiedPairCounts(candidates, posts)
+    verifiedPairCounts(candidates, posts,
+      candsDocAWidth = if (nDocs > SizesBroadcastMax) Some(parts) else None)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
@@ -697,10 +779,38 @@ object Dedup {
     * docs no longer inflate toward 1.0: a doc that is another's text
     * repeated k times scores 1/k, not ~1.
     */
+  /** Weighted sizes for the bag family, regime-split (round 11, reclaiming
+    * the round-10 bag_jaccard regression): below the broadcast ceiling the
+    * per-doc weight relation is evaluated ONCE and collected into a
+    * LocalRelation — the regime where the round-10 eager `wsizes` cache
+    * paid planner-correct stats on a path that broadcasts anyway, costing
+    * ~4 extra driver-scheduled jobs per query (fill + count + one
+    * broadcast build per consumer; profiled at sf0.1: 16 jobs for a 1.7 s
+    * query). The LocalRelation serves every consumer — the length-prune
+    * broadcast (job-free re-collect: ConvertToLocalRelation folds the
+    * projection) and both final size-attach joins (auto-broadcast, exact
+    * local stats) — for one aggregation evaluation total. Above the
+    * ceiling the round-10 shape stands: eager registered fill, whose
+    * materialized stats are load-bearing for the wide join plans.
+    *
+    * The regime probe is the DOCUMENTS row count (an upper bound on
+    * distinct doc_ids in the bag — cheap parquet-metadata count), checked
+    * BEFORE any collect so the driver never materializes an above-ceiling
+    * relation; both regimes are output-identical (spec-pinned).
+    */
+  private def weightedSizesRegime(documents: DataFrame, bag: DataFrame): (DataFrame, Option[Long]) = {
+    if (documents.count() <= SizesBroadcastMax) {
+      val proj = bag.groupBy(col("doc_id")).agg(sum(col("cnt")).as("w_sh"))
+      val rows = proj.collect()
+      (documents.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), proj.schema), Some(rows.length.toLong))
+    } else (weightedSizesFromBag(bag), None)
+  }
+
   def bagJaccardPairs(documents: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
     val bag = bagPostings(documents, n)
       .transform(graft.engine.QueryCaches.registered)
-    val wsizes = weightedSizesFromBag(bag)
+    val (wsizes, localN) = weightedSizesRegime(documents, bag)
     // Same length bound as the set family, on total weights: w_common =
     // Σ min(cnt_a, cnt_b) ≤ min(w_a, w_b), so den·min(w) < num·max(w)
     // pairs can never pass the bag-Jaccard filter — pruned map-side on the
@@ -714,9 +824,9 @@ object Dedup {
         least(col("a.cnt"), col("b.cnt")).as("m"))
     val wsizesN = wsizes.select(col("doc_id"), col("w_sh").as("n_sh"))
     val common =
-      (if (wsizes.count() <= SizesBroadcastMax)
+      (if (localN.isDefined)
         lengthCompatible(raw, wsizesN, num, den,
-          documents.sparkSession.sparkContext.defaultParallelism)
+          documents.sparkSession.sparkContext.defaultParallelism, localN)
       else raw)
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(sum(col("m")).as("w_common"))
@@ -755,14 +865,15 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.TextFunctions.graftMinhashSigWeighted(col("text"), n, perms).as("sig"))
       .filter(size(col("sig")) > 0)
-    val wsizes = weightedSizesFromBag(bag)
+    val (wsizes, localN) = weightedSizesRegime(documents, bag)
     // same weighted length bound as [[bagJaccardPairs]], applied to the
     // (deduped) band collisions before the posting-granular verify joins
     val candidates = lengthCompatible(
       bandCandidates(sigs, perms, bands),
       wsizes.select(col("doc_id"), col("w_sh").as("n_sh")), num, den,
       graft.engine.Sizing.partsFor(documents.sparkSession, bag.count(),
-        graft.engine.Sizing.PostingRowsPerPartition))
+        graft.engine.Sizing.PostingRowsPerPartition),
+      localN.orElse(Some(SizesBroadcastMax + 1)))
     // AQE picks the verify-join strategy from the candidate set's runtime size
     val common = candidates
       .join(bag.select(col("doc_id").as("doc_a"), col("h"), col("cnt").as("cnt_a")), "doc_a")

@@ -209,6 +209,18 @@ object ReferenceQueries {
       |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Batch oracle of the W5 emit-final parity row
+    * ([[StreamParity.windowedAggEmitFinalStreamParity]]): the windowed
+    * aggregation restricted to CLOSED windows — append mode under a
+    * zero-delay watermark emits a window iff its end ≤ max event time, so
+    * the open tail window is suppressed.
+    */
+  val windowedAggEmitFinalSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2
+      |HAVING window_start + INTERVAL '1 hour' <= (SELECT max(ts) FROM events)""".stripMargin
+
   /** Sliding-window aggregation (gap W6, second half): 1-hour windows
     * sliding every 30 minutes — each event lands in 2 windows. The oracle
     * expands each event into its candidate window starts and filters.
@@ -508,6 +520,77 @@ object ReferenceQueries {
       |UNION ALL
       |SELECT 'dead' AS side, event_type, count(*) AS n, NULL::BIGINT AS sum_k
       |FROM parsed WHERE k IS NULL GROUP BY event_type""".stripMargin
+
+  /** E3 (production-handler allowlist) under the oracle — the reference's
+    * CONTINUE-on-RecordTooLargeException policy
+    * (ErrorHandlingExample.scala:49-62) exercised through
+    * [[graft.engine.Errors.guardedSink]] against a REAL distributed sink:
+    *  1. oversize records are injected deterministically at read time
+    *     (every 17th event's props right-padded to 4 KB — the fixture has
+    *     uniformly tiny payloads, same injection idiom as
+    *     `error_deadletter_split`);
+    *  2. the first produce attempt writes the full stream through a
+    *     size-validating projection (`raise_error` past `maxBytes`) and
+    *     FAILS task-side on the first oversize record, exactly where a
+    *     too-large produce fails;
+    *  3. `guardedSink` classifies the failure through the cause chain
+    *     ([[graft.engine.Errors.causeChainContains]] — the executor error
+    *     arrives wrapped in SparkException) and returns CONTINUE;
+    *  4. CONTINUE re-produces the size-compatible rows and dead-letters
+    *     the skipped oversize ones, so the handler's decision is
+    *     OBSERVABLE data the oracle recomputes (a non-allowlisted failure
+    *     rethrows — ErrorsSpec pins that branch).
+    * Output: per (side, event_type) row counts + payload bytes from the
+    * two sinks' read-backs. Scale: two distributed passes over events +
+    * one over the ~6% dead slice; no driver materialization.
+    */
+  def errorGuardedSink(spark: SparkSession, dir: String): DataFrame = {
+    val maxBytes = 1024
+    val injected = Tables.events(spark, dir).withColumn("props",
+      when(pmod(col("event_id"), lit(17)) === 0, rpad(col("props"), 4096, "x"))
+        .otherwise(col("props")))
+      .select("event_id", "event_type", "props")
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_guarded_${ProcessHandle.current().pid()}_" +
+        graft.engine.PortableHash.md5LongScala(dir).toHexString.take(8)).toString
+    def produce(df: DataFrame): Unit = df
+      .withColumn("props",
+        when(length(col("props")) > maxBytes,
+          raise_error(concat(lit(s"RecordTooLargeException: payload exceeds $maxBytes bytes, event "),
+            col("event_id"))))
+          .otherwise(col("props")))
+      .write.mode("overwrite").parquet(s"$tmp/sent")
+    val ok = graft.engine.Errors.guardedSink(injected, produce,
+      graft.engine.Errors.causeChainContains("RecordTooLargeException"))
+    val oversize = length(col("props")) > maxBytes
+    if (!ok) {
+      // CONTINUE: skip the too-large records (re-produce the rest) and
+      // dead-letter what was skipped — the skip must be visible downstream
+      produce(injected.filter(!oversize))
+      injected.filter(oversize).write.mode("overwrite").parquet(s"$tmp/dead")
+    } else {
+      injected.filter(oversize).write.mode("overwrite").parquet(s"$tmp/dead")
+    }
+    val sent = spark.read.schema(injected.schema).parquet(s"$tmp/sent")
+    val dead = spark.read.schema(injected.schema).parquet(s"$tmp/dead")
+    Seq("sent" -> sent, "dead" -> dead).map { case (side, df) =>
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(length(col("props"))).as("bytes"))
+        .select(lit(side).as("side"), col("event_type"), col("n"), col("bytes"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val errorGuardedSinkSql: String =
+    """WITH inj AS (SELECT event_type,
+      |    CASE WHEN event_id % 17 = 0 THEN rpad(props, 4096, 'x') ELSE props END AS props
+      |  FROM events)
+      |SELECT 'sent' AS side, event_type, count(*) AS n,
+      |       CAST(SUM(length(props)) AS BIGINT) AS bytes
+      |FROM inj WHERE length(props) <= 1024 GROUP BY event_type
+      |UNION ALL
+      |SELECT 'dead' AS side, event_type, count(*) AS n,
+      |       CAST(SUM(length(props)) AS BIGINT) AS bytes
+      |FROM inj WHERE length(props) > 1024 GROUP BY event_type""".stripMargin
 
   /** Funnel / sequence detection (CEP-lite on the J1 machinery): a
     * purchase "converts" when the same user clicked within the preceding

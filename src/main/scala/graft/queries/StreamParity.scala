@@ -181,6 +181,30 @@ object StreamParity {
         col("n"), col("total")))
   }
 
+  /** W5 (suppress / emit-final) through real streaming execution: the SAME
+    * tumbling aggregation as [[windowedAggStreamParity]] but in APPEND
+    * output mode under a zero-delay watermark — Spark's append mode IS the
+    * reference's `suppress(untilWindowCloses)`: a window's single final row
+    * is emitted only once the watermark passes its end, so the open tail
+    * window (the one containing max(ts)) NEVER appears in the sink. The
+    * oracle replays exactly that semantics in batch: the windowed
+    * aggregation restricted to windows whose end ≤ the corpus' max event
+    * time. (The MemoryStream-granular emit-once behavior is additionally
+    * spec-pinned in StreamingSourcesSpec; this row puts the semantics
+    * under the driver's hash gate.)
+    */
+  def windowedAggEmitFinalStreamParity(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    runAppend(ss, eventsStream(ss, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total")))
+  }
+
   /** A3/W1 (the ProcessorApi family) through real streaming execution: a
     * custom `StatefulProcessor` over a RocksDB `ValueState` performs the
     * reference's per-record read-modify-write

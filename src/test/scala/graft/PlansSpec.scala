@@ -406,6 +406,37 @@ class PlansSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("length-prune broadcast regime ships ONE sizes broadcast, reused by the second join") {
+    // Round-10 advice: the two endpoint prune joins each built their own
+    // hashed relation of the SAME 16-byte/doc sizes data. The fix
+    // (Dedup.lengthCompatible) broadcasts a collected LocalRelation joined
+    // twice under join-time aliases — the only child shape whose two
+    // broadcast stages canonicalize equal under Spark 4.1 AQE (cache scans
+    // get per-scan TableCacheQueryStages and never reuse; probed). This
+    // pin asserts the FINAL adaptive plan carries exactly one
+    // BroadcastExchange and one ReusedExchange, i.e. one resident hashed
+    // relation instead of two at the regime ceiling.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cands = (1L to 2000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val sizes = graft.engine.QueryCaches.registered(
+      (1L to 2001L).map(i => (i, 50L + i % 60)).toDF("doc_id", "n_sh"))
+    val kept = graft.llm.Dedup.lengthCompatible(cands, sizes, 4, 5, 4)
+    kept.collect() // AQE: reuse is a runtime stage-cache decision
+    val finalPlan = kept.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // count tree NODES: a ReusedExchange node's own description embeds the
+    // text "BroadcastExchange" (it names the exchange it points at), so a
+    // bare substring count would double-count the reused one
+    val nBroadcast = "\\+\\- BroadcastExchange".r.findAllIn(finalPlan).length
+    val nReused = "\\+\\- ReusedExchange".r.findAllIn(finalPlan).length
+    assert(nBroadcast == 1 && nReused == 1,
+      s"expected 1 BroadcastExchange + 1 ReusedExchange in the final plan, " +
+        s"got $nBroadcast/$nReused:\n${finalPlan.take(3000)}")
+    graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+    spark.catalog.clearCache()
+  }
+
   test("verify-join width survives the docsets cache — the cache is filled AT the sized width") {
     // The 1024x/8 GiB failure class (SCALE.md "the cache pins the join
     // width"): an InMemoryRelation's outputPartitioning is its FILL plan's
