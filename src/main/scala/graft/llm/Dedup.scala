@@ -100,12 +100,16 @@ object Dedup {
     * stays: doc-granular consumers (the PPJoin prefix bound) read it for
     * free, and it RLE-compresses to nothing in the columnar cache.
     *
-    * Persisted (registered): every caller joins this relation TWICE —
-    * once keyed as doc_a, once as doc_b — and an unpersisted subplan
-    * re-runs the groupBy over the postings cache per join. The relation
-    * is one 16-byte row per doc (~5 MB at 64×), so the cache is free and
-    * the second groupBy pass isn't (measured at sf0.1: the uncached form
-    * cost the minhash chain ~0.2–0.5 s/query of the narrow-shape tax).
+    * Persisted (registered): callers that keep this relation (the naive
+    * pair family's attach joins; the LSH path's above-ceiling piggyback
+    * prune) read it at least twice — once keyed as doc_a, once as doc_b —
+    * and an unpersisted subplan re-runs the groupBy over the postings
+    * cache per read. The relation is one 16-byte row per doc (~5 MB at
+    * 64×), so the cache is free and the second groupBy pass isn't
+    * (measured at sf0.1: ~0.2–0.5 s/query). Round 11 moved the WIDE verify
+    * path's size attach in-expression (size(hs) inside
+    * [[verifiedPairCounts]]) and the broadcast-regime prune to a lazy
+    * single-collect, so those paths no longer build this relation at all.
     */
   def shingleSizesFromPosts(posts: DataFrame): DataFrame =
     posts.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
@@ -237,19 +241,27 @@ object Dedup {
     * rank window sorts the same — at 4096× (1.07B postings, 33M rows ×
     * ~28 B per task) the sorts spill and the spill-merge READ-AHEAD
     * buffers, which live outside managed memory (the round-9 law),
-    * OOM-killed the 8 GiB JVM before any pair existed. The cure is WIDTH,
-    * not join strategy: ONE posting-sized h-keyed exchange feeds both the
-    * df aggregation and the probe side of the df-attach join (the
-    * aggregation preserves the exchange's partitioning, so the join adds
-    * no exchange), then one doc-keyed exchange at the same width
-    * satisfies the window — every per-task sort stays ~1M rows (in
-    * memory, zero spill) at any corpus scale. Forcing SHUFFLE_HASH here
-    * instead was MEASURED FATAL at 1024×: 32 concurrent ~64 MB
-    * hash-relation builds exhausted the unified pool ("Can't acquire
-    * 67108864 bytes", then the shuffle writers got 0 of 32 KB) — a
-    * sized in-memory sort costs no resident state, a sized hash build
-    * costs all of it at once. Below the break-even the AQE-planned shape
-    * stands (fixture corpora broadcast the df side at runtime).
+    * OOM-killed the 8 GiB JVM before any pair existed. The mitigation is
+    * WIDTH, not join strategy: ONE posting-sized h-keyed exchange feeds
+    * both the df aggregation and the probe side of the df-attach join
+    * (the aggregation preserves the exchange's partitioning, so the join
+    * adds no exchange), then one doc-keyed exchange at the same width
+    * satisfies the window — every per-task sort stays ~1M rows at any
+    * corpus scale. PROVENANCE (corrected round 11, measured): the width
+    * fix moves the 4096× failure, it does not land the point — on the
+    * sized tree the ngram query at 4096× still dies at the 8 GiB heap,
+    * now in the shuffle WRITER (`ShuffleExternalSorter.insertRecord`,
+    * "Unable to acquire 40 bytes", two runs, consistent stage) with the
+    * host volume simultaneously at 99% (+47 GB of 49 GB headroom) —
+    * both single-host resources at their ceiling at once; see SCALE.md
+    * "The 4096× tier". 1024× (267M postings) is the largest tier this
+    * host lands for ngram. Forcing SHUFFLE_HASH here instead was
+    * MEASURED FATAL at 1024×: 32 concurrent ~64 MB hash-relation builds
+    * exhausted the unified pool ("Can't acquire 67108864 bytes", then
+    * the shuffle writers got 0 of 32 KB) — a sized in-memory sort costs
+    * no resident state, a sized hash build costs all of it at once.
+    * Below the break-even the AQE-planned shape stands (fixture corpora
+    * broadcast the df side at runtime).
     */
   private[graft] def rankedPrefix(posts: DataFrame, num: Int, den: Int): DataFrame = {
     val spark = posts.sparkSession
@@ -265,6 +277,12 @@ object Dedup {
     } else {
       val postParts = graft.engine.Sizing.partsFor(
         spark, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
+      // (A df-via-partition-count-window form — one sort instead of the
+      // join's two — was MEASURED PAR at 256× (prefix-fill 17.56 vs
+      // 17.59 s) and rejected: the exchanges, not the sorts, bound this
+      // pass, and WindowExec buffers each h-group where the merge join
+      // streams it — strictly worse on a natural corpus' mega-hot
+      // shingles for zero measured gain.)
       val byH = posts.repartition(postParts, col("h"))
       byH.join(byH.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2), "h")
         .repartition(postParts, col("doc_id"))
@@ -336,7 +354,6 @@ object Dedup {
     // risking oversized per-task dedup state.
     val dedupParts = graft.engine.Sizing.partsFor(
       spark, rawMass, graft.engine.Sizing.PairRowsPerPartition)
-    val sizes = shingleSizesFromPosts(posts)
     // Wide regime: the self-join's inputs get the same sized-width
     // treatment (the default width sorts ~data/32 rows per task past ~1B
     // postings — the same read-ahead OOM class as the prefix build above);
@@ -354,13 +371,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .repartition(dedupParts, col("doc_a"), col("doc_b"))
       .distinct()
-    // The verification joins ship (doc, h) only; sizes re-attach at pair
-    // granularity (see shingleSizesFromPosts for the 64× memory story).
-    // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free
-    // hash-join wide.
+    // The verification joins ship (doc, h) only; sizes come back WITH the
+    // verified counts ([[verifiedPairCounts]] — in-expression on the wide
+    // path, pair-granularity joins on the small path), so this path builds
+    // no sizes relation at all.
     verifiedPairCounts(candidates, posts)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
@@ -650,10 +665,27 @@ object Dedup {
     * on fixture-sized corpora AQE broadcasts the small side at runtime,
     * which a compile-time hint would forfeit.
     */
+  /** The per-doc sorted posting-array relation of the wide verify path,
+    * cached AT the sized width (the r10 cache-width law — see the in-body
+    * comment at the use site). Factored so callers that need doc-granular
+    * facts at a wide tier (the LSH prune's sizes) can derive them off THIS
+    * cache instead of running their own aggregation: [[graft.engine
+    * .QueryCaches.registered]] persists by canonicalized plan, so the
+    * family still fills one cache however many call sites name it.
+    */
+  private def docsetsOf(posts: DataFrame, parts: Int): DataFrame =
+    posts.repartition(parts, col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .transform(graft.engine.QueryCaches.registered)
+
   private def verifiedPairCounts(candidates: DataFrame, posts: DataFrame,
                                  candsDocAWidth: Option[Int] = None): DataFrame = {
     val nPosts = posts.count() // cached + already materialized: a fast action
     if (nPosts < VerifyHashJoinMinPosts) {
+      // sizes re-attach at pair granularity (post-aggregation, tiny —
+      // AQE-broadcastable; see shingleSizesFromPosts for the 64× story)
+      val sizes = shingleSizesFromPosts(posts)
       val pa = posts.select(col("doc_id").as("doc_a"), col("h"))
       val pb = posts.select(col("doc_id").as("pb"), col("h").as("h_b"))
       candidates
@@ -661,6 +693,10 @@ object Dedup {
         .join(pb, col("doc_b") === col("pb") && col("h") === col("h_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          col("size_a"), col("size_b"))
     } else {
       // Wide regime, round-9 second iteration: even streamed (never
       // sorted), the EXPLODED expansion — one (doc_a, doc_b, h) row per
@@ -694,10 +730,7 @@ object Dedup {
       // the fill plan itself parts-wide (the groupBy's distribution is then
       // already satisfied — no extra exchange), so cache, probe exchanges,
       // and join all agree on the data-sized width.
-      val docsets = posts.repartition(parts, col("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("h"))).as("hs"))
-        .transform(graft.engine.QueryCaches.registered)
+      val docsets = docsetsOf(posts, parts)
       // A caller that already left the candidate stream hash-partitioned by
       // doc_a at THIS width (the piggyback length prune's doc_a-last join
       // order does exactly that) skips the first exchange: Catalyst does
@@ -714,9 +747,19 @@ object Dedup {
         .repartition(parts, col("doc_b"))
         .join(docsets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
           .hint("shuffle_hash"), "doc_b")
+        // sizes IN-EXPRESSION (round 11): postings carry one row per
+        // DISTINCT shingle, so size(hs) IS the doc's n_sh — attaching the
+        // sizes here costs two codegen'd array-length reads on rows the
+        // joins already hold, where the old shape paid a sizes-relation
+        // fill (one more full scan of the postings cache — GBs of disk
+        // read at 1024×, where the cache spills) plus two pair-granularity
+        // joins per query. The arrays are dropped in this same projection,
+        // so nothing wide rides an exchange (the width pin still holds).
         .select(col("doc_a"), col("doc_b"),
           graft.functions.VectorFunctions.graftSortedIntersectCount(
-            col("hs_a"), col("hs_b")).as("n_common"))
+            col("hs_a"), col("hs_b")).as("n_common"),
+          size(col("hs_a")).cast("long").as("size_a"),
+          size(col("hs_b")).cast("long").as("size_b"))
         .filter(col("n_common") > 0)
     }
   }
@@ -728,7 +771,6 @@ object Dedup {
     val posts = shinglePostings(documents, n)
       .transform(graft.engine.QueryCaches.registered)
     val sigs = minhashSignatures(documents, n, perms)
-    val sizes = shingleSizesFromPosts(posts)
     // Band collisions skew similar, but size-INCOMPATIBLE collisions still
     // occur (a band of minima can agree across very different set sizes);
     // the length bound drops them before the array-carrying verify
@@ -738,19 +780,40 @@ object Dedup {
     // including the exchange: the prune's doc_a-last join order leaves the
     // candidates doc_a-partitioned at `parts`, which verifiedPairCounts is
     // told about so its first exchange is skipped, not repeated.
+    //
+    // Sizes regime (round 11, the bag family's pattern): below the
+    // broadcast ceiling the prune is the ONLY sizes consumer left (the
+    // final attach moved in-expression into verifiedPairCounts), so the
+    // relation is passed LAZY and the prune's single broadcast collect is
+    // its one evaluation — no registered fill, no separate count job.
+    // Above the ceiling the registered cache stands: the piggyback prune
+    // repartitions the sizes OVER their cache (the cache-width law) and
+    // materialized stats are load-bearing for those wide joins. The regime
+    // probe is the documents row count (≥ distinct doc_ids, cheap).
     val parts = graft.engine.Sizing.partsFor(documents.sparkSession,
       posts.count(), graft.engine.Sizing.PostingRowsPerPartition)
-    val nDocs = sizes.count() // registered cache: a fast action
+    val nDocs = documents.count()
+    val sizes =
+      if (nDocs <= SizesBroadcastMax)
+        posts.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
+      else
+        // Wide regime: sizes come OFF the docsets cache (size(hs) == n_sh;
+        // one row per distinct shingle), which is built at the sized
+        // width — running a separate groupBy at the cache's 32-wide fill
+        // partitioning held data-linear per-task hash-agg state and died
+        // AGGREGATE_OUT_OF_MEMORY at 4096× (20.5M docs / 32 tasks; the
+        // same width law the docsets build was fixed for in r10). The
+        // docsets plan here and the one inside verifiedPairCounts
+        // canonicalize equal, so the cache still fills exactly once.
+        docsetsOf(posts, parts)
+          .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
     val candidates = lengthCompatible(
       bandCandidates(sigs, perms, bands), sizes, num, den, parts, Some(nDocs))
-    // The verification joins ship (doc, h) only; sizes re-attach at pair
-    // granularity (see shingleSizesFromPosts for the 64× memory story).
-    // Join topology: [[verifiedPairCounts]] — AQE-planned small, sort-free
-    // hash-join wide.
+    // The verification joins ship (doc, h) only; sizes come back WITH the
+    // verified counts ([[verifiedPairCounts]] — in-expression on the wide
+    // path, pair-granularity joins on the small path).
     verifiedPairCounts(candidates, posts,
       candsDocAWidth = if (nDocs > SizesBroadcastMax) Some(parts) else None)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b")), "doc_b")
       .filter(col("n_common") * den >= (col("size_a") + col("size_b") - col("n_common")) * num)
       .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
   }
