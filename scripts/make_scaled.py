@@ -75,7 +75,7 @@ def customer_copy(t, c):
         return t
     t = shift_col(t, "c_custkey", c)
     # re-derive a 9-digit name suffix that keeps the ORIGINAL suffix entropy:
-    # (orig*32 + copy) is unique across copies and its low digits vary like
+    # (orig*128 + copy) is unique across copies and its low digits vary like
     # real ids. Zero-padding the raw shifted key instead would put every
     # scaled customer into a handful of leading-zero suffix blocks — a
     # degenerate blocking-key distribution that no real name column has
@@ -84,7 +84,7 @@ def customer_copy(t, c):
     # namespace (original names are <= |customers| << 10^7): without it,
     # e.g. orig 101 copy 1 derives 6465 and collides with copy-0's
     # Customer#000006465 — ~98% of derived names would shadow an original
-    names = [f"Customer#{(10**7 + (k % SHIFT) * 64 + k // SHIFT) % 10**9:09d}"
+    names = [f"Customer#{(10**7 + (k % SHIFT) * 128 + k // SHIFT) % 10**9:09d}"
              for k in t.column("c_custkey").to_pylist()]
     i = t.schema.get_field_index("c_name")
     return t.set_column(i, "c_name", pa.array(names, pa.string()))
@@ -113,15 +113,16 @@ COPIERS = {
 
 def main(src, out_base, ns):
     import os
-    # the name derivation (orig*64 + copy) is injective only within these
+    # the name derivation (orig*128 + copy) is injective only within these
     # bounds; silent collisions would quietly degrade the blocking-key
     # entropy this generator exists to preserve. (Was orig*32 through
-    # round 5; widened for the 64x probes — same entropy properties, so
-    # regenerated x4/x16 corpora stay statistically equivalent.)
-    assert all(n <= 64 for n in ns), "copy counts above 64 collide in c_name"
+    # round 5, orig*64 through round 10; widened for the x100 oracle tier —
+    # same entropy properties, so regenerated corpora stay statistically
+    # equivalent.)
+    assert all(n <= 128 for n in ns), "copy counts above 128 collide in c_name"
     for n in ns:
         src_keys = load(src, "customer").column("c_custkey")
-        assert 10**7 + pc.max(src_keys).as_py() * 64 + n < 10**9, \
+        assert 10**7 + pc.max(src_keys).as_py() * 128 + n < 10**9, \
             "c_custkey too large: c_name derivation would collide"
         assert pc.max(src_keys).as_py() < 10**7, \
             "c_custkey overlaps the derived-name offset: copy-0 names would collide"

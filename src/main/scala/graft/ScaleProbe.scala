@@ -95,6 +95,61 @@ object ScaleProbe {
     }
   }
 
+  /** Pass-level wall profile of the banded MinHash+LSH join — the same
+    * attribution form as [[ngramPhase]], for the family member whose
+    * candidate stream comes from band collisions instead of prefix
+    * collisions. Passes: posts fill (shared verification cache), signature
+    * kernel (a second full text scan — signatures deliberately come from
+    * the per-row kernel, shuffle-free, rather than a 64-min groupBy over
+    * the postings), band self-join candidates, length prune, docsets
+    * build, then the full query on the same warm caches (the remainder is
+    * the verify tail).
+    */
+  private def minhashPhase(spark: SparkSession, dir: String,
+                           num: Int, den: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    def timed[A](tag: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a = body
+      println(f"[probe]   minhashphase $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    }
+    val docs = graft.engine.Tables.documents(spark, dir)
+    val posts = timed("posts-fill") {
+      graft.llm.Dedup.shinglePostings(docs, 3)
+        .transform(graft.engine.QueryCaches.registered)
+    }
+    val nPosts = posts.count()
+    val sigs = timed("sig-kernel-fill") {
+      graft.llm.Dedup.minhashSignatures(docs, 3, 64)
+        .transform(graft.engine.QueryCaches.registered)
+    }
+    println(s"[probe]   minhashphase posts=$nPosts sigs=${sigs.count()}")
+    val parts = graft.engine.Sizing.partsFor(
+      spark, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
+    val nDocs = docs.count()
+    val cands = timed("band-self-join (candidates)") {
+      val c = graft.llm.Dedup.bandCandidates(sigs, 64, 16,
+          parts = if (nDocs > graft.llm.Dedup.SizesBroadcastMax) Some(parts) else None)
+        .transform(graft.engine.QueryCaches.registered)
+      println(s"[probe]   minhashphase candidates=${c.count()}")
+      c
+    }
+    val docsets = timed("docsets-build") {
+      graft.llm.Dedup.docsetsOf(posts, parts) // registers its own cache
+    }
+    val sizes = docsets.select(col("doc_id"), org.apache.spark.sql.functions
+      .size(col("hs")).cast("long").as("n_sh"))
+    timed("length-prune") {
+      println(s"[probe]   minhashphase pruned=${graft.llm.Dedup.lengthCompatible(
+        cands, sizes, num, den, parts, Some(docs.count())).count()}")
+    }
+    // end-to-end on the same warm caches: remainder = verify tail
+    timed("full-query (warm caches)") {
+      graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, num, den).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -389,6 +444,8 @@ object ScaleProbe {
         case s"prefixstat=${nm}x${dn}" => prefixStat(spark, dir, nm.toInt, dn.toInt)
         case "ngramphase" => ngramPhase(spark, dir, 4, 5)
         case s"ngramphase=${nm}x${dn}" => ngramPhase(spark, dir, nm.toInt, dn.toInt)
+        case "minhashphase" => minhashPhase(spark, dir, 4, 5)
+        case s"minhashphase=${nm}x${dn}" => minhashPhase(spark, dir, nm.toInt, dn.toInt)
         // initial physical plan of the minhash verify chain / the clusters
         // edge relation — diagnosis surface: where do broadcasts land?
         case "dupcplan" =>

@@ -514,9 +514,15 @@ object Dedup {
     */
   def bandKeysOf(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
+    // The key is the band's minima SLICE itself (array<bigint>), not a
+    // formatted string: array equality is exactly string equality under the
+    // injective decimal encoding, but the exchange ships ~32 bytes/row
+    // instead of ~80 and skips formatting bands·rows longs per doc
+    // (SCALE.md "the band self-join floor" has the 1024× measurement for
+    // the array key + the sized hash join in bandCandidates together).
     sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
-        concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string")))
+        slice(col("sig"), b * rows + 1, rows)
       }: _*)))
       .toDF("doc_id", "band", "key")
   }
@@ -525,8 +531,22 @@ object Dedup {
     * harnesses (`lsh_quality_eval`) can measure candidate precision/recall
     * against exact ground truth.
     */
-  def bandCandidates(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
-    val bandKeys = bandKeysOf(sigs, perms, bands)
+  def bandCandidates(sigs: DataFrame, perms: Int, bands: Int,
+                     parts: Option[Int] = None): DataFrame = {
+    // Wide regime (`parts` set by callers that sized the family's
+    // exchanges): repartition the ONE band relation explicitly on the join
+    // keys — both aliases read the same exchange (ReusedExchange; the
+    // child is a pure kernel scan, which canonicalizes, unlike caches).
+    // The join itself stays AQE-planned (sort-merge at this size): the
+    // band stream is LINEAR (docs × bands), so its sorts are O(N log N)
+    // with graceful spill — unlike the quadratic verify stream, where the
+    // family forces SHUFFLE_HASH. Forcing SHUFFLE_HASH here was measured
+    // and REJECTED at 1024×: 32 concurrent ~300k-entry build maps under
+    // the family's pinned posting/signature caches exhausted the 8 GiB
+    // JVM's execution pool (UNABLE_TO_ACQUIRE_MEMORY) — the same
+    // memory-nondeterminism class that set Sizing.SizesBroadcastMaxDocs.
+    val raw = bandKeysOf(sigs, perms, bands)
+    val bandKeys = parts.fold(raw)(p => raw.repartition(p, col("band"), col("key")))
     bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -673,7 +693,7 @@ object Dedup {
     * .QueryCaches.registered]] persists by canonicalized plan, so the
     * family still fills one cache however many call sites name it.
     */
-  private def docsetsOf(posts: DataFrame, parts: Int): DataFrame =
+  private[graft] def docsetsOf(posts: DataFrame, parts: Int): DataFrame =
     posts.repartition(parts, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
@@ -808,7 +828,9 @@ object Dedup {
         docsetsOf(posts, parts)
           .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
     val candidates = lengthCompatible(
-      bandCandidates(sigs, perms, bands), sizes, num, den, parts, Some(nDocs))
+      bandCandidates(sigs, perms, bands,
+        parts = if (nDocs > SizesBroadcastMax) Some(parts) else None),
+      sizes, num, den, parts, Some(nDocs))
     // The verification joins ship (doc, h) only; sizes come back WITH the
     // verified counts ([[verifiedPairCounts]] — in-expression on the wide
     // path, pair-granularity joins on the small path).
@@ -929,13 +951,17 @@ object Dedup {
         graft.functions.TextFunctions.graftMinhashSigWeighted(col("text"), n, perms).as("sig"))
       .filter(size(col("sig")) > 0)
     val (wsizes, localN) = weightedSizesRegime(documents, bag)
+    val wParts = graft.engine.Sizing.partsFor(documents.sparkSession, bag.count(),
+      graft.engine.Sizing.PostingRowsPerPartition)
     // same weighted length bound as [[bagJaccardPairs]], applied to the
-    // (deduped) band collisions before the posting-granular verify joins
+    // (deduped) band collisions before the posting-granular verify joins;
+    // band self-join sized + sort-free in the wide regime (localN empty ⇔
+    // the docs count cleared the broadcast ceiling), like the set family
     val candidates = lengthCompatible(
-      bandCandidates(sigs, perms, bands),
+      bandCandidates(sigs, perms, bands,
+        parts = if (localN.isEmpty) Some(wParts) else None),
       wsizes.select(col("doc_id"), col("w_sh").as("n_sh")), num, den,
-      graft.engine.Sizing.partsFor(documents.sparkSession, bag.count(),
-        graft.engine.Sizing.PostingRowsPerPartition),
+      wParts,
       localN.orElse(Some(SizesBroadcastMax + 1)))
     // AQE picks the verify-join strategy from the candidate set's runtime size
     val common = candidates
