@@ -98,12 +98,14 @@ object ScaleProbe {
   /** Pass-level wall profile of the banded MinHash+LSH join — the same
     * attribution form as [[ngramPhase]], for the family member whose
     * candidate stream comes from band collisions instead of prefix
-    * collisions. Passes: posts fill (shared verification cache), signature
-    * kernel (a second full text scan — signatures deliberately come from
-    * the per-row kernel, shuffle-free, rather than a 64-min groupBy over
-    * the postings), band self-join candidates, length prune, docsets
-    * build, then the full query on the same warm caches (the remainder is
-    * the verify tail).
+    * collisions. Passes mirror the SHIPPING wide-regime order (the
+    * round-10 advice law: a probe that re-implements the pipeline drifts):
+    * posts fill (shared verification cache), docsets build, signature fill
+    * (wide regime: off the docsets cache via the from-hashes kernel — the
+    * second full text scan was cut in round 11; fixture regime: the
+    * per-row text kernel), band self-join candidates, length prune, then
+    * the full query on the same warm caches (the remainder is the verify
+    * tail).
     */
   private def minhashPhase(spark: SparkSession, dir: String,
                            num: Int, den: Int): Long = {
@@ -120,23 +122,27 @@ object ScaleProbe {
         .transform(graft.engine.QueryCaches.registered)
     }
     val nPosts = posts.count()
-    val sigs = timed("sig-kernel-fill") {
-      graft.llm.Dedup.minhashSignatures(docs, 3, 64)
-        .transform(graft.engine.QueryCaches.registered)
-    }
-    println(s"[probe]   minhashphase posts=$nPosts sigs=${sigs.count()}")
     val parts = graft.engine.Sizing.partsFor(
       spark, nPosts, graft.engine.Sizing.PostingRowsPerPartition)
     val nDocs = docs.count()
+    val wide = nDocs > graft.llm.Dedup.SizesBroadcastMax
+    val docsets = timed("docsets-build") {
+      graft.llm.Dedup.docsetsOf(posts, parts) // registers its own cache
+    }
+    val sigs = timed(if (wide) "sig-fill (from docsets)" else "sig-fill (text kernel)") {
+      val s =
+        if (wide) docsets.select(col("doc_id"),
+          graft.functions.TextFunctions.graftMinhashSigFromHashes(col("hs"), 64).as("sig"))
+        else graft.llm.Dedup.minhashSignatures(docs, 3, 64)
+      s.transform(graft.engine.QueryCaches.registered)
+    }
+    println(s"[probe]   minhashphase posts=$nPosts sigs=${sigs.count()}")
     val cands = timed("band-self-join (candidates)") {
       val c = graft.llm.Dedup.bandCandidates(sigs, 64, 16,
-          parts = if (nDocs > graft.llm.Dedup.SizesBroadcastMax) Some(parts) else None)
+          parts = if (wide) Some(parts) else None)
         .transform(graft.engine.QueryCaches.registered)
       println(s"[probe]   minhashphase candidates=${c.count()}")
       c
-    }
-    val docsets = timed("docsets-build") {
-      graft.llm.Dedup.docsetsOf(posts, parts) // registers its own cache
     }
     val sizes = docsets.select(col("doc_id"), org.apache.spark.sql.functions
       .size(col("hs")).cast("long").as("n_sh"))

@@ -277,6 +277,37 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** MinHash signature from a document's DISTINCT shingle-hash array (the
+    * docsets relation's `hs`): one pass over the longs, all `perms` minima
+    * at once. Output-equal to [[minhashSig]] over the document's text —
+    * the postings hold exactly the kernel's deduped shingle hashes, and
+    * the permutation math is identical — so the banded family's WIDE
+    * regime can derive signatures off the docsets cache it already fills
+    * (for sizes and verification) instead of paying a second full text
+    * scan (re-tokenize + re-shingle + one md5 per shingle). Empty array in
+    * → empty array out, matching the kernel's <n-tokens sentinel.
+    */
+  def minhashSigFromHashes(hs: ArrayData, a: Array[Long], b: Array[Long],
+                           p: Long): ArrayData = {
+    val perms = a.length
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = new Array[Long](perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val hp = hs.getLong(j) % p
+      var q = 0
+      while (q < perms) {
+        val v = (hp * a(q) + b(q)) % p
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Per-row WEIGHTED MinHash signature over the multiset expansion: the
     * k-th occurrence of a shingle contributes element hash h (k=1, the
     * base) or md5(h + "#" + k) (k ≥ 2) — the same mapping as
@@ -469,6 +500,47 @@ case class MinhashSigFP(child: Expression, n: Int, perms: Int,
     copy(child = newChild)
 }
 
+/** Catalyst expression wrapping [[TextKernels.minhashSigFromHashes]]: the
+  * MinHash signature recomputed from a doc's distinct shingle-hash array
+  * instead of its text. Same permutation parameters as [[MinhashSigFP]],
+  * so the two are output-equal wherever the array holds the kernel's
+  * deduped shingle hashes (FunctionsSpec proves it over the docsets
+  * relation). Null array → null, like the text kernel's null text.
+  */
+case class MinhashSigFromHashesFP(child: Expression, perms: Int)
+    extends UnaryExpression {
+
+  private val params = graft.engine.PortableHash.minhashParams(perms)
+  private val aArr: Array[Long] = params.map(_._1).toArray
+  private val bArr: Array[Long] = params.map(_._2).toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_from_hashes expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(hs: Any): Any =
+    TextKernels.minhashSigFromHashes(hs.asInstanceOf[ArrayData], aArr, bArr,
+      graft.engine.PortableHash.P)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSigFromHashes($c, $aRef, $bRef, " +
+        s"${graft.engine.PortableHash.P}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Catalyst expression wrapping [[TextKernels.simhash]]: null text → null,
   * empty/short text → 0L. Never assigns the isNull slot in generated code
   * (the nullability lesson in SCALE.md).
@@ -593,6 +665,12 @@ object TextFunctions {
   def graftMinhashSigWeighted(text: Column, n: Int, perms: Int): Column =
     ColumnBridge.column(MinhashSigFP(ColumnBridge.expression(text), n, perms,
       weighted = true))
+
+  /** MinHash signature from a distinct-shingle-hash array (the docsets
+    * relation's `hs`) — output-equal to [[graftMinhashSig]] over the text.
+    */
+  def graftMinhashSigFromHashes(hs: Column, perms: Int): Column =
+    ColumnBridge.column(MinhashSigFromHashesFP(ColumnBridge.expression(hs), perms))
 
   /** Arity gate for the SQL builders: a wrong argument count must surface
     * as the same IllegalArgumentException with the usage string, not an

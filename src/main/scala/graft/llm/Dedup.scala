@@ -533,25 +533,41 @@ object Dedup {
     */
   def bandCandidates(sigs: DataFrame, perms: Int, bands: Int,
                      parts: Option[Int] = None): DataFrame = {
+    // The collision step is a GROUP-BY, not a self-join (round 11): bucket
+    // the band relation once on (band, key), collect each bucket's doc
+    // list, and emit its pairs with two streaming generators. The
+    // self-join form shipped the SAME rows through the same exchange but
+    // then read the shuffle twice and sorted both sides under a
+    // sort-merge join — and its single-exchange economics silently relied
+    // on ReusedExchange, which stops firing the moment the band relation's
+    // child is a cache scan (AQE wraps each cache scan in its own
+    // TableCacheQueryStage; the round-11 broadcast-reuse finding), exactly
+    // what the wide regime's signatures-off-the-docsets-cache rewrite
+    // made it. The groupBy form has no reuse to lose: one exchange WRITE,
+    // one READ, a hash aggregation (no sorts at all), and per-bucket state
+    // bounded by bucket size — the same shape [[docsetsOf]] already runs
+    // at 1024×/4096×. Pair emission streams (posexplode + slice explode),
+    // so a pathological hot bucket (a giant duplicate clique) emits its
+    // quadratic pairs lazily instead of allocating them; the quadratic
+    // OUTPUT is inherent to LSH blocking either way. Forcing SHUFFLE_HASH
+    // on the old join was measured and REJECTED at 1024×
+    // (UNABLE_TO_ACQUIRE_MEMORY — 32 concurrent build maps under the
+    // family's pinned caches); the aggregation sidesteps that class too:
+    // ObjectHashAggregate spills per-bucket state gracefully.
     // Wide regime (`parts` set by callers that sized the family's
-    // exchanges): repartition the ONE band relation explicitly on the join
-    // keys — both aliases read the same exchange (ReusedExchange; the
-    // child is a pure kernel scan, which canonicalizes, unlike caches).
-    // The join itself stays AQE-planned (sort-merge at this size): the
-    // band stream is LINEAR (docs × bands), so its sorts are O(N log N)
-    // with graceful spill — unlike the quadratic verify stream, where the
-    // family forces SHUFFLE_HASH. Forcing SHUFFLE_HASH here was measured
-    // and REJECTED at 1024×: 32 concurrent ~300k-entry build maps under
-    // the family's pinned posting/signature caches exhausted the 8 GiB
-    // JVM's execution pool (UNABLE_TO_ACQUIRE_MEMORY) — the same
-    // memory-nondeterminism class that set Sizing.SizesBroadcastMaxDocs.
+    // exchanges): repartition on the grouping keys at the family width, so
+    // the aggregation's distribution is already satisfied (no second
+    // exchange), like the docsets build.
     val raw = bandKeysOf(sigs, perms, bands)
     val bandKeys = parts.fold(raw)(p => raw.repartition(p, col("band"), col("key")))
-    bandKeys.as("a")
-      .join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    bandKeys
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          size(col("ds")) - col("i") - lit(1))).as("doc_b"))
       .distinct()
   }
 
@@ -787,10 +803,10 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame, n: Int, perms: Int, bands: Int,
                       num: Int, den: Int): DataFrame = {
     // postings are persisted for candidate VERIFICATION only — signatures
-    // come from the per-row kernel and never touch an exchange
+    // come from the per-row kernel (fixture regime) or off the docsets
+    // cache (wide regime, below) and never add an exchange of their own
     val posts = shinglePostings(documents, n)
       .transform(graft.engine.QueryCaches.registered)
-    val sigs = minhashSignatures(documents, n, perms)
     // Band collisions skew similar, but size-INCOMPATIBLE collisions still
     // occur (a band of minima can agree across very different set sizes);
     // the length bound drops them before the array-carrying verify
@@ -813,20 +829,33 @@ object Dedup {
     val parts = graft.engine.Sizing.partsFor(documents.sparkSession,
       posts.count(), graft.engine.Sizing.PostingRowsPerPartition)
     val nDocs = documents.count()
-    val sizes =
-      if (nDocs <= SizesBroadcastMax)
-        posts.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
-      else
-        // Wide regime: sizes come OFF the docsets cache (size(hs) == n_sh;
-        // one row per distinct shingle), which is built at the sized
-        // width — running a separate groupBy at the cache's 32-wide fill
-        // partitioning held data-linear per-task hash-agg state and died
-        // AGGREGATE_OUT_OF_MEMORY at 4096× (20.5M docs / 32 tasks; the
-        // same width law the docsets build was fixed for in r10). The
-        // docsets plan here and the one inside verifiedPairCounts
-        // canonicalize equal, so the cache still fills exactly once.
-        docsetsOf(posts, parts)
-          .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"))
+    // Wide regime: BOTH the sizes and the SIGNATURES come OFF the docsets
+    // cache, which is built at the sized width and read twice more by the
+    // verify joins anyway. Sizes: size(hs) == n_sh (one posting row per
+    // distinct shingle) — running a separate groupBy at the cache's
+    // 32-wide fill partitioning held data-linear per-task hash-agg state
+    // and died AGGREGATE_OUT_OF_MEMORY at 4096× (20.5M docs / 32 tasks;
+    // the same width law the docsets build was fixed for in r10).
+    // Signatures: the per-row text kernel was the family's SECOND full
+    // text scan (re-tokenize + re-shingle + one md5 per shingle — 36 s of
+    // the 227 s 1024× wall, `ScaleProbe minhashphase`), but `hs` already
+    // holds exactly the kernel's deduped shingle hashes, so
+    // [[graft.functions.MinhashSigFromHashesFP]] recomputes the identical
+    // signature (FunctionsSpec proves bit-equality) in one pass over longs
+    // the family already paid to materialize. The docsets plan here and
+    // the one inside verifiedPairCounts canonicalize equal, so the cache
+    // still fills exactly once. Fixture regime keeps the text kernel: no
+    // docsets cache exists before verification there, and forcing one
+    // would add the doc_id exchange the kernel exists to avoid.
+    val docsetsWide =
+      if (nDocs <= SizesBroadcastMax) None else Some(docsetsOf(posts, parts))
+    val sigs = docsetsWide.fold(minhashSignatures(documents, n, perms))(ds =>
+      ds.select(col("doc_id"),
+        graft.functions.TextFunctions.graftMinhashSigFromHashes(
+          col("hs"), perms).as("sig")))
+    val sizes = docsetsWide.fold(
+      posts.groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh")))(ds =>
+      ds.select(col("doc_id"), size(col("hs")).cast("long").as("n_sh")))
     val candidates = lengthCompatible(
       bandCandidates(sigs, perms, bands,
         parts = if (nDocs > SizesBroadcastMax) Some(parts) else None),

@@ -154,6 +154,25 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("from-hashes MinHash signature over docsets equals the text kernel") {
+    // the wide regime's signature source (Dedup.minhashLshPairs derives
+    // sigs off the docsets cache): bit-equality with the per-row kernel
+    import graft.llm.Dedup
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val posts = Dedup.shinglePostings(docs, 3)
+      val fromHs = Dedup.docsetsOf(posts, 4)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.graftMinhashSigFromHashes(col("hs"), 64)
+            .as("hs_sig"))
+      val kernel = Dedup.minhashSignatures(docs, 3, 64)
+      val mism = kernel.join(fromHs, "doc_id")
+        .filter(not(col("sig") <=> col("hs_sig"))).count()
+      assert(mism == 0, s"$sf: from-hashes signature diverges from the kernel")
+      assert(kernel.count() == fromHs.count())
+    }
+  }
+
   test("per-row SimHash kernel equals the aggregation form on fixtures") {
     import graft.llm.{Dedup, TextAnalysis}
     for (sf <- Seq("sf0.001", "sf0.01")) {

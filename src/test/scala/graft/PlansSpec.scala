@@ -509,4 +509,61 @@ class PlansSpec extends SparkSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("band collision step is one exchange + aggregation — no self-join, no sorts") {
+    // Round 11: the band self-join's single-exchange economics silently
+    // relied on ReusedExchange, which stops firing the moment the band
+    // relation's child is a cache scan (per-scan TableCacheQueryStages
+    // never canonicalize equal) — exactly what the wide regime's
+    // signatures-off-the-docsets-cache rewrite made it. The shipped form
+    // is a groupBy(band, key) + streamed pair emission: one exchange
+    // WRITE, one READ, zero sorts, nothing to reuse. This pin asserts the
+    // collision step plans NO join and exactly two hash exchanges (band
+    // bucketing + the pair distinct).
+    import org.apache.spark.sql.functions.col
+    val docs = engine.Tables.documents(spark, sf1)
+    val cands = graft.llm.Dedup.bandCandidates(
+      graft.llm.Dedup.minhashSignatures(docs, 3, 64), 64, 16, parts = Some(5))
+    cands.count()
+    val plan = cands.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"band collision step planned a join:\n${plan.take(3000)}")
+    val nEx = "\\+\\- Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 2,
+      s"expected 2 exchanges (band bucketing + pair distinct), got $nEx:\n${plan.take(3000)}")
+  }
+
+  test("wide-regime MinHash signatures come off the docsets cache, not a second text scan") {
+    // Round 11: above the sizes-broadcast ceiling the signature source is
+    // the docsets cache's hs array (MinhashSigFromHashesFP — FunctionsSpec
+    // proves bit-equality with the text kernel), deleting the family's
+    // second full text scan. Pin: the wide plan renders the from-hashes
+    // expression and not the text kernel's, and the wide output equals the
+    // fixture regime's.
+    val docs = engine.Tables.documents(spark, sf1)
+    val reference = graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, 7, 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+    spark.catalog.clearCache()
+    val prev = graft.llm.Dedup.SizesBroadcastMax
+    try {
+      graft.llm.Dedup.SizesBroadcastMax = 10L
+      val pairs = graft.llm.Dedup.minhashLshPairs(docs, 3, 64, 16, 7, 10)
+      val got = pairs.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference,
+        s"wide-regime output diverged: ${got.size} vs ${reference.size} pairs")
+      val plan = pairs.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("minhashsigfromhashesfp"),
+        "wide regime did not derive signatures from the docsets cache")
+      assert(!plan.contains("minhashsigfp("),
+        "wide regime still runs the per-row text signature kernel")
+    } finally {
+      graft.llm.Dedup.SizesBroadcastMax = prev
+      graft.engine.QueryCaches.releaseAll(spark, blocking = true)
+      spark.catalog.clearCache()
+    }
+  }
 }
