@@ -38,26 +38,54 @@ object Prefix {
     * `checkpoint` instead so the snapshot survives executor loss.
     */
   def exclusiveCumsum(df: DataFrame, order: Seq[Column], value: Column,
-                      outCol: String): DataFrame = {
+                      outCol: String): DataFrame =
+    exclusiveCumsums(df, order, Seq(value -> outCol))
+
+  /** N exclusive prefix sums over the SAME order in ONE two-pass build:
+    * one range exchange, one pinned placement, one offsets aggregate (all
+    * N per-partition totals in a single pass), one local window sort.
+    * Chaining N single-value [[exclusiveCumsum]] calls instead pays the
+    * range sampling pass, the range exchange, and the pin N times — at
+    * any scale the extra passes are pure overhead since every prefix
+    * reads the same global order (measured at sf0.1 on
+    * `concurrency_histogram`, which needs the running level AND a global
+    * rank: the fused form deletes a full exchange + pin + sampling pass).
+    * Prefix-sum values are placement-invariant, so fusing is exact.
+    */
+  def exclusiveCumsums(df: DataFrame, order: Seq[Column],
+                       values: Seq[(Column, String)]): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df
-      .repartitionByRange(n, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", value)
+    val vcols = values.zipWithIndex.map { case ((v, _), i) => (s"__v$i", v) }
+    val parts = vcols.foldLeft(
+        df.repartitionByRange(n, order: _*)
+          .withColumn("__pid", spark_partition_id())) {
+        case (d, (nm, v)) => d.withColumn(nm, v)
+      }
       .transform(graft.engine.Snapshot.pin)
     val localW = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsetW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("__pid"))
-      .agg(sum(col("__v")).as("__psum"))
-      .select(col("__pid"),
-        coalesce(sum(col("__psum")).over(offsetW), lit(0L)).as("__offset"))
-    parts
-      .withColumn("__local", coalesce(sum(col("__v")).over(localW), lit(0L)))
-      .join(broadcast(offsets), "__pid")
-      .withColumn(outCol, col("__local") + col("__offset"))
-      .drop("__pid", "__v", "__local", "__offset")
+      .agg(sum(col(vcols.head._1)).as("__psum0"),
+        vcols.tail.zipWithIndex.map { case ((nm, _), i) =>
+          sum(col(nm)).as(s"__psum${i + 1}") }: _*)
+      .select(col("__pid") +:
+        vcols.indices.map(i =>
+          coalesce(sum(col(s"__psum$i")).over(offsetW), lit(0L))
+            .as(s"__offset$i")): _*)
+    val withLocals = vcols.zipWithIndex.foldLeft(parts) {
+      case (d, ((nm, _), i)) =>
+        d.withColumn(s"__local$i",
+          coalesce(sum(col(nm)).over(localW), lit(0L)))
+    }
+    val joined = withLocals.join(broadcast(offsets), "__pid")
+    val withOut = values.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"__local$i") + col(s"__offset$i"))
+    }
+    withOut.drop("__pid" +: vcols.indices.flatMap(i =>
+      Seq(s"__v$i", s"__local$i", s"__offset$i")): _*)
   }
 
   /** Adds `outCol` = max of `value` over all rows strictly BEFORE the

@@ -1686,7 +1686,11 @@ object AnalyticsQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().transform(graft.engine.QueryCaches.registered)
     val nBaskets = li.agg(countDistinct(col("ok")).as("n_baskets"))
+    // registered (round 11): same two-broadcast-attach shape as
+    // [[itemSimilarityTopk]]'s sup — unregistered, the support aggregation
+    // over the basket cache ran once per attach join
     val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .transform(graft.engine.QueryCaches.registered)
     li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
@@ -1725,9 +1729,14 @@ object AnalyticsQueries {
     * aggregate.
     */
   def paretoCustomers(spark: SparkSession, dir: String): DataFrame = {
+    // registered for the same three-materializations reason as
+    // [[weightedMedian]]'s collapsed relation (round 11): the per-customer
+    // spend aggregate feeds the prefix build's sampling pass, its range
+    // exchange, AND the totals branch
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+      .transform(graft.engine.QueryCaches.registered)
     val cum = graft.engine.Prefix.exclusiveCumsum(
       spend, Seq(col("cents").desc, col("o_custkey")), col("cents"), "cum")
     val totals = spend.agg(sum(col("cents")).as("total_cents"),
@@ -1960,12 +1969,21 @@ object AnalyticsQueries {
     * cross-multiplication picks the crossing price per group.
     */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    // registered (round 11): the collapsed (flag, cents) weight relation
+    // feeds THREE materializations — the prefix build's range-boundary
+    // sampling, the range exchange itself, and the offsets branch — and
+    // unregistered each one re-ran the full lineitem scan + aggregation
+    // (profiled at sf0.1: the two dominant stages of the query were the
+    // same collapsed agg computed twice). The relation is one row per
+    // (flag, cents) — value-domain-bounded, far smaller than the fact
+    // table — so the cache fill is the cheapest of the three passes.
     val collapsed = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("w")).as("wsum"))
+      .transform(graft.engine.QueryCaches.registered)
     val grpW = org.apache.spark.sql.expressions.Window
       .orderBy(col("l_returnflag"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -2008,12 +2026,15 @@ object AnalyticsQueries {
     * same prefix.
     */
   def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    // registered for the same three-materializations reason as
+    // [[weightedMedian]]'s collapsed relation (round 11)
     val collapsed = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("w"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("w")).as("wsum"))
+      .transform(graft.engine.QueryCaches.registered)
     val grpW = org.apache.spark.sql.expressions.Window
       .orderBy(col("l_returnflag"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -2205,12 +2226,22 @@ object AnalyticsQueries {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().transform(graft.engine.QueryCaches.registered)
+    // registered (round 11): sup feeds two broadcast attaches whose rename
+    // projections never canonicalize equal, so unregistered the support
+    // aggregation over the basket cache ran twice
     val sup = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      .transform(graft.engine.QueryCaches.registered)
+    // registered (round 11): the symmetrization union reads `half` twice,
+    // and unregistered each branch re-ran the FULL basket self-join + pair
+    // aggregation — the query's most expensive subtree, profiled at sf0.1
+    // as two identical ~12.6 MB-shuffle-write stages. The cached relation
+    // is candidates-only (n_ab >= 2), far smaller than the join stream.
     val half = li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
+      .transform(graft.engine.QueryCaches.registered)
     val sym = half.unionByName(
       half.select(col("pb").as("pa"), col("pa").as("pb"), col("n_ab")))
     val w = org.apache.spark.sql.expressions.Window

@@ -1420,8 +1420,13 @@ object PipelineQueries {
           col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 30 MINUTES"), 1)
           .otherwise(0))
       .withColumn("sid", sum(col("brk")).over(cum))
+    // registered for the same reason as concurrency_histogram's sess: the
+    // union reads it twice and the prefix build materializes its input
+    // twice more (sampling + exchange) — the windowed subtree otherwise
+    // runs up to 4x per query (round 11, profiled at sf0.1)
     val sess = s.groupBy(col("user_id"), col("sid"))
       .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .transform(graft.engine.QueryCaches.registered)
     val deltas = sess
       .select(col("start_ts").as("t"), lit(1L).as("d"), col("user_id"), col("sid"))
       .unionByName(sess
@@ -1798,15 +1803,26 @@ object PipelineQueries {
           col("ts") - lag(col("ts"), 1).over(w) >= expr("INTERVAL 30 MINUTES"), 1)
           .otherwise(0))
       .withColumn("sid", sum(col("brk")).over(cum))
+    // the session-ization subtree (events scan + two user-keyed windows +
+    // groupBy) feeds BOTH union branches of the sweep relation, and the
+    // range-partitioned prefix build below materializes its input twice
+    // more (boundary sampling + the exchange itself) — unregistered, the
+    // windowed subtree ran up to 4x per query (profiled at sf0.1; the
+    // same round-11 finding as weighted_median's collapsed relation)
     val sess = s.groupBy(col("user_id"), col("sid"))
       .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .transform(graft.engine.QueryCaches.registered)
     val deltas = sess
       .select(col("start_ts").as("t"), lit(1L).as("d"), col("user_id"), col("sid"))
       .unionByName(sess
         .select(col("end_ts").as("t"), lit(-1L).as("d"), col("user_id"), col("sid")))
     val ord = Seq(col("t"), col("d").desc, col("user_id"), col("sid"))
-    val run = graft.engine.Prefix.exclusiveCumsum(deltas, ord, col("d"), "prior")
-    val ranked = graft.engine.Prefix.exclusiveCumsum(run, ord, lit(1L), "rank0")
+    // the running level AND the global rank are prefix sums over the SAME
+    // sweep order — ONE fused two-pass build (one range exchange + pin)
+    // instead of two chained single-value builds (round 11; exact — prefix
+    // values are placement-invariant, see Prefix.exclusiveCumsums)
+    val ranked = graft.engine.Prefix.exclusiveCumsums(deltas, ord,
+        Seq(col("d") -> "prior", lit(1L) -> "rank0"))
       .withColumn("level", col("prior") + col("d"))
     val next = ranked.select(col("rank0").as("nrank"), col("t").as("nt"))
     ranked.join(next, col("rank0") + 1 === col("nrank"))
