@@ -1713,8 +1713,13 @@ object LlmQueries {
     */
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {
     val budget = 256L
+    // registered (round 11): the token-count relation feeds the prefix
+    // build's range-boundary sampling AND its range exchange —
+    // unregistered, the full tokenize kernel ran over the corpus twice.
+    // Two longs per doc, a reduction of the text, safe to cache at scale.
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .transform(graft.engine.QueryCaches.registered)
     graft.engine.Prefix
       .exclusiveCumsum(toks, Seq(col("doc_id")), col("n_tokens"), "start_tok")
       .select(col("doc_id"), col("n_tokens"),
