@@ -2939,11 +2939,37 @@ object LlmQueries {
     // registeredCounted: the eager fill already counts each cache — reuse
     // those numbers as n_truth / n_cand instead of re-scanning both caches
     // through two more 1-row aggregates (round-10 trim; values identical)
-    val (truth, nTruth) = graft.engine.QueryCaches.registeredCounted(
+    //
+    // The two pipelines are INDEPENDENT until the final tp join, and each
+    // is a chain of eager fills whose tail stages underfill the cluster —
+    // so they build CONCURRENTLY (two driver threads; Spark's FIFO
+    // scheduler back-fills one pipeline's stragglers with the other's
+    // tasks — the guide's overlap-independent-jobs pattern). Results are
+    // unchanged: the pipelines share no cache (prefix postings vs per-row
+    // signature kernel) and QueryCaches' registry is concurrent. Measured
+    // at sf0.1, like canaries: 6.07 → 5.42 s (the query is 42
+    // driver-scheduled jobs of sub-0.7 s stages — scheduling floor, not
+    // compute, so overlap is the only lever left that does not change a
+    // plan; the sequential tail inside each pipeline bounds the win).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val truthF = scala.concurrent.Future(graft.engine.QueryCaches.registeredCounted(
       Dedup.ngramJaccardPairsPrefix(docs, 3, jaccardNum, jaccardDen)
-        .select("doc_a", "doc_b"))
-    val (cand, nCand) = graft.engine.QueryCaches.registeredCounted(
-      Dedup.bandCandidates(Dedup.minhashSignatures(docs, 3, 64), 64, 16))
+        .select("doc_a", "doc_b")))
+    val candF = scala.concurrent.Future(graft.engine.QueryCaches.registeredCounted(
+      Dedup.bandCandidates(Dedup.minhashSignatures(docs, 3, 64), 64, 16)))
+    val (truth, nTruth) = try scala.concurrent.Await.result(
+      truthF, scala.concurrent.duration.Duration.Inf)
+    finally {
+      // cand failing must not leak the pool; truth failing lets candF
+      // finish its in-flight fill (registered entries release at the
+      // caller's boundary either way)
+      try scala.concurrent.Await.ready(candF, scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+    val (cand, nCand) = scala.concurrent.Await.result(
+      candF, scala.concurrent.duration.Duration.Inf)
     truth.join(cand, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).as("tp"))
       .select(lit(nTruth).as("n_truth"), lit(nCand).as("n_cand"), col("tp"),
