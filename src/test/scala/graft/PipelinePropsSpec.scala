@@ -209,6 +209,25 @@ class PipelinePropsSpec extends SparkSuite {
       "two-pass cumsum must equal the single-window reference")
   }
 
+  test("Prefix.exclusiveCumsums fuses N prefixes identically to N chained calls") {
+    // the round-11 fusion (one range exchange + pin for all values) must be
+    // value-identical to chaining single-value builds — prefix sums are
+    // placement-invariant, so this pins the fused offsets/local bookkeeping
+    val toks = graft.engine.Tables.documents(spark, sf1)
+      .select(col("doc_id"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+    val ord = Seq(col("doc_id"))
+    val fused = graft.engine.Prefix
+      .exclusiveCumsums(toks, ord, Seq(col("n") -> "cum", lit(1L) -> "rank0"))
+      .select("doc_id", "cum", "rank0")
+    val chained = graft.engine.Prefix.exclusiveCumsum(
+        graft.engine.Prefix.exclusiveCumsum(toks, ord, col("n"), "cum"),
+        ord, lit(1L), "rank0")
+      .select("doc_id", "cum", "rank0")
+    assert(fused.exceptAll(chained).isEmpty && chained.exceptAll(fused).isEmpty,
+      "fused multi-value cumsum must equal the chained single-value builds")
+  }
+
   test("sequence_pack: sequences tile the token stream without gaps") {
     val df = LlmQueries.sequencePack(spark, sf1).cache()
     // offsets stay inside the budget; spans are consistent with lengths
